@@ -1,0 +1,65 @@
+"""SparkSession factory — the engine's one place for execution config.
+
+The reference declares its runtime as an AWS Glue ``glueetl`` Spark job
+(``lambda-stack.yml:17``) with no tuning at all; here the equivalent knobs are
+explicit and scale-aware:
+
+- AQE on (runtime coalescing, skew-join splitting, SMJ→BHJ conversion) — the
+  100 TB story: partition counts and join strategies self-correct from
+  runtime statistics rather than being hand-scheduled.
+- ``spark.sql.shuffle.partitions`` sized to local cores for tests; on a real
+  cluster AQE's ``advisoryPartitionSizeInBytes`` takes over after the initial
+  value, so the setting here is a floor, not a schedule.
+- UTC session timezone — oracle (DuckDB) parity and sane cross-region
+  semantics.
+- Arrow enabled — every pandas interchange (Pandas UDFs, toPandas) is
+  columnar-batched, never per-row pickled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Return (building if needed) the shared engine SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable config to an externally-built session.
+
+    The driver hands ``entry()``/``queries()`` a session it built itself; the
+    settings that matter for oracle parity and small-scale latency are all
+    runtime-mutable, so apply them here instead of relying on session build
+    flags.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        conf.set("spark.sql.shuffle.partitions", "32")
+    return spark

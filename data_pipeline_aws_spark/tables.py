@@ -1,0 +1,48 @@
+"""Table loader — path-parameterized, schema-stable parquet sources.
+
+The reference's storage model is "S3 prefixes as tables" with env-parameterized
+locations (``lambda-stack.yml:20-21`` passes ``--ENV`` into the Glue job);
+here the same idea is ``load(spark, sf_dir)``: one base directory, bare table
+names, parquet scans that Catalyst can push filters and projections into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5, nation=25 rows at every SF). supplier/customer/part grow with SF,
+# so they are NOT hard-coded broadcast — AQE decides from runtime stats.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints —
+    so every downstream query plan starts from a pushdown-capable file scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables as a dict and register each as a temp view so both the
+    DataFrame API and ``spark.sql`` address the same scans."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
