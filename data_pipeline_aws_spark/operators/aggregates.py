@@ -95,3 +95,152 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_order"),
     )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(DISTINCT o_custkey)   AS n_customers,
+  COUNT(*)                    AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group. Catalyst plans this as a two-phase
+    expand/aggregate (distinct keys shuffled once, then counted) — exact but
+    shuffle-heavy; at 100 TB prefer q_approx_distinct unless exactness is
+    contractual."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_approx_distinct")  # HLL sketch ≠ DuckDB's sketch → rows-only check
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++, rsd=5%).
+
+    The 100 TB path for cardinality: single pass, fixed-size sketch per
+    group, partials merge associatively across executors — no expand, no
+    second shuffle. Not oracle-hashable (Spark HLL++ ≠ DuckDB's estimator),
+    so the driver applies the rows-only check.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+SELECT
+  r_name                                 AS region,
+  n_name                                 AS nation,
+  COUNT(*)                               AS n_customers,
+  ROUND(SUM(c_acctbal), 2)               AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: per-(region,nation), per-region subtotals, grand total.
+    Spark plans rollup as Expand (3 grouping sets) + one hash aggregate —
+    one shuffle regardless of how many grouping levels."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+SELECT
+  n_name                                                             AS nation,
+  ROUND(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal ELSE 0 END), 2) AS auto_bal,
+  ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN c_acctbal ELSE 0 END), 2) AS building_bal,
+  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)     AS n_negative
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (pivot-style sum(case when ...))."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    seg_bal = lambda seg: F.round(  # noqa: E731
+        F.sum(F.when(F.col("c_mktsegment") == seg, F.col("c_acctbal")).otherwise(0.0)), 2
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            seg_bal("AUTOMOBILE").alias("auto_bal"),
+            seg_bal("BUILDING").alias("building_bal"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_negative"),
+        )
+    )
+
+
+@query(
+    "q_collect",
+    oracle="""
+SELECT
+  o_orderpriority,
+  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+  COUNT(DISTINCT o_orderstatus)                                 AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-set re-nesting (the FHIR-style "group members back into an
+    array" verb), emitted as a sorted joined string so the oracle hash is
+    type-stable across engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.5), 4)        AS qty_p50,
+  ROUND(quantile_cont(l_quantity, 0.95), 4)       AS qty_p95,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 4)   AS price_p50
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation). At 100 TB swap to
+    `percentile_approx` (t-digest sketch, mergeable partials) — kept exact
+    here because the oracle must hash-match."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("qty_p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+    )

@@ -1,1 +1,237 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators (SURVEY §2.3) — inner/outer/semi/anti/theta/range/star.
+
+The reference's "orders" star domain (Glue job ``${Env}-orders-job``,
+`/root/reference/Hoth/FHIR/cloudformations/lambda-stack.yml:14`) implies
+fact⋈dimension joins as the workhorse verb; the job body that would hold them
+(`Hoth/FHIR/glue/etl_script.py`) is 0 bytes, so shapes follow the TPC-H-ish
+testdata join graph.
+
+Scale notes (100 TB):
+- Dim joins (region/nation, literal band tables) are explicitly
+  ``F.broadcast`` — no shuffle of the fact side, ever.
+- customer/supplier/part joins are left to AQE: at bench scale they fit the
+  10 MB auto-broadcast threshold; at cluster scale AQE converts sort-merge →
+  broadcast-hash when runtime stats allow, and splits skewed partitions.
+- The star join chains fact→dims smallest-last so Catalyst/CBO can reorder;
+  every join key is an equi-key, keeping everything hash-partitionable.
+- The theta self-join carries an equi component (nationkey) so it plans as a
+  hash join with a residual inequality filter, NOT a nested-loop cross.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(*)                        AS n_orders,
+  ROUND(SUM(o_totalprice), 2)     AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim, revenue by market segment."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+SELECT
+  c_custkey,
+  COUNT(o_orderkey)                            AS n_orders,
+  COALESCE(ROUND(SUM(o_totalprice), 2), 0.0)   AS spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders (COUNT of the
+    nullable side skips nulls in both engines)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS filter: customers with ≥1 urgent order.
+    Semi joins never duplicate the left side, so no post-dedup is needed."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS: customers with no orders at all."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+SELECT
+  a.s_nationkey            AS nationkey,
+  a.s_suppkey              AS supp_a,
+  b.s_suppkey              AS supp_b,
+  ABS(a.s_acctbal - b.s_acctbal) AS bal_gap
+FROM supplier a
+JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: supplier pairs within a nation (equi on nationkey +
+    inequality residual). The equi component keeps this a hash join at scale
+    — a pure-inequality cross would be quadratic."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_nationkey").alias("nationkey"),
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")).alias("bal_gap"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+FROM part
+JOIN (VALUES ('b900', 900.0, 925.0),
+             ('b925', 925.0, 950.0),
+             ('b950', 950.0, 975.0),
+             ('b975', 975.0, 1000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: value ∈ [lo, hi) against a small interval table.
+
+    The interval side is a literal 4-row frame, broadcast explicitly — at any
+    fact-table scale this is a map-side BroadcastNestedLoop with a trivially
+    small inner, i.e. no shuffle of `part`.
+    """
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0), ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_star_join",
+    oracle="""
+SELECT
+  r_name                                                      AS region,
+  n_name                                                      AS nation,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS revenue,
+  COUNT(*)                                                    AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+""",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈nation⋈
+    region with a selective date filter on the mid-sized fact.
+
+    nation/region are forced-broadcast (25 and 5 rows at every SF); the
+    lineitem⋈orders join is the only real shuffle and both sides are
+    hash-partitioned on orderkey. The o_orderdate filter is pushed to the
+    orders scan before the join (verified via PushedFilters).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

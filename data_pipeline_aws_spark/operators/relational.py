@@ -1,1 +1,111 @@
-"""Placeholder — populated in a later milestone."""
+"""Projection / filter / predicate / conditional operators (SURVEY §2.2).
+
+The canonical first verbs of the reference's declared-but-empty Glue ETL job
+(`/root/reference/Hoth/FHIR/glue/etl_script.py`, 0 bytes): select columns,
+derive expressions, resolve types, filter rows.
+
+Scale notes: these are the operators Catalyst pushes INTO the parquet scan —
+a correct plan here reads only referenced columns (ReadSchema) and skips row
+groups via PushedFilters, which at 100 TB is the difference between scanning
+terabytes and scanning gigabytes. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+@query(
+    "q_project",
+    oracle="""
+SELECT
+  l_orderkey                                        AS orderkey,
+  l_linenumber                                      AS lineno,
+  l_extendedprice * (1 - l_discount)                AS net_price,
+  CAST(FLOOR(l_quantity) AS BIGINT)                 AS qty_floor,
+  strftime(l_shipdate, '%Y-%m-%d')                  AS ship_day
+FROM lineitem
+""",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection: rename, computed expression, numeric cast, date formatting.
+
+    Cast parity note: Spark double→int truncates while DuckDB rounds, so the
+    integer derivation goes through FLOOR on both sides; dates are emitted as
+    formatted strings (identical text in both engines) rather than DATE.
+    Per-row float outputs stay UNROUNDED: identical inputs through identical
+    IEEE ops are bit-equal across engines, whereas decimal rounding of
+    half-way doubles differs between Spark (HALF_UP on decimal repr) and
+    DuckDB (binary-value rounding). Rounding is reserved for aggregates,
+    where it absorbs summation-order noise instead.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("lineno"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 50000 AND 250000
+  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+  AND NOT (o_orderdate IS NULL)
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+""",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate sweep: =, IN, BETWEEN, LIKE, IS NULL, AND/OR/NOT, range.
+
+    All predicates are Catalyst-compilable and parquet-pushable (LIKE 'x%'
+    becomes StringStartsWith in PushedFilters).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 250000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & ~F.col("o_orderdate").isNull()
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "q_case_when",
+    oracle="""
+SELECT
+  CASE
+    WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+    WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+    ELSE 'low'
+  END                                   AS priority_band,
+  COUNT(*)                              AS n_orders,
+  ROUND(SUM(o_totalprice), 2)           AS revenue
+FROM orders
+GROUP BY priority_band
+""",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding a group-by."""
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+        .alias("priority_band")
+    )
+    return o.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

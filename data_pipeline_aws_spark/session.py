@@ -36,6 +36,7 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -56,6 +57,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:

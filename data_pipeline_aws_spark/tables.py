@@ -9,6 +9,7 @@ names, parquet scans that Catalyst can push filters and projections into.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,10 +32,22 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints —
-    so every downstream query plan starts from a pushdown-capable file scan."""
+    so every downstream query plan starts from a pushdown-capable file scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    as a timestamp (PARQUET_TYPE_ILLEGAL). With
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as epoch-nanos
+    LongType and is converted here to a µs TimestampType via integer division
+    — the exact truncation DuckDB applies when it reads the same file into
+    its µs-native TIMESTAMP, so oracle comparisons stay bit-identical.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
