@@ -1,1 +1,1 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function families (SURVEY §2.7) and text analysis (§2.8)."""
