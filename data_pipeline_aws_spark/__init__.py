@@ -40,6 +40,7 @@ def load_all() -> None:
     from data_pipeline_aws_spark.functions import scalar, text  # noqa: F401
     from data_pipeline_aws_spark.multimodal import media  # noqa: F401
     from data_pipeline_aws_spark.sources import ingest  # noqa: F401
+    from data_pipeline_aws_spark.streaming import jobs  # noqa: F401
     from data_pipeline_aws_spark.udf import vectorized  # noqa: F401
 
     _LOADED = True

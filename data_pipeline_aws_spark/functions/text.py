@@ -1,1 +1,218 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis over the `documents` corpus (SURVEY §2.8 / north-star):
+token stats, TF-IDF weighting, per-language slicing, quality scoring,
+heuristic language-ID, document fingerprinting.
+
+These are the text-side primitives of an LLM training-data pipeline. All of
+them are pure DataFrame compositions (explode/groupBy/join/window) — no
+Python in the hot path — so they inherit Spark's full scan/shuffle
+parallelism at 100 TB. Determinism notes: ratios are single IEEE divisions of
+integer-derived values (bit-identical across engines); only log-derived
+weights are rounded (libm ulp differences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) with repeats — whitespace tokenization."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+_TOK_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM ({_TOK_SQL})
+GROUP BY token
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: global term counts + document frequency."""
+    return tokens(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-ish term weighting: term frequency × log inverse document
+    frequency. The corpus size joins in as a broadcast 1-row aggregate (no
+    driver-side collect)."""
+    tok = tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_text_bylang",
+    oracle="""
+SELECT
+  lang,
+  COUNT(*)                                            AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT)                        AS total_chars,
+  ROUND(AVG(n_chars), 4)                              AS avg_chars,
+  CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)   AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus slicing by language tag."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+_STOPWORDS = ("a", "row", "value", "data")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+per AS (
+  SELECT doc_id,
+         COUNT(*)                          AS n_tokens,
+         COUNT(DISTINCT token)             AS n_types,
+         CAST(SUM(LENGTH(token)) AS BIGINT) AS sum_tok_len,
+         CAST(SUM(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       sum_tok_len * 1.0 / n_tokens        AS avg_tok_len,
+       n_stop * 1.0 / n_tokens             AS stop_ratio,
+       n_types * 1.0 / n_tokens            AS type_token_ratio,
+       ROUND(10.0 * n_types / n_tokens + 0.1 * LEAST(n_tokens, 80)
+             - 5.0 * n_stop / n_tokens, 6) AS quality_score
+FROM per
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, lexical diversity (type/token),
+    stopword ratio, combined score. Ratios are single divisions of exact
+    integers — bit-identical across engines without rounding."""
+    tok = tokens(spark, sf_dir)
+    per = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        F.sum(F.length("token")).alias("sum_tok_len"),
+        F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("sum_tok_len") * 1.0 / F.col("n_tokens")).alias("avg_tok_len"),
+        (F.col("n_stop") * 1.0 / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("n_types") * 1.0 / F.col("n_tokens")).alias("type_token_ratio"),
+        F.round(
+            10.0 * F.col("n_types") / F.col("n_tokens")
+            + 0.1 * F.least(F.col("n_tokens"), F.lit(80))
+            - 5.0 * F.col("n_stop") / F.col("n_tokens"),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_MARKERS_A = ("spark", "join", "merge", "window")
+_MARKERS_B = ("key", "agg", "scan", "hash")
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN token IN {_MARKERS_A!r} THEN 1 ELSE 0 END) AS BIGINT) AS score_a,
+         CAST(SUM(CASE WHEN token IN {_MARKERS_B!r} THEN 1 ELSE 0 END) AS BIGINT) AS score_b,
+         COUNT(*) AS n_tokens
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, score_a, score_b,
+       CASE WHEN score_a >= score_b THEN 'dialect_a' ELSE 'dialect_b' END AS predicted
+FROM sc
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID mechanism: marker-token voting with argmax
+    prediction (the n-gram-profile method in miniature — profiles are
+    hardcoded marker sets because the synthetic corpus shares one vocabulary
+    across its `lang` tags)."""
+    tok = tokens(spark, sf_dir)
+    sc = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("token").isin(*_MARKERS_A), 1).otherwise(0)).alias("score_a"),
+        F.sum(F.when(F.col("token").isin(*_MARKERS_B), 1).otherwise(0)).alias("score_b"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return sc.select(
+        "doc_id",
+        "score_a",
+        "score_b",
+        F.when(F.col("score_a") >= F.col("score_b"), "dialect_a")
+        .otherwise("dialect_b")
+        .alias("predicted"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text)                                                  AS fp_full,
+  md5(array_to_string(string_split(text, ' ')[1:8], ' '))    AS fp_head,
+  LENGTH(text)                                               AS n_bytes
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content MD5 + head-shingle MD5 (both
+    engines produce identical hex, so fingerprints are oracle-checkable —
+    unlike engine-native hash functions)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp_full"),
+        F.md5(
+            F.encode(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)), "UTF-8")
+        ).alias("fp_head"),
+        F.length("text").alias("n_bytes"),
+    )

@@ -1,1 +1,1 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal column handling: binary payloads + typed metadata (north-star)."""

@@ -1,1 +1,118 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal columns (north-star): image/audio/video as opaque `binary`
+columns with typed metadata, decoded/feature-extracted via Arrow-batched
+Pandas functions.
+
+The testdata has no true media files, so the *payload* is the document text
+encoded as bytes — which keeps the Spark-side plumbing (binary schema,
+partition-parallel mapInPandas, batch shapes, metadata structs) fully real
+while the codec itself is a deterministic fake. The actual decoders (PIL/
+ffmpeg/torchaudio) are stubbed behind import-tries with explicit
+NotImplementedError markers, exactly where a production build would plug in.
+
+Scale notes: binary payloads ride through scans/joins untouched (Parquet
+stores them as BYTE_ARRAY; column pruning keeps them out of queries that
+don't reference them). Decoding runs in `mapInPandas` — per-partition Arrow
+batches, zero driver involvement, linear scale-out; batch size is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch`, keeping executor memory flat
+no matter the table size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL, not present in this environment.
+
+    Production: `from PIL import Image; return Image.open(io.BytesIO(payload))`.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow or use fake_decode_meta"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when the codec lands")
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a media decoder: derives (width, height,
+    n_channels) purely from payload bytes, so tests exercise the real
+    Spark plumbing with stable outputs."""
+    if not payload:
+        return (0, 0, 0)
+    return (payload[0] % 64 + 1, payload[-1] % 64 + 1, len(payload) % 3 + 1)
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+SELECT
+  doc_id,
+  octet_length(encode(text))  AS n_bytes,
+  md5(text)                   AS checksum,
+  lang                        AS media_lang,
+  'application/octet-stream'  AS mime
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column relational plumbing: payload size + content checksum +
+    carried metadata, all JVM-side (no decode). The binary column itself is
+    produced, measured, and hashed without ever surfacing to Python."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+        F.col("lang").alias("media_lang"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@query("q_multimodal_decode")  # python-side fake codec → rows-only check
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode / feature-extract pipeline shape: binary payload →
+    mapInPandas (Arrow batches) → typed feature columns.
+
+    The decode itself is `fake_decode_meta` (deterministic); swapping in a
+    real codec changes ONE python function, none of the distributed plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    # NOTE: worker-side closures must be self-contained — referencing a
+    # module-level symbol would make cloudpickle serialize it by reference
+    # and require this package on every executor's PYTHONPATH.
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_meta(payload: bytes) -> tuple[int, int, int]:
+            if not payload:
+                return (0, 0, 0)
+            return (payload[0] % 64 + 1, payload[-1] % 64 + 1, len(payload) % 3 + 1)
+
+        for pdf in batches:
+            meta = pdf["payload"].map(fake_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta.map(lambda m: m[0]).astype("int32"),
+                    "height": meta.map(lambda m: m[1]).astype("int32"),
+                    "n_channels": meta.map(lambda m: m[2]).astype("int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract, "doc_id long, width int, height int, n_channels int, n_bytes long"
+    )

@@ -1,1 +1,299 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators (north-star): exact, n-gram Jaccard near-dup,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+The LLM-data-pipeline dedup ladder, cheapest-first:
+
+1. exact        — hash group-by; one shuffle on the dedup key.
+2. ngram        — exact shingle-set Jaccard via a shared-shingle equi-join;
+                  quadratic only within shingle buckets (inverted-index join),
+                  the honest baseline the sketch methods approximate.
+3. minhash_lsh  — the 100 TB path: fixed-size signatures (32 hashes), banded
+                  into 16 bands × 2 rows; only band-collision candidates are
+                  verified exactly. P(candidate | J=0.9) ≈ 1-1e-12, so at the
+                  0.5 threshold the verified output equals the exact ngram
+                  result, and both share one oracle.
+4. simhash      — 32-bit signatures, hamming ≤ 3 pairs found via 4-byte
+                  pigeonhole banding (a pair within distance 3 must agree on
+                  ≥1 of 4 bytes) — exact under banding, no full cross-join.
+5. embed_cos    — cosine near-dup over the embedding column.
+
+Spark-native hash functions (murmur3/xxhash64) don't exist in DuckDB, so the
+sketch-internal queries are deterministic-rows-only; their *verified outputs*
+(minhash) hash-check against the exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+SHINGLE_WIDTH = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — 3-token shingles via lead windows.
+
+    At 100 TB this is a narrow per-document transform (window partitioned by
+    doc_id); output cardinality ≈ token count.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select(
+            "doc_id",
+            F.concat(
+                F.col("token"),
+                F.lit(" "),
+                F.lead("token", 1).over(w),
+                F.lit(" "),
+                F.lead("token", 2).over(w),
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+_SHINGLE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                   AS token,
+         generate_subscripts(string_split(text, ' '), 1)   AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, n_common,
+       n_common * 1.0 / (ca.n + cb.n - n_common) AS jaccard
+FROM inter
+JOIN cnt ca ON d1 = ca.doc_id
+JOIN cnt cb ON d2 = cb.doc_id
+WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
+"""
+
+
+def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard for all shared-shingle pairs, or only for the
+    given (d1, d2) candidate pairs."""
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        inter.join(ca, F.col("d1") == F.col("ca.doc_id"))
+        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key-dedup, deterministic keep-first (earliest ts) — the
+    window-rank form rather than dropDuplicates' keep-any, so the oracle can
+    hash-match. One shuffle on the dedup key."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query("q_dedup_ngram", oracle=_SHINGLE_SQL)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard near-duplicate pairs at ≥ 0.5.
+
+    The join is an inverted-index equi-join on shingle — cost scales with
+    shared-shingle pair count, not |docs|². Jaccard is a single division of
+    integers (bit-identical across engines, no rounding needed).
+    """
+    return _exact_jaccard_pairs(shingles(spark, sf_dir))
+
+
+@query("q_dedup_minhash", oracle=_SHINGLE_SQL)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dedup — the 100 TB scale path.
+
+    32 minhashes per doc (murmur3 seeded by hash-column position), banded as
+    16 bands × 2 rows; candidate pairs collide on (band, band-signature) and
+    only candidates get exact Jaccard verification. Detection probability at
+    the planted-duplicate similarity (~0.9+) is 1-(1-0.81)^16 ≈ 1-1e-12, so
+    the verified output equals q_dedup_ngram's exact result — same oracle.
+    """
+    sh = shingles(spark, sf_dir)
+    n_hashes, rows_per_band = 32, 2
+    seeds = spark.range(n_hashes).withColumnRenamed("id", "seed")
+    sig = (
+        sh.join(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.hash("seed", "shingle")).alias("mh"))
+    )
+    band = (
+        sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        # order-insensitive 2-row combine → deterministic band signature
+        .agg(F.hash(F.min("mh"), F.max("mh")).alias("band_sig"))
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(sh, candidates)
+
+
+@query("q_dedup_simhash")  # murmur3-based sketch → deterministic rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 32-bit signatures from token hashes, pairs at
+    hamming distance ≤ 3 found via pigeonhole banding (a pair within distance
+    3 must agree exactly on ≥ 1 of the 4 signature bytes), then exact hamming
+    verification — exact w.r.t. the signature without a |docs|² cross-join.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bits = spark.range(32).withColumnRenamed("id", "bit")
+    # per (doc, bit): majority vote of token-hash bits, weighted by term freq
+    votes = (
+        tok.join(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (shiftright(hash(token), CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias("v")
+        )
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("byte_idx"),
+                    F.shiftright("simhash", 8 * i).bitwiseAND(255).alias("byte_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.byte_idx", "b.byte_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.4
+""",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.4 on this corpus — no
+    planted semantic dups, so the threshold sits in the distribution tail).
+
+    Brute-force self-join here (correctness baseline); the 100 TB path is
+    the LSH-bucketed variant in similarity.py which prunes candidates by
+    random-hyperplane signature before computing exact cosine.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("vec_id", emb_d.alias("e")).withColumn("nrm", F.sqrt(dot_self))
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )

@@ -1,1 +1,155 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embedding column (north-star): exact cosine
+top-k baseline + LSH-bucketed approximate variant (the scale path).
+
+Embeddings are `array<float>` (dim 64); all arithmetic is JVM-side
+higher-order functions (`zip_with`/`aggregate`) — vectors never leave
+Tungsten rows, no Python, no UDF.
+
+Scale design: brute-force top-k is O(|Q|·|C|) dot products — correct, and
+fine when |Q| is a bounded query batch; the corpus side stays partitioned and
+each task emits only its local top-k heap via the rank-window + WindowGroupLimit
+plan. For corpus×corpus at 100 TB, q_sim_lsh buckets vectors by
+random-hyperplane signature so only same-bucket pairs are scored (recall
+tunable by signature width / multi-probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query batch
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select("vec_id", "label", emb_d.alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rn AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+""",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a 10-vector query batch.
+
+    Ranking uses the ROUNDED cosine plus a neighbor-id tiebreak so both
+    engines rank identically even at float ulp boundaries.
+    """
+    n = _normed(spark, sf_dir)
+    q = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rank")
+    )
+
+
+@query("q_sim_lsh")  # murmur3-derived hyperplanes → deterministic rows-only
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate neighbor pairs — the corpus×corpus scale path.
+
+    8 pseudo-random hyperplanes (sign pattern derived from murmur3 of
+    (plane, dimension) — deterministic, no RNG state) give each vector an
+    8-bit signature; only same-signature pairs are scored exactly. At 100 TB
+    the bucket join replaces the quadratic cross product with
+    sum-over-buckets of |bucket|², and multi-probe (flipping low-confidence
+    bits) recovers recall.
+    """
+    n = _normed(spark, sf_dir)
+    n_planes = 8
+    # plane p component for dim i: ±1 by murmur3(p, i) — regenerable on any
+    # executor, no broadcast state needed at any scale.
+    planes = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "plane")
+        .join(spark.range(64).withColumnRenamed("id", "dim"))
+        .select(
+            "plane",
+            "dim",
+            F.when(F.hash("plane", "dim") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("w"),
+        )
+        .groupBy("plane")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("dw"))
+        .select("plane", F.transform("dw", lambda s: s.getField("w")).alias("pv"))
+    )
+    sig_bits = (
+        n.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "plane",
+            F.when(_dot("e", "pv") >= 0, F.expr("shiftleft(1, CAST(plane AS INT))"))
+            .otherwise(0)
+            .alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("sig"))
+    )
+    tagged = n.join(sig_bits, "vec_id")
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.sig").alias("bucket"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.2)
+    )

@@ -1,1 +1,145 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windows over `events` (SURVEY §2.9, batch form).
+
+The reference's "streaming" is event-triggered batch (trigger Lambda at
+`/root/reference/Hoth/FHIR/cloudformations/lambda-stack.yml:23-35` +
+EventBridge at `pipeline-stack.yml:474-489`) — each operator here is the
+batch DataFrame expression; `streaming/jobs.py` re-expresses the same ops as
+Structured Streaming with watermarks.
+
+Parity notes: Spark's `F.window` aligns tumbling/sliding boundaries to the
+Unix epoch; DuckDB's `time_bucket` aligns sub-month buckets to 2000-01-01
+00:00 — both are exact multiples of 15 min/1 h apart, so boundaries coincide
+for the granularities used here. Session semantics: a session's end is
+last-event-ts + gap, and an event at exactly prev_ts + gap starts a NEW
+session (Spark session windows are [start, end)).
+
+Scale notes: windowed aggregation is a single hash exchange on
+(window, keys); window assignment itself is a scalar projection. Session
+windows shuffle on the partition key (user), then sort within key — per-user
+event counts are bounded, so no skew amplification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+@query(
+    "q_win_tumbling",
+    oracle="""
+SELECT
+  date_trunc('hour', ts)                         AS win_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR       AS win_end,
+  event_type,
+  COUNT(*)                                       AS n_events,
+  ROUND(SUM(value), 4)                           AS total_value
+FROM events
+GROUP BY win_start, win_end, event_type
+""",
+)
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    e = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_win_sliding",
+    oracle="""
+SELECT
+  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+    + INTERVAL 1 HOUR                                                AS win_end,
+  event_type,
+  COUNT(*)                                                           AS n_events,
+  ROUND(SUM(value), 4)                                               AS total_value
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY win_start, win_end, event_type
+""",
+)
+def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes (each event lands in exactly
+    4 overlapping windows; the oracle replays that by cross-joining offsets
+    0..3 against the 15-minute bucket)."""
+    e = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_win_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  MIN(ts)                          AS sess_start,
+  MAX(ts) + INTERVAL 30 MINUTE     AS sess_end,
+  COUNT(*)                         AS n_events,
+  ROUND(SUM(value), 4)             AS total_value
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute inactivity gap) per user.
+    Spark assigns sessions natively via `session_window`; the oracle derives
+    identical sessions with the classic gap-and-island construction."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,1 +1,1 @@
-"""Placeholder — populated in a later milestone."""
+"""Sources & sinks (SURVEY §2.1): parquet/JSON/CSV readers, partitioned sinks."""

@@ -1,1 +1,89 @@
-"""Placeholder — populated in a later milestone."""
+"""Sources & sinks (SURVEY §2.1): JSON/CSV ingest with explicit schemas,
+partitioned parquet sinks.
+
+The reference's storage model is S3-prefix-as-table with raw-JSON arrival
+(FHIR domain, `/root/reference/Hoth/FHIR/`); here ingest is
+`spark.read.json/csv` with EXPLICIT schemas (inference is a two-pass scan —
+never in production paths), and the sink is date/key-partitioned parquet so
+downstream reads get static + dynamic partition pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _json_cache_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}")
+
+
+def events_as_json(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as JSON-lines (once per sf_dir) — the
+    raw-arrival format of the reference's event pipeline."""
+    out = _json_cache_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        e = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "props"
+        )
+        e.write.mode("overwrite").json(out)
+    return out
+
+
+@query(
+    "q_json_ingest",
+    oracle="""
+SELECT event_type,
+       COUNT(*)                        AS n_events,
+       ROUND(SUM(value), 4)            AS total_value,
+       CAST(MIN(event_id) AS BIGINT)   AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT)   AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ingest with explicit schema: events round-trip through JSON-lines
+    (shortest-repr doubles survive exactly), then aggregate — proving the
+    JSON scan feeds the same values the parquet scan does."""
+    path = events_as_json(spark, sf_dir)
+    j = spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV ingest — explicit schema, header, standard escaping."""
+    return spark.read.csv(path, header=True, schema=schema, escape='"')
+
+
+def write_partitioned(df: DataFrame, path: str, *keys: str, mode: str = "overwrite") -> None:
+    """Partitioned parquet sink — the layout that buys partition pruning on
+    every downstream date/key filter. Hive-style directories; at 100 TB pair
+    with writes bucketed/sorted inside partitions when a dominant join key
+    exists."""
+    df.write.mode(mode).partitionBy(*keys).parquet(path)

@@ -1,1 +1,1 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming expressions of the engine's windowed/dedup operators."""

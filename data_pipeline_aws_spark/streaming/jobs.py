@@ -1,0 +1,118 @@
+"""Structured Streaming (SURVEY §2.9): the streaming second-expression of the
+batch windowed operators.
+
+The reference's stream is event-triggered batch (trigger Lambda
+`/root/reference/Hoth/FHIR/cloudformations/lambda-stack.yml:23-35`,
+EventBridge `pipeline-stack.yml:474-489`); Structured Streaming's file source
+is the same model made native — each arriving file is a micro-batch. Tests
+drive a bounded file source to completion with `processAllAvailable`, so the
+final state of each streaming query must equal its batch twin — which is how
+the oracle checks it.
+
+Scale notes: watermarks bound state (late events beyond 10 min are dropped,
+so window state is O(active windows), not O(history)); streaming dedup keys
+expire with the watermark. Sinks would be `foreachBatch` →
+partitioned-parquet in production; tests use the memory sink.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+_COUNTER = itertools.count()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (bounded in tests; the same
+    code tails an arrival directory in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _run_to_completion(result: DataFrame, mode: str) -> DataFrame:
+    """Start → drain all available input → stop; return the materialized
+    memory-sink table."""
+    spark = result.sparkSession
+    name = f"dpas_stream_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+SELECT
+  date_trunc('hour', ts)                         AS win_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR       AS win_end,
+  event_type,
+  COUNT(*)                                       AS n_events,
+  ROUND(SUM(value), 4)                           AS total_value
+FROM events
+GROUP BY win_start, win_end, event_type
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation with a 10-minute watermark,
+    drained to completion — final complete-mode state must equal the batch
+    q_win_tumbling result (same oracle)."""
+    events = _stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id under a watermark (replay protection).
+    event_id is unique in the fixture, so the deduped stream equals the
+    full table — which the oracle asserts."""
+    events = _stream_events(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_completion(deduped, "append")

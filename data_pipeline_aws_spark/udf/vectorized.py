@@ -1,1 +1,93 @@
-"""Placeholder — populated in a later milestone."""
+"""Vectorized (Arrow) Pandas UDF surface (SURVEY §2.10).
+
+Two shapes: scalar Series→Series (per-row math at numpy speed) and
+GROUPED_AGG (custom aggregate). Both move data as Arrow record batches —
+~10-100× over row-at-a-time pickling, and the only sanctioned way for Python
+to touch the hot path at 100 TB.
+
+UDF objects are built lazily (pandas_udf registration needs a live
+SparkSession, so decorating at import time would break module loading).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+@lru_cache(maxsize=None)
+def _log_price_score():
+    def fn(extendedprice: pd.Series, discount: pd.Series) -> pd.Series:
+        """log1p of the discounted price — numpy-vectorized over Arrow batches."""
+        return np.log1p(extendedprice * (1.0 - discount))
+
+    return pandas_udf(fn, "double")
+
+
+@lru_cache(maxsize=None)
+def _weighted_avg_price():
+    def fn(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.sum(price * qty) / np.sum(qty))
+
+    return pandas_udf(fn, "double", F.PandasUDFType.GROUPED_AGG)
+
+
+def log_price_score(extendedprice, discount) -> Column:
+    return _log_price_score()(extendedprice, discount)
+
+
+def weighted_avg_price(price, qty) -> Column:
+    return _weighted_avg_price()(price, qty)
+
+
+@query(
+    "q_pandas_udf",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ROUND(ln(1 + l_extendedprice * (1 - l_discount)), 6) AS price_score
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF over lineitem (rounded to absorb libm-vs-numpy ulp
+    differences). The shipdate filter still pushes to parquet — UDFs don't
+    block pushdown of independent predicates."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(log_price_score("l_extendedprice", "l_discount"), 6).alias("price_score"),
+        )
+    )
+
+
+@query(
+    "q_pandas_udaf",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG Pandas UDF: quantity-weighted average price per flag
+    (rounded — group-internal summation order is engine-dependent)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )

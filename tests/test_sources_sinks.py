@@ -1,0 +1,46 @@
+"""Source/sink round-trips (SURVEY §2.1): CSV ingest and partitioned parquet
+sink, including partition-pruning plan checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_aws_spark.sources.ingest import read_csv, write_partitioned
+from data_pipeline_aws_spark.tables import table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nat = table(spark, sf_dir, "nation")
+    csv_dir = str(tmp_path / "nation_csv")
+    nat.write.mode("overwrite").option("header", True).csv(csv_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, csv_dir, schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nat.collect()
+    )
+
+
+def test_partitioned_parquet_sink_and_pruning(spark, sf_dir, tmp_path):
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_partitioned(o, out, "order_year")
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+
+    pruned = back.filter(F.col("order_year") == 1996)
+    expected = o.filter(F.col("order_year") == 1996).count()
+    assert pruned.count() == expected
+    # partition pruning: the 1996 filter must reach the scan as a partition
+    # filter, not a data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters")[1][:200]
