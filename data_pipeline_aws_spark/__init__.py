@@ -29,6 +29,7 @@ def load_all() -> None:
     # Imported for registration side effects.
     from data_pipeline_aws_spark.operators import (  # noqa: F401
         aggregates,
+        analytic,
         dedup,
         joins,
         relational,

@@ -154,3 +154,68 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "q_higher_order",
+    oracle="""
+SELECT
+  vec_id,
+  ROUND(list_aggregate(list_transform(e16, x -> x * x), 'sum'), 6)      AS sum_sq,
+  LEN(list_filter(e16, x -> x > 0))                                     AS n_pos,
+  LEN(list_filter(e16, x -> x > 2.0)) > 0                               AS any_gt2,
+  ROUND(list_dot_product(e16, list_reverse(e16)), 6)                    AS rev_dot
+FROM (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e16 FROM embeddings WHERE vec_id < 200)
+""",
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / exists / zip_with /
+    aggregate — all JVM-side lambda expressions inside codegen, the idiomatic
+    way to compute over array<float> columns without exploding row counts."""
+    e = table(spark, sf_dir, "embeddings")
+    e16 = F.transform(F.slice("embedding", 1, 16), lambda x: x.cast("double"))
+    d = e.filter(F.col("vec_id") < 200).select("vec_id", e16.alias("e16"))
+    sum_sq = F.aggregate(
+        F.transform("e16", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    rev_dot = F.aggregate(
+        F.zip_with("e16", F.reverse("e16"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.size(F.filter("e16", lambda x: x > 0)).alias("n_pos"),
+        F.exists("e16", lambda x: x > 2.0).alias("any_gt2"),
+        F.round(rev_dot, 6).alias("rev_dot"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+SELECT
+  event_type,
+  COUNT(*)                                                            AS n_events,
+  CAST(SUM(LEN(json_keys(props))) AS BIGINT)                          AS total_keys,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed semi-structured access: props parsed to map<string,bigint>
+    via from_json, then map_keys / element_at — the MapType path the FHIR
+    JSON domain implies (vs. q_json_extract's string-path extraction)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select("event_type", m.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.size(F.map_keys("m"))).alias("total_keys"),
+            F.sum(F.element_at("m", "k")).alias("sum_k"),
+        )
+    )

@@ -1,0 +1,344 @@
+"""Advanced analytic operators: grouping sets / cube / pivot, distribution
+window functions, value-range window frames, subquery shapes, and a
+skew-salted join.
+
+Reference parity: all of these are canonical Spark-SQL verbs of the
+declared-but-empty Glue ETL job (`/root/reference/Hoth/FHIR/glue/
+etl_script.py`, 0 bytes; job at `/root/reference/Hoth/FHIR/cloudformations/
+lambda-stack.yml:11-21`); the multi-granularity and pivot shapes are the
+standard reporting layer over an "orders" domain.
+
+Scale notes (100 TB):
+- GROUPING SETS / CUBE expand each input row once per grouping set in the
+  Expand operator BEFORE the shuffle; partial aggregation still combines
+  map-side, so the exchange carries |groups| · |sets| rows, not raw data.
+- Pivot uses an EXPLICIT value list — never the collect-distinct inference
+  path, which adds a blocking extra job over the full input at scale.
+- The salted join demonstrates the skew recipe: explode the build side by a
+  salt factor, scatter the probe side with a deterministic salt, join on
+  (key, salt) — every reducer gets ≤ 1/SALT of the hot key. AQE skew-join
+  handles moderate skew automatically; explicit salting is for the
+  pathological single-hot-key case where one reducer would otherwise own an
+  entire key's data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+SALT = 8
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT
+  o_orderpriority,
+  o_orderstatus,
+  COUNT(*)                         AS n_orders,
+  ROUND(SUM(o_totalprice), 2)      AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (priority, status), (priority), and grand
+    total in one pass — one Expand + one shuffle, not three scans."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderpriority,
+          o_orderstatus,
+          COUNT(*)                    AS n_orders,
+          ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*)                  AS n_lines,
+  ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in a
+    single Expand+aggregate plan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT
+  o_orderstatus,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0), 2)        AS urgent,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 0), 2)          AS high,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 0), 2)        AS medium,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 0), 2) AS notspec,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 0), 2)           AS low
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot priorities into columns with an EXPLICIT value list (the
+    collect-distinct inference path would add a blocking full-input job at
+    scale). Semantically = per-value filtered aggregation."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.sum("o_totalprice"))
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec",
+        "5-LOW": "low",
+    }
+    return piv.select(
+        "o_orderstatus",
+        *[F.round(F.coalesce(F.col(f"`{src}`"), F.lit(0.0)), 2).alias(dst) for src, dst in renames.items()],
+    )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+SELECT
+  s_nationkey,
+  s_suppkey,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST()    OVER w, 6) AS cume,
+  NTILE(4)             OVER w     AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile) —
+    the s_suppkey tiebreak makes ranks deterministic across engines."""
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_win_frame",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  day_no,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY day_no
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d,
+  FIRST_VALUE(o_orderkey) OVER (
+    PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS day_no
+      FROM orders)
+""",
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: trailing-30-day spend per customer via
+    RANGE BETWEEN on an epoch-day column, plus a ROWS-framed first_value.
+    Range frames need a numeric ordering key — epoch days, not raw
+    timestamps, so both engines frame identically."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long"),
+    )
+    w_range = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("spend_30d"),
+        F.first("o_orderkey").over(w_rows).alias("first_order"),
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_orderstatus = 'O'
+""",
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — Catalyst decorrelates to a left-semi hash join; no
+    per-row subquery execution at any scale."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderstatus = 'O'
+        """
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > 1.03 * (SELECT AVG(p_retailprice) FROM part)
+""",
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced >3% above corpus average.
+    Plans as a one-row subquery broadcast into the filter — two scans, no
+    driver round-trip."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.03 * (SELECT AVG(p_retailprice) FROM part)
+        """
+    )
+
+
+@query(
+    "q_subquery_corr",
+    oracle="""
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         AS n_finished
+FROM customer
+WHERE c_acctbal > 5000
+""",
+)
+def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + left outer join on the correlation key, so it runs as one
+    distributed join, never nested-loop re-execution per outer row."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+                 AS n_finished
+        FROM customer
+        WHERE c_acctbal > 5000
+        """
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the explicit recipe for a pathological hot key.
+
+    Build side (nation) is exploded ×SALT with a salt column; probe side
+    (customer) gets a deterministic salt from pmod(hash(c_custkey), SALT);
+    the join key becomes (key, salt) so a hot nationkey's rows spread over
+    SALT reducers instead of one. Result is identical to the unsalted join.
+    (Here nation would be broadcast anyway — the query exists to keep the
+    pattern tested and exact; at scale apply it when both sides are too big
+    to broadcast and one key dominates.)
+    """
+    c = table(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.hash("c_custkey"), F.lit(SALT))
+    )
+    n = (
+        table(spark, sf_dir, "nation")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+    )
+    return (
+        c.join(n, (c.c_nationkey == n.n_nationkey) & (c.salt == n.salt))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped orders by revenue for one segment.
+    Both date filters push to their scans; the final top-10 runs as
+    TakeOrderedAndProject (per-partition heaps, no global sort). The
+    l_orderkey tiebreak keeps the LIMIT deterministic across engines."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

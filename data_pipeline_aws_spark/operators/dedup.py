@@ -163,17 +163,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = shingles(spark, sf_dir)
     n_hashes, rows_per_band = 32, 2
-    seeds = spark.range(n_hashes).withColumnRenamed("id", "seed")
-    sig = (
-        sh.join(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.hash("seed", "shingle")).alias("mh"))
+    # All 32 minhashes in ONE aggregation pass: min(hash(seed_i, shingle)) as
+    # 32 parallel agg columns. Shuffles |shingle-pairs| rows once — the
+    # seed-join alternative shuffles 32× that, which is the difference between
+    # one pass and an hour at 100 TB.
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.hash(F.lit(i), "shingle")).alias(f"mh{i}") for i in range(n_hashes)]
     )
-    band = (
-        sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        # order-insensitive 2-row combine → deterministic band signature
-        .agg(F.hash(F.min("mh"), F.max("mh")).alias("band_sig"))
+    # Band signature = hash of the band's (min, max) — order-insensitive.
+    n_bands = n_hashes // rows_per_band
+    band = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.hash(
+                    F.least(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")),
+                    F.greatest(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band", "band_sig"),
     )
     a = band.alias("a")
     b = band.alias("b")
@@ -268,32 +277,62 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥ 0.4 on this corpus — no
     planted semantic dups, so the threshold sits in the distribution tail).
 
-    Brute-force self-join here (correctness baseline); the 100 TB path is
-    the LSH-bucketed variant in similarity.py which prunes candidates by
-    random-hyperplane signature before computing exact cosine.
+    Exact all-pairs via BLOCKED MATRIX MULTIPLY: vectors are hashed into B
+    blocks, every block-pair (i ≤ j) becomes one `applyInPandas` group, and
+    each group computes a dense numpy float64 matmul (BLAS) instead of a
+    per-pair interpreted dot product. Replication factor is ~B (each vector
+    joins B block-pairs) but every flop runs vectorized, and the B² tasks
+    scale out linearly across executors — the standard distributed
+    brute-force layout. The sketch-pruned alternative (prune first, then
+    exact-verify) is `q_sim_lsh` in similarity.py.
     """
-    e = table(spark, sf_dir, "embeddings")
-    emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    dot_self = F.aggregate(
-        F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = 8
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocked = e.withColumn("bid", F.pmod(F.hash("vec_id"), F.lit(n_blocks)))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
     )
-    n = e.select("vec_id", emb_d.alias("e")).withColumn("nrm", F.sqrt(dot_self))
-    a = n.alias("a")
-    b = n.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Side A carries blocks matching bi, side B matching bj; bi == bj groups
+    # self-pair within the block (the v1 < v2 filter dedups).
+    side_a = blocked.join(F.broadcast(pairs), F.col("bid") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding"
     )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    side_b = blocked.join(F.broadcast(pairs), F.col("bid") == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame({"v1": [], "v2": [], "cos_sim": []}).astype(
+                {"v1": "int64", "v2": "int64", "cos_sim": "float64"}
+            )
+        ma = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        dots = ma @ mb.T
+        cos = np.round(dots / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)), 6)
+        if left["bi"].iat[0] == left["bj"].iat[0]:
+            # Same block on both sides: each unordered pair appears twice —
+            # keep the id-ordered one.
+            ia, ib = np.nonzero((cos >= 0.4) & (ids_a[:, None] < ids_b[None, :]))
+            v1, v2 = ids_a[ia], ids_b[ib]
+        else:
+            # Disjoint blocks: every pair appears exactly once, in arbitrary
+            # id order — normalize to (low, high).
+            ia, ib = np.nonzero(cos >= 0.4)
+            v1 = np.minimum(ids_a[ia], ids_b[ib])
+            v2 = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"v1": v1, "v2": v2, "cos_sim": cos[ia, ib]})
+
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.4)
+        side_a.unionByName(side_b)
+        .groupBy("bi", "bj")
+        .applyInPandas(block_cosine, "v1 long, v2 long, cos_sim double")
     )

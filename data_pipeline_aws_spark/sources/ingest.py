@@ -87,3 +87,77 @@ def write_partitioned(df: DataFrame, path: str, *keys: str, mode: str = "overwri
     with writes bucketed/sorted inside partitions when a dominant join key
     exists."""
     df.write.mode(mode).partitionBy(*keys).parquet(path)
+
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def _cache_dir(kind: str, sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
+
+
+@query(
+    "q_csv_ingest",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)                     AS n_orders,
+       ROUND(SUM(o_totalprice), 2)  AS revenue
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: orders → CSV files → explicit-schema scan → aggregate.
+    Shortest-repr doubles survive CSV exactly, so the aggregate matches the
+    parquet-scan oracle bit-for-bit. Schema is explicit — inferSchema would
+    cost a second full pass over the data."""
+    out = _cache_dir("csv_orders", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").option("header", True).option("escape", '"').csv(out)
+    c = read_csv(spark, out, ORDERS_CSV_SCHEMA)
+    return c.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "q_partitioned_sink",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       COUNT(*)                                   AS n_lines,
+       ROUND(SUM(l_extendedprice), 2)             AS total_price
+FROM lineitem
+GROUP BY ship_year
+""",
+)
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet round-trip: lineitem written partitionBy(ship_year),
+    read back with a partition-pruned scan, aggregated per partition value.
+    The re-read proves Hive-style partition discovery recovers the partition
+    column; at scale the same layout turns every year/date filter into
+    directory pruning instead of data reads."""
+    out = _cache_dir("part_lineitem", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = table(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+        write_partitioned(
+            li.select("l_orderkey", "l_extendedprice", "ship_year"), out, "ship_year"
+        )
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("ship_year").cast("int").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -91,3 +91,38 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
     )
+
+
+@query(
+    "q_grouped_map",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER seg)
+             / STDDEV_SAMP(c_acctbal) OVER seg, 4) AS bal_zscore
+FROM customer
+WINDOW seg AS (PARTITION BY c_mktsegment)
+""",
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas transform (applyInPandas): per-segment z-score of
+    account balance. Each group arrives as ONE Arrow-backed pandas frame and
+    is normalized with numpy — the UDTF-ish shape for per-group model scoring
+    or feature normalization. Group cardinality bounds task memory: segments
+    here; at 100 TB pick keys whose groups fit an executor (or pre-aggregate
+    the moments JVM-side and broadcast them, which also avoids the shuffle)."""
+    c = table(spark, sf_dir, "customer")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"].to_numpy()
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_zscore": np.round(z, 4),
+            }
+        )
+
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy(
+        "c_mktsegment"
+    ).applyInPandas(zscore, "c_custkey long, c_mktsegment string, bal_zscore double")
