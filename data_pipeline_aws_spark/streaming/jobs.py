@@ -116,3 +116,70 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return _run_to_completion(deduped, "append")
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+SELECT
+  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+    + INTERVAL 1 HOUR                                                AS win_end,
+  COUNT(*)                                                           AS n_events,
+  ROUND(SUM(value), 4)                                               AS total_value
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY win_start, win_end
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation (1 h window / 15 min slide) with
+    a watermark, drained to completion — final complete-mode state equals the
+    batch q_win_sliding shape (oracle replays the 4-window overlap)."""
+    events = _stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+SELECT event_id, user_id, category, value
+FROM events
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'ops')) AS dim(event_type, category)
+  ON events.event_type = dim.event_type
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension. The static side is broadcast to every micro-batch task — the
+    canonical streaming enrichment; no stream-side shuffle at any scale."""
+    events = _stream_events(spark, sf_dir)
+    dim = events.sparkSession.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    joined = events.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "category", "value"
+    )
+    return _run_to_completion(joined, "append")

@@ -1,0 +1,124 @@
+"""Streaming semantics beyond the oracle-checkable drained queries:
+watermark late-data dropping and custom stateful processing
+(applyInPandasWithState). These behaviors only exist on the streaming path,
+so they are asserted directly rather than via the DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@pytest.fixture()
+def arrival_dir():
+    d = tempfile.mkdtemp(prefix="dpas_stream_arrivals_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path: str, name: str, rows):
+    from datetime import datetime
+
+    rows = [
+        (e, u, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), v) for e, u, ts, v in rows
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def _drain(stream_df, mode: str, name: str):
+    q = stream_df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return stream_df.sparkSession.table(name)
+
+
+def test_watermark_finalizes_windows_in_append_mode(spark, arrival_dir):
+    """Append-mode windowed aggregation emits a window only after the
+    watermark passes its end: with micro-batch 2 advancing event time past
+    window 1, the drained sink holds window 1 but NOT the still-open window 2
+    (bounded state — the 100 TB streaming guarantee)."""
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b1",
+        [(1, 1, "2024-01-01 00:01:00", 1.0), (2, 1, "2024-01-01 00:05:00", 2.0)],
+    )
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b2",
+        [(3, 1, "2024-01-01 02:30:00", 4.0)],
+    )
+    schema = spark.read.parquet(os.path.join(arrival_dir, "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrival_dir + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    out = _drain(agg, "append", "dpas_wm_append").collect()
+    starts = {str(r.win_start) for r in out}
+    assert "2024-01-01 00:00:00" in starts, f"finalized window missing: {starts}"
+    assert "2024-01-01 02:00:00" not in starts, "open window must not emit in append mode"
+
+
+def test_apply_in_pandas_with_state_running_count(spark, arrival_dir):
+    """Custom stateful operator: per-user running event count kept in
+    GroupState across micro-batches. The last update per user must equal the
+    batch group count — state survives between triggers."""
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b1",
+        [(1, 1, "2024-01-01 00:01:00", 1.0), (2, 2, "2024-01-01 00:02:00", 1.0)],
+    )
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b2",
+        [(3, 1, "2024-01-01 00:03:00", 1.0), (4, 1, "2024-01-01 00:04:00", 1.0)],
+    )
+    schema = spark.read.parquet(os.path.join(arrival_dir, "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrival_dir + "/*")
+    )
+
+    def running_count(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (count,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain(result, "update", "dpas_state_counts").toPandas()
+    # memory sink in update mode appends every emission; the max per user is
+    # the final state.
+    final = out.groupby("user_id")["n_events"].max().to_dict()
+    assert final == {1: 3, 2: 1}, f"unexpected final counts: {final}"
