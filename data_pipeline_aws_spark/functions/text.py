@@ -216,3 +216,66 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp_head"),
         F.length("text").alias("n_bytes"),
     )
+
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "q_text_bpe",
+    oracle=rf"""
+SELECT
+  doc_id,
+  LEN(string_split(text, ' '))                    AS n_ws_tokens,
+  LEN(regexp_extract_all(text, '{_BPE_PAT}'))     AS n_subwords,
+  LEN(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS n_uniq_subwords
+FROM documents
+""",
+)
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: runs of letters / digits / single
+    punctuation as subword units (the GPT-2 pre-tokenizer shape), counted
+    against whitespace tokens. Pure regexp_extract_all — codegen'd JVM regex,
+    no UDF, linear per-document."""
+    d = table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(sub).alias("n_subwords"),
+        F.size(F.array_distinct(sub)).alias("n_uniq_subwords"),
+    )
+
+
+@query(
+    "q_text_rollhash",
+    oracle="""
+SELECT
+  doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        list_filter(string_split(text[1:64], ''), c -> c <> ''),
+        c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007)  AS rolling_hash
+FROM documents
+""",
+)
+def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash (Karp-Rabin form):
+    fold (acc*31 + code) mod p over the first 64 characters. Expressed as a
+    higher-order aggregate — portable integer arithmetic both engines compute
+    identically (unlike engine-native murmur3), and O(1) state per document."""
+    d = table(spark, sf_dir, "documents")
+    # substring FIRST — splitting a multi-KB document into a char array just
+    # to slice 64 entries would materialize the whole array per row.
+    chars64 = F.filter(
+        F.split(F.substring("text", 1, 64), ""), lambda c: c != F.lit("")
+    )
+    codes = F.transform(chars64, lambda c: F.ascii(c).cast("long"))
+    roll = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(1000000007).cast("long"),
+    )
+    return d.select("doc_id", roll.alias("rolling_hash"))
