@@ -37,12 +37,20 @@ def main() -> None:
     # Warm the JVM + file metadata cache with the flagship once (uncounted).
     queries["q_agg_basic"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Two full passes, min per query: transient host stalls (multi-second
+    # scheduler/IO hiccups on shared hardware) hit one pass or the other, and
+    # the min reflects the plan's actual cost. Passes are separated by the
+    # whole sweep, so a stall window can't cover both runs of one query.
     timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in sorted(queries):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            print(f"pass{_pass} {name} {elapsed}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

