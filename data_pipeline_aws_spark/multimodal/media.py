@@ -116,3 +116,86 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         extract, "doc_id long, width int, height int, n_channels int, n_bytes long"
     )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+SELECT
+  doc_id,
+  LEAST(GREATEST(ascii(text[1:1]) % 64 + 1, 1), 32)              AS out_w,
+  LEAST(GREATEST(ascii(text[-1:]) % 64 + 1, 1), 32)              AS out_h,
+  CAST(LEAST(GREATEST(ascii(text[1:1]) % 64 + 1, 1), 32)
+       * LEAST(GREATEST(ascii(text[-1:]) % 64 + 1, 1), 32) AS BIGINT) AS out_pixels
+FROM documents
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize pipeline shape: binary payload → mapInPandas → clamped
+    target dimensions. The geometry math (decode dims from payload bytes,
+    clamp to a 32×32 max box) is deterministic, so this one IS
+    oracle-checkable — the fake codec derives dims from the first/last
+    payload byte exactly like the SQL twin. A real resize swaps the inner
+    function for PIL `Image.resize`; the plan, schema, and batching stay."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def resize_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        max_w, max_h = 32, 32
+        for pdf in batches:
+            w = pdf["payload"].map(lambda b: min(max(b[0] % 64 + 1, 1), max_w) if len(b) else 0)
+            h = pdf["payload"].map(lambda b: min(max(b[-1] % 64 + 1, 1), max_h) if len(b) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": w.astype("int32"),
+                    "out_h": h.astype("int32"),
+                    "out_pixels": (w * h).astype("int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize_meta, "doc_id long, out_w int, out_h int, out_pixels long"
+    )
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+SELECT doc_id, frame_idx, ascii(text[frame_idx + 1 : frame_idx + 1]) AS frame_byte
+FROM documents,
+     (SELECT unnest(generate_series(0, 96, 32)) AS frame_idx)
+WHERE LENGTH(text) > frame_idx
+""",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling shape: one media payload row → N sampled frames
+    (every 32nd byte stands in for every Nth video frame). mapInPandas emits
+    a VARIABLE number of output rows per input — the 1:N decode fan-out a
+    real frame extractor (ffmpeg keyframe sampling) needs; a real codec
+    replaces the byte-probe with frame decoding, the fan-out plan stays."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride, n_frames = 32, 4
+        for pdf in batches:
+            out_doc, out_idx, out_byte = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k in range(n_frames):
+                    idx = k * stride
+                    if idx < len(payload):
+                        out_doc.append(doc_id)
+                        out_idx.append(idx)
+                        out_byte.append(payload[idx])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_byte": pd.Series(out_byte, dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        sample_frames, "doc_id long, frame_idx int, frame_byte int"
+    )

@@ -153,3 +153,95 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= 0.2)
     )
+
+
+@query("q_sim_ivf")  # trained-model path (centroid argmin) → rows-only check
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the other classic scale path next to LSH.
+
+    Coarse quantizer: K=16 centroid vectors (here: the first 16 corpus
+    vectors, standing in for k-means-trained centroids — the plan is
+    identical once training swaps in). Every corpus vector is assigned to
+    its nearest centroid (one numpy argmax per Arrow batch against the
+    broadcast 16×64 centroid matrix); a query then probes only its nprobe=2
+    nearest inverted lists and scores exactly inside them. At 100 TB the
+    corpus shuffles ONCE on list id; each query touches nprobe/K of the data
+    — the cross product never happens.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k_centroids, n_probe, top_k = 16, 2, 5
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Bounded model state: K×64 floats — the "trained model" an IVF index
+    # ships to every executor (same role as a broadcast variable).
+    cent_rows = (
+        e.filter(F.col("vec_id") < k_centroids).orderBy("vec_id").collect()
+    )
+    cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batches, n_lists):
+        def gen(it):
+            for pdf in it:
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+                sims = m_n @ cents.T
+                order = np.argsort(-sims, axis=1)[:, :n_lists]
+                out = pdf.loc[pdf.index.repeat(n_lists)].reset_index(drop=True)
+                out["list_id"] = order.reshape(-1).astype("int32")
+                yield out[["vec_id", "embedding", "list_id"]]
+
+        return gen(batches)
+
+    corpus = e.mapInPandas(
+        lambda it: assign(it, 1),
+        "vec_id long, embedding array<float>, list_id int",
+    )
+    queries = e.filter(F.col("vec_id") < 10).mapInPandas(
+        lambda it: assign(it, n_probe),
+        "vec_id long, embedding array<float>, list_id int",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "list_id",
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        qm = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        cm = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        sims = (qm / np.linalg.norm(qm, axis=1, keepdims=True)) @ (
+            cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        ).T
+        qid = left["vec_id"].to_numpy()
+        nid = right["vec_id"].to_numpy()
+        ia, ib = np.nonzero(qid[:, None] != nid[None, :])
+        return pd.DataFrame(
+            {"query_id": qid[ia], "neighbor_id": nid[ib], "cos_sim": np.round(sims[ia, ib], 6)}
+        )
+
+    q_side = queries.select(
+        "list_id", F.lit(0).alias("side"), F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")
+    )
+    c_side = corpus.select("list_id", F.lit(1).alias("side"), "vec_id", "embedding")
+    scored = (
+        q_side.unionByName(c_side)
+        .groupBy("list_id")
+        .applyInPandas(score, "query_id long, neighbor_id long, cos_sim double")
+        # a neighbor can appear via both probed lists — keep one copy
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
