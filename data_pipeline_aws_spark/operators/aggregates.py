@@ -244,3 +244,80 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("qty_p95"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
     )
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(stddev_samp(l_quantity), 6)                 AS sd_qty,
+  ROUND(var_samp(l_quantity), 6)                    AS var_qty,
+  ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+  ROUND(skewness(l_quantity), 4)                    AS skew_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance/
+    skewness) — single-pass mergeable moment sketches in both engines, so
+    they scale exactly like sum/avg (partial + final, O(groups) shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+SELECT
+  CAST(FLOOR(o_totalprice / 5000.0) AS BIGINT) AS bucket,
+  COUNT(*)                                     AS n_orders,
+  ROUND(MIN(o_totalprice), 2)                  AS lo,
+  ROUND(MAX(o_totalprice), 2)                  AS hi
+FROM orders
+GROUP BY bucket
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via floor-division bucketing — the profiling
+    primitive for choosing partition bounds / detecting skew before a big
+    job. One partial aggregation; shuffle is O(buckets)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 5000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list → sort_array →
+    array_join gives a deterministic concatenation regardless of row arrival
+    order — the only safe form under distributed, nondeterministic input
+    ordering."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )

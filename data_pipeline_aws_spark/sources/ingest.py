@@ -161,3 +161,40 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "q_date_dim",
+    oracle="""
+SELECT d AS cal_date,
+       CAST(EXTRACT(year FROM d) AS INT)    AS yr,
+       CAST(EXTRACT(month FROM d) AS INT)   AS mon,
+       CAST(EXTRACT(dow FROM d) AS INT)     AS dow,
+       CAST(EXTRACT(quarter FROM d) AS INT) AS qtr
+FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1996-12-31', INTERVAL 1 DAY)) AS d)
+""",
+)
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension — `F.sequence` of dates exploded into a
+    730-row dim table, entirely executor-side (no driver loop, no input
+    scan). The standard companion dim for date-grain star joins; DuckDB's
+    dow is 0=Sunday, matching Spark's dayofweek-1."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1996-12-31").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("cal_d")
+        )
+        .select(
+            F.col("cal_d").cast("timestamp").alias("cal_date"),
+            F.year("cal_d").alias("yr"),
+            F.month("cal_d").alias("mon"),
+            (F.dayofweek("cal_d") - 1).alias("dow"),
+            F.quarter("cal_d").alias("qtr"),
+        )
+    )
