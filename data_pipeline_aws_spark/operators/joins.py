@@ -235,3 +235,39 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_promo_share",
+    oracle="""
+SELECT
+  DATE_TRUNC('month', l_shipdate)                                          AS ship_month,
+  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4)                      AS promo_pct,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                        AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+""",
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo revenue share. lineitem⋈part is the
+    fact⋈mid-dim join AQE converts to broadcast-hash when part fits (it does
+    at every test SF; at 100 TB it becomes a shuffled hash join partitioned
+    on partkey). Conditional-sum ratio needs no second scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )

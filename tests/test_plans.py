@@ -10,11 +10,7 @@ import pytest
 from data_pipeline_aws_spark import all_queries
 
 
-def _executed_plan(df) -> str:
-    # Execute THIS DataFrame (a write executes a copied plan, leaving this
-    # one's AdaptiveSparkPlan un-finalized and codegen-less).
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+from data_pipeline_aws_spark.plans import executed_plan as _executed_plan
 
 
 @pytest.fixture(scope="module")
