@@ -85,3 +85,49 @@ def test_projection_reaches_scan_for_two_column_query(spark, sf_dir):
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key pre-co-locates them: the join
+    plans with ZERO Exchange operators — the technique that turns the
+    repeated big-big join at 100 TB into a shuffle-free merge. (Broadcast is
+    disabled for the assertion so the bucketed sort-merge path is what
+    planning must choose.)"""
+    from data_pipeline_aws_spark.plans import executed_plan
+    from data_pipeline_aws_spark.tables import table
+
+    base = "/tmp/dpas_bucketed_test"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("b_orders")
+    )
+    (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("b_customer")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders").o_custkey == spark.table("b_customer").c_custkey,
+        )
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
