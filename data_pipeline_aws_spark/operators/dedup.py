@@ -336,3 +336,32 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bi", "bj")
         .applyInPandas(block_cosine, "v1 long, v2 long, cos_sim double")
     )
+
+
+@query(
+    "q_dedup_exact_docs",
+    oracle="""
+SELECT doc_id, lang, source, content_hash
+FROM (
+  SELECT doc_id, lang, source,
+         md5(text) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over the document corpus: hash the text, keep the
+    lowest doc_id per hash — the first rung of the dedup ladder for training
+    data. Grouping by the 128-bit digest instead of the raw text keeps the
+    shuffle key 16 bytes regardless of document size (the difference between
+    shuffling hashes and shuffling a 100 TB corpus)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("text"), "UTF-8"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", h.alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "content_hash")
+    )
