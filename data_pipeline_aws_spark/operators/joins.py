@@ -271,3 +271,86 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_disjunctive_join",
+    oracle="""
+SELECT
+  COUNT(*)                                            AS n_lines,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)   AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_type = 'PROMO' AND l_discount > 0.05)
+""",
+)
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with an OR-of-ANDs residual mixing both
+    sides' columns. The equi key keeps it a hash join; Catalyst extracts the
+    common `p_partkey = l_partkey` conjunct so the disjunction is a post-join
+    filter, and per-side conjunct inference (p_brand/p_size legs) still
+    prunes part rows at the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_nation_volume",
+    oracle="""
+SELECT
+  sn.n_name                                           AS supp_nation,
+  cn.n_name                                           AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT)          AS ship_year,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)   AS volume
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The nation dim joins twice under different roles (supplier's vs
+    customer's) — both broadcast; the symmetric OR pair filters after both
+    resolve. Only lineitem⋈orders shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+    )

@@ -1,0 +1,67 @@
+"""Static policy checks — the engine-wide rules SCALE.md commits to,
+enforced by grepping the source so a regression can't land silently."""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "data_pipeline_aws_spark"
+
+
+def _sources() -> dict[str, str]:
+    return {str(p): p.read_text() for p in PKG.rglob("*.py")}
+
+
+def test_no_row_at_a_time_udf():
+    """Row-at-a-time Python UDFs (`F.udf`) are banned from the engine — the
+    Python boundary is Arrow-only (pandas_udf / applyInPandas / mapInPandas)."""
+    offenders = [
+        f"{path}: {m.group(0)}"
+        for path, text in _sources().items()
+        for m in re.finditer(r"\bF\.udf\(|\budf\(\s*lambda", text)
+    ]
+    assert not offenders, offenders
+
+
+def test_no_unbounded_collect_in_operators():
+    """`.collect()` in operator code must be bounded model state (IVF
+    centroids are the one sanctioned case) — never a data-path verb."""
+    allowed = {"similarity.py", "inspect.py"}  # IVF centroids; plan executor
+    offenders = [
+        path
+        for path, text in _sources().items()
+        if ".collect()" in text and pathlib.Path(path).name not in allowed
+    ]
+    assert not offenders, offenders
+
+
+def test_no_rdd_api():
+    """DataFrame-only engine: no .rdd drops, no SparkContext.parallelize in
+    the data path."""
+    offenders = [
+        path
+        for path, text in _sources().items()
+        if re.search(r"\.rdd\b|parallelize\(", text)
+    ]
+    assert not offenders, offenders
+
+
+def test_every_query_module_is_registered():
+    """Every module defining @query entries must be imported by load_all() —
+    an unimported module silently drops its operators from the driver
+    contract."""
+    import data_pipeline_aws_spark as pkg
+
+    registered_files = set()
+    pkg.load_all()
+    from data_pipeline_aws_spark.registry import QUERIES
+
+    for fn in QUERIES.values():
+        registered_files.add(pathlib.Path(fn.__code__.co_filename).name)
+    defining_files = {
+        pathlib.Path(path).name
+        for path, text in _sources().items()
+        if "@query(" in text
+    }
+    assert defining_files <= registered_files, defining_files - registered_files
