@@ -1,0 +1,52 @@
+"""Property-based tests (hypothesis): engine expressions vs. independent
+pure-Python references over generated inputs. One Spark batch per test —
+hypothesis generates the corpus up front, Spark evaluates it in one job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=200
+)
+
+
+def _roll_ref(text: str) -> int:
+    h = 0
+    for ch in text[:64]:
+        h = (h * 31 + ord(ch)) % 1000000007
+    return h
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=30, max_size=30))
+def test_rolling_hash_matches_python_reference(spark, texts):
+    """The q_text_rollhash fold expression must equal a straightforward
+    Python Karp-Rabin over any ASCII input, not just corpus text."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    chars64 = F.filter(F.split(F.substring("text", 1, 64), ""), lambda c: c != F.lit(""))
+    codes = F.transform(chars64, lambda c: F.ascii(c).cast("long"))
+    roll = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % F.lit(1000000007).cast("long")
+    )
+    got = {r.id: r.h for r in df.select("id", roll.alias("h")).collect()}
+    want = {i: _roll_ref(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(-1e6, 1e6), st.floats(0.0, 0.99)), min_size=20, max_size=20
+    )
+)
+def test_disc_price_expression_matches_python(spark, rows):
+    """The pricing expression price*(1-discount) is evaluated identically by
+    codegen and plain Python float arithmetic (IEEE doubles, no surprises)."""
+    df = spark.createDataFrame(
+        [(i, p, d) for i, (p, d) in enumerate(rows)], "id long, p double, d double"
+    )
+    got = {r.id: r.v for r in df.select("id", (F.col("p") * (1 - F.col("d"))).alias("v")).collect()}
+    want = {i: p * (1 - d) for i, (p, d) in enumerate(rows)}
+    assert got == want
