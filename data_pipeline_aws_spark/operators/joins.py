@@ -354,3 +354,113 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
     )
+
+
+@query(
+    "q_mkt_share",
+    oracle="""
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS INT)         AS o_year,
+  ROUND(100.0 * SUM(CASE WHEN n2.n_name = 'NATION_2'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)   AS volume
+FROM lineitem
+JOIN part      ON p_partkey = l_partkey
+JOIN supplier  ON s_suppkey = l_suppkey
+JOIN orders    ON o_orderkey = l_orderkey
+JOIN customer  ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region    ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+GROUP BY o_year
+""",
+)
+def q_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of STANDARD-part revenue
+    sold into ASIA, by order year. The p_type filter prunes part at its scan
+    (~1/6 selectivity) before the fact join; region restricts the customer
+    side via two broadcast dim hops. nation joins twice under different
+    roles; only lineitem⋈orders shuffles at scale. The share is a
+    conditional-sum ratio over one aggregated pass — no self-join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("volume"),
+        )
+    )
+
+
+@query(
+    "q_returned_items",
+    oracle="""
+SELECT
+  c_custkey,
+  c_name,
+  n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in one
+    quarter. The quarter filter pushes to the orders scan and the returnflag
+    filter to lineitem's — both prune before the shuffle join. nation
+    broadcasts; the top-20 runs as TakeOrderedAndProject with a c_custkey
+    tiebreak so the LIMIT is deterministic across engines. Revenue sums in
+    exact DECIMAL (cent-valued products land exactly on .xx5 half-way points,
+    so double accumulation order would flip the 2-decimal rounding)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
