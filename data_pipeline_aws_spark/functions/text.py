@@ -58,13 +58,23 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-ish term weighting: term frequency × log inverse document
     frequency. The corpus size joins in as a broadcast 1-row aggregate (no
-    driver-side collect)."""
+    driver-side collect).
+
+    Doc-frequency derives FROM the tf relation — each (doc_id, token) row is
+    one distinct doc, so ``df = count(*) over (partition by token)`` as a
+    window on tf, not a second explode+countDistinct pass self-joined back.
+    That turns the old 3-scan / 2-explode / 3-shuffle join plan into 1
+    corpus scan + 1 explode + 2 exchanges and NO join (tests/test_plans.py
+    asserts it). The window partitions on token — high cardinality, so
+    per-partition state stays tiny at 100 TB."""
+    from pyspark.sql import Window
+
     tok = tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = F.count(F.lit(1)).over(Window.partitionBy("token")).alias("df")
     n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(df, "token")
+        tf.withColumn("df", df)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -199,3 +199,75 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         sample_frames, "doc_id long, frame_idx int, frame_byte int"
     )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real audio decode — requires soundfile/torchaudio, absent here.
+
+    Production: `import soundfile; return soundfile.read(io.BytesIO(payload))`.
+    """
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without codecs
+        raise NotImplementedError(
+            "audio decode requires soundfile/torchaudio; the fake treats the "
+            "payload bytes themselves as 8-bit PCM samples"
+        ) from exc
+    raise NotImplementedError("wire the real PCM decode here when the codec lands")
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(p // 64 AS INT)                                   AS window_idx,
+  CAST(COUNT(*) AS INT)                                  AS n_samples,
+  ROUND(SQRT(AVG(POW(ascii(text[p + 1 : p + 1]), 2))), 4) AS rms,
+  CAST(MAX(ascii(text[p + 1 : p + 1])) AS INT)           AS peak
+FROM documents, (SELECT unnest(generate_series(0, 255)) AS p)
+WHERE LENGTH(text) > p
+GROUP BY doc_id, window_idx
+""",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extract shape: payload bytes stand in for 8-bit PCM mono
+    samples; mapInPandas computes windowed DSP features (RMS energy, peak)
+    over fixed 64-sample windows of the first 256 samples — the 1:N
+    row fan-out and vectorized numpy inner loop a real torchaudio/librosa
+    featurizer has. RMS is deterministic cross-engine: integer samples sum
+    exactly in float64 and /64 is a power-of-two divide. A real codec swaps
+    the frombuffer for a PCM decode; schema, batching, and plan stay."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        win, n_win = 64, 4
+        for pdf in batches:
+            docs, widx, nsamp, rms, peak = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload[: win * n_win], dtype=np.uint8).astype(np.float64)
+                for w in range(n_win):
+                    seg = samples[w * win : (w + 1) * win]
+                    if seg.size == 0:
+                        break
+                    docs.append(doc_id)
+                    widx.append(w)
+                    nsamp.append(seg.size)
+                    rms.append(round(float(np.sqrt(np.mean(seg * seg))), 4))
+                    peak.append(int(seg.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(docs, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(nsamp, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "peak": pd.Series(peak, dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract, "doc_id long, window_idx int, n_samples int, rms double, peak int"
+    )

@@ -183,3 +183,96 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "category", "value"
     )
     return _run_to_completion(joined, "append")
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  MIN(ts)                          AS sess_start,
+  MAX(ts) + INTERVAL 30 MINUTE     AS sess_end,
+  COUNT(*)                         AS n_events,
+  ROUND(SUM(value), 4)             AS total_value
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user, drained to batch
+    equality. Session windows only support append/update sinks, and append
+    emits a session only once the watermark passes its close — so the input
+    gets a far-future sentinel event as a SECOND file: batch 1 ingests
+    everything, the watermark then jumps past every real session, and the
+    no-data micro-batch (on by default) flushes them all. The sentinel's own
+    session stays unemitted behind the watermark and is filtered anyway.
+    State stays O(open sessions) at any scale — that's the point vs the
+    batch twin, whose shuffle carries all events."""
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="dpas_sess_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(tmp, "batch0_events.parquet"))
+    # bounded collect: single scalar (max raw ts) to place the sentinel
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    sentinel_dir = os.path.join(tmp, "batch1_sentinel.parquet")
+    horizon = int(max_ts) + 365 * 24 * 3600 * 10**9 if isinstance(max_ts, int) else None
+    if horizon is None:  # ts already a timestamp column
+        sent = raw.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    else:
+        sent = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(horizon).cast("long").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    sent.coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+
+    stream = spark.readStream.schema(raw.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(tmp)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_completion(agg, "append").where(F.col("user_id") >= 0)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

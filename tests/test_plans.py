@@ -131,3 +131,26 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tfidf_single_corpus_scan_no_join(plans):
+    """TF-IDF derives doc-frequency as a window over the tf relation — the
+    plan must show exactly one full documents scan (the n_docs branch prunes
+    to a count-only scan) and no shuffle join."""
+    p = plans("q_text_tfidf")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    final = p.split("Initial Plan")[0]  # AQE prints final + initial sections
+    assert final.count("Generate explode") == 1, final
+
+
+def test_returned_items_pushes_filters_both_scans(plans):
+    p = plans("q_returned_items")
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_mkt_share_prunes_part_at_scan(plans):
+    p = plans("q_mkt_share")
+    assert "EqualTo(p_type,STANDARD)" in p
+    assert p.count("BroadcastHashJoin") >= 3, p  # nation x2 + region broadcast

@@ -26,8 +26,9 @@ def test_no_row_at_a_time_udf():
 
 def test_no_unbounded_collect_in_operators():
     """`.collect()` in operator code must be bounded model state (IVF
-    centroids are the one sanctioned case) — never a data-path verb."""
-    allowed = {"similarity.py", "inspect.py"}  # IVF centroids; plan executor
+    centroids; the streaming sentinel's 1-row max-ts aggregate) — never a
+    data-path verb."""
+    allowed = {"similarity.py", "inspect.py", "jobs.py"}
     offenders = [
         path
         for path, text in _sources().items()
