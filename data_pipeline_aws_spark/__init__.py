@@ -38,7 +38,7 @@ def load_all() -> None:
         timeseries,
         windows,
     )
-    from data_pipeline_aws_spark.functions import scalar, text  # noqa: F401
+    from data_pipeline_aws_spark.functions import curation, scalar, text  # noqa: F401
     from data_pipeline_aws_spark.multimodal import media  # noqa: F401
     from data_pipeline_aws_spark.sources import ingest  # noqa: F401
     from data_pipeline_aws_spark.streaming import jobs  # noqa: F401

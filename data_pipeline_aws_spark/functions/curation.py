@@ -1,0 +1,104 @@
+"""Corpus curation ops (SURVEY §2.8 / north-star): the verbs a training-data
+pipeline runs between raw ingest and tokenizer — deterministic downsampling
+by stratum and fixed-size chunking/packing of documents into model windows.
+
+Both are pure DataFrame expression pipelines (no Python boundary), so they
+inherit full scan parallelism: sampling is a pushable filter (prunes rows at
+the scan), chunking is one Generate (explode) with no shuffle at all — at
+100 TB each document expands in place inside its own partition.
+
+Determinism: production pipelines sample by hash-mod of a stable key, NOT
+`rand()` — re-runs must keep the same rows (resumable jobs, reproducible
+corpora). Same here, which is also what makes the op oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+# Knuth multiplicative hash on the stable doc key → uniform buckets 0..99.
+_HASH_MULT = 2654435761
+_KEEP_PCT = {"en": 60, "de": 35, "fr": 35, "es": 35, "zh": 20}
+
+_RATE_SQL = (
+    "CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 35 WHEN 'fr' THEN 35 "
+    "WHEN 'es' THEN 35 WHEN 'zh' THEN 20 ELSE 0 END"
+)
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+SELECT lang,
+       COUNT(*)                      AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT)   AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT)   AS max_doc,
+       CAST(SUM(n_chars) AS BIGINT)  AS kept_chars
+FROM documents
+WHERE (doc_id * {_HASH_MULT}) % 100 < ({_RATE_SQL})
+GROUP BY lang
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling at per-language rates (en-heavy corpus mix):
+    keep a doc iff hash-mod-100 of its id falls under the stratum's
+    percentage. The predicate is a deterministic pure expression, so Catalyst
+    pushes the arithmetic into the scan stage and re-runs select identical
+    rows — rand()-based sampling would do neither."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _KEEP_PCT.items()],
+        F.lit(0),
+    )
+    bucket = (F.col("doc_id") * _HASH_MULT) % 100
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "q_text_chunks",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+e AS (
+  SELECT doc_id, parts,
+         unnest(generate_series(0, len(parts) - 1, 15)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 15 AS INT)                              AS chunk_idx,
+       CAST(len(parts[start + 1 : start + 20]) AS INT)       AS n_chunk_tokens,
+       md5(array_to_string(parts[start + 1 : start + 20], ' ')) AS chunk_md5
+FROM e
+""",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (20-token windows, stride 15 →
+    5-token overlap) — the sequence-packing step that turns documents into
+    model-context pieces. One explode of per-doc window starts; the slice /
+    join / hash all stay JVM-side expression code. Chunk content is exported
+    as an md5 so the comparison payload stays small; a real pipeline would
+    keep the token slice column instead."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("parts"))
+    starts = toks.withColumn(
+        "start", F.explode(F.sequence(F.lit(0), F.size("parts") - 1, F.lit(15)))
+    )
+    chunk = F.slice(F.col("parts"), F.col("start") + 1, 20)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / 15).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.encode(F.array_join(chunk, " "), "UTF-8")).alias("chunk_md5"),
+    )

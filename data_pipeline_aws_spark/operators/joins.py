@@ -464,3 +464,181 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_local_supplier_volume",
+    oracle="""
+SELECT
+  n_name                                                 AS nation,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+  COUNT(*)                                               AS n_lines
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where supplier and customer share
+    a nation, per ASIA nation for one year. The s_nationkey = c_nationkey
+    equality rides the supplier join as an extra conjunct — no second
+    shuffle. Year filter pushes to the orders scan; nation/region broadcast.
+    DECIMAL-exact revenue (see q_returned_items)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_cust_order_dist",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per customer,
+    INCLUDING zero-order customers — the left outer join with the priority
+    predicate attached to the JOIN (not a post-filter, which would turn it
+    inner) is the point of the shape. COUNT(o_orderkey) counts matches only;
+    the second aggregation is tiny (distinct counts)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q_large_volume_cust",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-quantity orders. The
+    HAVING subquery is a self-aggregation of lineitem that Catalyst plans as
+    an aggregate + left-semi join — at scale the semi side shrinks to the
+    qualifying keys before touching orders. l_quantity is integer-valued so
+    the double sums are exact; the o_orderkey tiebreak pins the LIMIT."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "big_key"), F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_dormant_rich_cust",
+    oracle="""
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+         COUNT(*)                              AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, COUNT(*) AS n_custs,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+CROSS JOIN stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY n_name
+""",
+)
+def q_dormant_rich_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, per nation. The global average arrives as a broadcast 1-row
+    aggregate; the comparison multiplies through by the count
+    (bal * n > sum) so it stays exact DECIMAL — a divided average would
+    differ in the last ulp between engines and flip boundary rows. The
+    urgent-order check is a left-anti join on a pre-filtered orders scan."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n_pos") > F.col("sum_bal"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_bal"),
+        )
+    )
