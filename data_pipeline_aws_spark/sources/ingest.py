@@ -198,3 +198,35 @@ def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("cal_d").alias("qtr"),
         )
     )
+
+
+@query(
+    "q_orc_ingest",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*)                                                    AS n_custs,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT)                              AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT)                              AS max_key
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: customer → ORC files → scan → aggregate. ORC is the
+    second columnar format Spark ships natively (vectorized reader, predicate
+    pushdown, column pruning — same scan contract as parquet); the aggregate
+    matching the parquet-scan oracle proves values survive bit-for-bit.
+    Balance sums in exact DECIMAL (see q_returned_items)."""
+    out = _cache_dir("orc_customer", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    c = spark.read.orc(out)
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

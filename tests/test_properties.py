@@ -50,3 +50,47 @@ def test_disc_price_expression_matches_python(spark, rows):
     got = {r.id: r.v for r in df.select("id", (F.col("p") * (1 - F.col("d"))).alias("v")).collect()}
     want = {i: p * (1 - d) for i, (p, d) in enumerate(rows)}
     assert got == want
+
+
+def _chunk_ref(text: str, win: int = 20, stride: int = 15) -> list[list[str]]:
+    parts = text.split(" ")
+    return [parts[s : s + win] for s in range(0, len(parts), stride)]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=20, max_size=20))
+def test_chunking_covers_and_overlaps_exactly(spark, texts):
+    """q_text_chunks' explode/slice expressions must reproduce plain Python
+    windowing for any input: same chunk count, same chunk contents, first
+    chunk starting at token 0, consecutive chunks overlapping by win-stride."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    toks = df.select("id", F.split("text", " ").alias("parts"))
+    starts = toks.withColumn(
+        "start", F.explode(F.sequence(F.lit(0), F.size("parts") - 1, F.lit(15)))
+    )
+    out = starts.select(
+        "id", "start", F.slice(F.col("parts"), F.col("start") + 1, 20).alias("chunk")
+    ).collect()
+    got: dict[int, dict[int, list[str]]] = {}
+    for r in out:
+        got.setdefault(r.id, {})[r.start] = list(r.chunk)
+    for i, t in enumerate(texts):
+        want = {s * 15: c for s, c in enumerate(_chunk_ref(t))}
+        assert got[i] == want, (i, t)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(0, 2**31), min_size=50, max_size=50, unique=True))
+def test_stratified_sample_is_deterministic_and_rate_bounded(spark, ids):
+    """Hash-mod sampling must (a) pick exactly the rows whose bucket clears
+    the rate — reproducible across runs by construction — and (b) agree with
+    plain Python arithmetic for any ids (no silent overflow in the JVM
+    expression)."""
+    rate = 37
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    kept = {r.doc_id for r in df.filter(bucket < rate).collect()}
+    want = {i for i in ids if (i * 2654435761) % 100 < rate}
+    assert kept == want
