@@ -365,3 +365,103 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "content_hash")
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                   AS token,
+         generate_subscripts(string_split(text, ' '), 1)   AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN cnt ca ON d1 = ca.doc_id
+  JOIN cnt cb ON d2 = cb.doc_id
+  WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT d.doc_id,
+       COALESCE(comp.rep, d.doc_id)                 AS cluster_rep,
+       d.doc_id <> COALESCE(comp.rep, d.doc_id)     AS is_dup
+FROM documents d
+LEFT JOIN (SELECT node, MIN(r) AS rep FROM reach GROUP BY node) comp
+       ON comp.node = d.doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the near-dup
+    pair graph (exact Jaccard ≥ 0.5), keep-lowest-doc_id representative per
+    component — the transitive-closure step between pair detection and
+    actually dropping rows (A~B, B~C must collapse to ONE kept doc even if
+    A~C was never emitted).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors'; converges in O(component diameter)
+    rounds — near-dup clusters are shallow (pairs/chains), so 2-3 rounds in
+    practice and the loop exits on a fixpoint count (a bounded scalar per
+    round, not a data collect). `localCheckpoint` cuts the lineage each
+    round so the plan doesn't grow with iterations — the standard Spark
+    pattern for iterative graph algorithms at scale. The oracle computes the
+    same components with a recursive-CTE transitive closure."""
+    pairs = _exact_jaccard_pairs(shingles(spark, sf_dir)).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint()  # pair graph is tiny; reused every round
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce(F.col("label"), F.col("doc_id"))
+    # no broadcast hint: the labeled-node set scales with the dup-pair graph,
+    # so let AQE pick broadcast vs shuffle from runtime stats
+    return d.join(labels, d.doc_id == labels.node, "left").select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        (F.col("doc_id") != rep).alias("is_dup"),
+    )
