@@ -32,6 +32,7 @@ def load_all() -> None:
         analytic,
         dedup,
         joins,
+        nested,
         relational,
         setops,
         similarity,

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -640,5 +640,58 @@ def q_dormant_rich_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
             F.round(F.sum(bal), 2).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_smallqty_revenue",
+    oracle="""
+WITH f AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         0.2 * AVG(l_quantity) OVER (PARTITION BY l_partkey) AS thr
+  FROM lineitem
+)
+SELECT
+  p_brand,
+  COUNT(*)                          AS n_small,
+  ROUND(SUM(l_extendedprice), 2)    AS small_rev
+FROM f
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < thr
+GROUP BY p_brand
+""",
+)
+def q_smallqty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue), generalized to all
+    brands: lines whose quantity is below 20% of that part's average
+    quantity, revenue per brand.
+
+    The classic Q17 plan is aggregate-then-self-join on l_partkey; here the
+    per-part average comes from a window over the SAME l_partkey partitioning
+    instead — ONE shuffle of lineitem serves both the threshold computation
+    and the filter, and no second lineitem scan exists. The part join then
+    runs under AQE (broadcast at bench scale, shuffle-hash beyond).
+    Float parity: l_quantity is integral, so sums of it are exact in double
+    under any summation order and AVG is bit-identical across engines —
+    the `< thr` comparison cannot flip boundary rows."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.select(
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            (F.lit(0.2) * F.avg("l_quantity").over(w)).alias("thr"),
+        )
+        .where(F.col("l_quantity") < F.col("thr"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        small.join(p, small.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_rev"),
         )
     )

@@ -1,0 +1,161 @@
+"""Nested / semi-structured document operators (SURVEY §0, §2.7).
+
+The reference's data domain is FHIR — deeply nested JSON resources
+(`/root/reference/Hoth/FHIR/` is the project root; the Glue job that would
+process them, `Hoth/FHIR/glue/etl_script.py`, is 0 bytes). The two
+Glue-transform verbs that domain implies are:
+
+- **Relationalize**: flatten a nested document into relational rows — struct
+  fields become dotted columns, array elements become child rows with a
+  (parent-key, array-index) foreign key. Here that is pure Catalyst:
+  ``from_json`` with an explicit nested schema, dotted-path projection, and
+  ``posexplode`` — all JVM-side, codegen'd, no UDF.
+- **ResolveChoice**: a JSON field that is sometimes a number and sometimes a
+  string (Glue's "choice type") resolved by casting — ``try_cast`` keeps the
+  castable values and nulls the rest, exactly Glue's ``cast:long`` option.
+
+Scale notes (100 TB): both operators are per-row narrow transformations —
+no shuffle at all until the final aggregate/explode consumer. ``from_json``
+with an explicit schema (never schema inference on the full corpus) is the
+scale path: inference is a second full scan. posexplode multiplies rows
+INSIDE a whole-stage-codegen pipeline — no materialization of the nested
+form. The nest→serialize step in q_fhir_relationalize exists to create test
+documents from the star schema; a real deployment reads the JSON directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+# Explicit schema-on-read for the FHIR-style customer document. Explicit
+# (not inferred) so the parquet→JSON→struct path is single-scan at scale.
+_DOC_SCHEMA = (
+    "struct<id:bigint,name:string,"
+    "profile:struct<segment:string,nation:int>,"
+    "orders:array<struct<o_orderkey:bigint,o_totalprice:double>>>"
+)
+
+
+@query(
+    "q_fhir_relationalize",
+    oracle="""
+SELECT
+  c_custkey                                              AS custkey,
+  c_name                                                 AS name,
+  c_mktsegment                                           AS segment,
+  CAST(c_nationkey AS INT)                               AS nation,
+  CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_orderkey) - 1
+       AS BIGINT)                                        AS order_idx,
+  o_orderkey                                             AS orderkey,
+  o_totalprice                                           AS totalprice
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+""",
+)
+def q_fhir_relationalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationalize a nested FHIR-style document back to relational rows.
+
+    Builds one JSON document per customer (root fields + nested profile
+    struct + sorted orders array) from the star schema, then runs the actual
+    operator under test: ``from_json`` with an explicit nested schema,
+    dotted-path struct access, and ``posexplode`` of the array into child
+    rows carrying (parent key, 0-based array index) — Glue Relationalize
+    semantics expressed as a single Catalyst pipeline. The oracle is the
+    equivalent flat join with ROW_NUMBER()-1 as the array index; matching
+    proves the nest→serialize→parse→flatten roundtrip is lossless (including
+    bit-exact double roundtrip through JSON shortest-repr printing).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    docs = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+            ).alias("orders")
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("c_custkey").alias("id"),
+                    F.col("c_name").alias("name"),
+                    F.struct(
+                        F.col("c_mktsegment").alias("segment"),
+                        F.col("c_nationkey").cast("int").alias("nation"),
+                    ).alias("profile"),
+                    F.col("orders"),
+                )
+            ).alias("doc")
+        )
+    )
+    parsed = docs.select(F.from_json("doc", _DOC_SCHEMA).alias("r"))
+    return (
+        parsed.select(
+            F.col("r.id").alias("custkey"),
+            F.col("r.name").alias("name"),
+            F.col("r.profile.segment").alias("segment"),
+            F.col("r.profile.nation").alias("nation"),
+            F.posexplode("r.orders"),
+        )
+        .select(
+            "custkey",
+            "name",
+            "segment",
+            "nation",
+            F.col("pos").cast("long").alias("order_idx"),
+            F.col("col.o_orderkey").alias("orderkey"),
+            F.col("col.o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "q_fhir_choice",
+    oracle="""
+SELECT
+  event_type,
+  COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END)                  AS n_long,
+  COUNT(CASE WHEN event_id % 3 = 0 THEN 1 END)                   AS n_str,
+  CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN event_id END) AS BIGINT) AS sum_v
+FROM events
+GROUP BY event_type
+""",
+)
+def q_fhir_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResolveChoice: a JSON field with mixed runtime types (number for 2/3
+    of events, non-numeric string for the rest — synthesized deterministically
+    from event_id so the oracle can state the expected outcome without JSON
+    machinery), resolved Glue-style with ``cast:long``: ``try_cast`` keeps
+    numeric values and nulls the strings, then the aggregate counts both
+    populations. All codegen'd string/JSON expressions — no UDF, no shuffle
+    before the final groupBy."""
+    e = table(spark, sf_dir, "events")
+    mixed = F.concat(
+        F.lit('{"v": '),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('"s'), F.col("event_id").cast("string"), F.lit('"')),
+        ).otherwise(F.col("event_id").cast("string")),
+        F.lit("}"),
+    )
+    v = F.expr("try_cast(v_raw AS bigint)")
+    return (
+        e.select("event_type", F.get_json_object(mixed, "$.v").alias("v_raw"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v_raw").alias("_n_all"),
+            F.count(v).alias("n_long"),
+            F.sum(v).alias("sum_v"),
+        )
+        .select(
+            "event_type",
+            "n_long",
+            (F.col("_n_all") - F.col("n_long")).alias("n_str"),
+            "sum_v",
+        )
+    )

@@ -154,3 +154,18 @@ def test_mkt_share_prunes_part_at_scan(plans):
     p = plans("q_mkt_share")
     assert "EqualTo(p_type,STANDARD)" in p
     assert p.count("BroadcastHashJoin") >= 3, p  # nation x2 + region broadcast
+
+
+def test_relationalize_stays_jvm_side(plans):
+    # nest→parse→posexplode must be pure Catalyst: no Python evaluation node
+    p = plans("q_fhir_relationalize")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Generate" in p  # posexplode compiled to a Generate operator
+
+
+def test_smallqty_single_lineitem_scan(plans):
+    # window-based threshold must not re-scan lineitem (classic Q17 does)
+    p = plans("q_smallqty_revenue")
+    final = p.split("Initial Plan")[0]  # AQE prints the plan twice
+    assert final.count("lineitem.parquet") == 1, final
+    assert "Window" in final
