@@ -14,7 +14,7 @@ corpora). Same here, which is also what makes the op oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -101,4 +101,88 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") / 15).cast("int").alias("chunk_idx"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.encode(F.array_join(chunk, " "), "UTF-8")).alias("chunk_md5"),
+    )
+
+
+# Decontamination: remove/flag training docs that share any 8-token n-gram
+# with the held-out benchmark set. 8 tokens is the common published window
+# (e.g. GPT-3 appendix uses 13-gram, PaLM 8-gram); the vocabulary here is
+# small so shorter grams would collide spuriously.
+_DECON_WIDTH = 8
+_HOLDOUT_MOD = 97  # doc_id % 97 == 0 plays the benchmark/holdout role
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                 AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w || ' ' || LEAD(token, 4) OVER w
+               || ' ' || LEAD(token, 5) OVER w || ' ' || LEAD(token, 6) OVER w
+               || ' ' || LEAD(token, 7) OVER w                          AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grd AS (SELECT DISTINCT doc_id, gram FROM gr WHERE gram IS NOT NULL),
+hold AS (SELECT DISTINCT gram FROM grd WHERE doc_id % {_HOLDOUT_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+  FROM grd g JOIN hold USING (gram)
+  WHERE g.doc_id % {_HOLDOUT_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0             AS is_contaminated
+FROM documents d
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_HOLDOUT_MOD} <> 0
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one 8-token n-gram with the holdout set (docs with
+    doc_id % 97 == 0 stand in for the benchmark).
+
+    Scale shape: the benchmark set is small and fixed (thousands of eval
+    documents against billions of training docs), so its distinct-gram set is
+    explicitly ``F.broadcast`` — the training corpus streams through a
+    broadcast-hash semi-ish join with NO shuffle of the big side; the only
+    shuffle is the per-doc count aggregation on the (rare) hits. Gram
+    construction is a per-doc window — narrow, partition-local."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")]
+    for i in range(1, _DECON_WIDTH):
+        parts += [F.lit(" "), F.lead("token", i).over(w)]
+    grams = (
+        tok.select("doc_id", F.concat(*parts).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
+    is_hold = F.col("doc_id") % _HOLDOUT_MOD == 0
+    hold = grams.where(is_hold).select("gram").distinct()
+    hits = (
+        grams.where(~is_hold)
+        .join(F.broadcast(hold), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+    return (
+        d.where(~is_hold)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("is_contaminated"),
+        )
     )

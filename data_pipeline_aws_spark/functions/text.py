@@ -289,3 +289,69 @@ def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % F.lit(1000000007).cast("long"),
     )
     return d.select("doc_id", roll.alias("rolling_hash"))
+
+
+@query(
+    "q_text_redact",
+    oracle="""
+WITH pii AS (
+  SELECT doc_id,
+         text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                        CAST(doc_id % 3 AS INT))
+              || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS raw
+  FROM documents
+),
+red AS (
+  SELECT doc_id, raw,
+         regexp_replace(
+           regexp_replace(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+           '\\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')  AS clean
+  FROM pii
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT)
+                                           AS n_email,
+       CAST(LEN(regexp_extract_all(raw, '\\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                                           AS n_phone,
+       CAST(LEN(clean) AS BIGINT)          AS clean_len,
+       clean LIKE '%@%'                    AS residual_pii
+FROM red
+""",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask emails and phone numbers with typed placeholders,
+    report per-doc match counts and a residual check.
+
+    The corpus is synthetic (no real PII), so deterministic PII is injected
+    first — doc_id % 3 emails plus one phone per document — making the
+    expected counts exactly computable by the oracle. Both the injection and
+    the redaction are pure codegen string expressions (concat / repeat /
+    regexp_replace / regexp_extract_all): per-row narrow ops, zero shuffle,
+    and the regexes are written in the common Java-regex ∩ RE2 subset so both
+    engines compile them identically. At 100 TB this is the canonical
+    map-only pass — it pipelines inside whole-stage codegen with the scan."""
+    d = table(spark, sf_dir, "documents")
+    email_re = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    phone_re = "\\+1-[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(
+                F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+            (F.col("doc_id") % 3).cast("int"),
+        ),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(email_re), 0)).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone_re), 0)).cast("long").alias("n_phone"),
+        F.length(clean).cast("long").alias("clean_len"),
+        clean.contains("@").alias("residual_pii"),
+    )
