@@ -33,6 +33,7 @@ def load_all() -> None:
         dedup,
         joins,
         nested,
+        quality,
         relational,
         setops,
         similarity,

@@ -355,3 +355,55 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         clean.contains("@").alias("residual_pii"),
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+         ) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT)                        AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT)         AS n_distinct,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_frac,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) <= 0.2 AS keep
+FROM g
+WHERE len(grams) >= 1
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher/C4-style): fraction of
+    duplicated 2-grams inside each document; docs above the threshold get
+    dropped by the curation gate.
+
+    Entirely JVM array lambdas — transform over an index sequence builds the
+    gram list, array_distinct/size give the ratio — so it is a map-only pass
+    with NO explode and NO shuffle: per-doc state never leaves its row,
+    unlike the corpus-level dedup ops that must compare across documents.
+    dup_frac is an exact-integer division, bit-identical across engines, so
+    the threshold comparison cannot flip rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    g = d.select("doc_id", grams.alias("grams")).where(F.size("grams") >= 1)
+    n = F.size("grams").cast("long")
+    nd = F.size(F.array_distinct("grams")).cast("long")
+    dup = F.lit(1.0) - nd.cast("double") / n
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        dup.alias("dup_frac"),
+        (dup <= 0.2).alias("keep"),
+    )

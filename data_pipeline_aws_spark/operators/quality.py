@@ -1,0 +1,166 @@
+"""Data-quality operators — Glue Data Quality / Deequ-style profiling and
+constraint validation (SURVEY §2.8 extension).
+
+The reference is an AWS Glue pipeline (`Hoth/FHIR/cloudformations/
+lambda-stack.yml:11-21`); Glue's companion feature for exactly this job shape
+is Glue Data Quality (Deequ-based): profile the incoming table, assert
+constraints (uniqueness, completeness, referential integrity, ranges), and
+gate the pipeline on the result.
+
+Scale notes (100 TB):
+- Profiling computes ALL metrics for ALL columns in ONE aggregation pass —
+  a single scan with partial (map-side) aggregation; adding a metric adds an
+  expression, not a scan. Never one-job-per-column.
+- Distinct counts use exact count_distinct here (oracle-checkable); the
+  100 TB variant swaps in approx_count_distinct (HLL, fixed-size sketch) —
+  same single-pass shape, demonstrated by q_approx_distinct.
+- Constraint checks that need a second table (FK integrity) use a left-anti
+  join whose small side is the key set after pre-aggregation; the violation
+  COUNT is what ships to the driver, never the violating rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+WITH m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT)                              AS n_rows,
+    CAST(COUNT(o_custkey) AS BIGINT)                      AS custkey_filled,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT)             AS custkey_distinct,
+    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)         AS status_distinct,
+    ROUND(MIN(o_totalprice), 2)                           AS price_min,
+    ROUND(MAX(o_totalprice), 2)                           AS price_max,
+    ROUND(AVG(o_totalprice), 2)                           AS price_avg
+  FROM orders
+)
+SELECT metric, value FROM (
+  SELECT 'n_rows'            AS metric, CAST(n_rows AS DOUBLE)            AS value FROM m
+  UNION ALL SELECT 'custkey_filled',    CAST(custkey_filled AS DOUBLE)    FROM m
+  UNION ALL SELECT 'custkey_distinct',  CAST(custkey_distinct AS DOUBLE)  FROM m
+  UNION ALL SELECT 'status_distinct',   CAST(status_distinct AS DOUBLE)   FROM m
+  UNION ALL SELECT 'price_min',         price_min                         FROM m
+  UNION ALL SELECT 'price_max',         price_max                         FROM m
+  UNION ALL SELECT 'price_avg',         price_avg                         FROM m
+)
+""",
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling, Glue-Data-Quality style: row count, completeness,
+    cardinalities, numeric ranges — ALL computed in one aggregation pass
+    over one scan (one job regardless of metric count), then unpivoted to
+    the (metric, value) long form a quality report wants. AVG is exact-sum /
+    exact-count only after ROUND(…, 2) absorbs summation-order noise."""
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_filled"),
+        F.count_distinct("o_custkey").alias("custkey_distinct"),
+        F.count_distinct("o_orderstatus").alias("status_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 2).alias("price_avg"),
+    )
+    # unpivot the 1-row wide aggregate to (metric, value) rows
+    cols = [
+        "n_rows",
+        "custkey_filled",
+        "custkey_distinct",
+        "status_distinct",
+        "price_min",
+        "price_max",
+        "price_avg",
+    ]
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("metric"), F.col(c).cast("double").alias("value"))
+                for c in cols
+            ]
+        )
+    )
+    return m.select(stack.alias("kv")).select("kv.metric", "kv.value")
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+SELECT 'orderkey_unique' AS check_name,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       COUNT(*) = COUNT(DISTINCT o_orderkey)                 AS passed
+FROM orders
+UNION ALL
+SELECT 'price_nonnegative',
+       CAST(COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT),
+       COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT),
+       COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'custkey_fk_integrity',
+       CAST(COUNT(*) AS BIGINT),
+       COUNT(*) = 0
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation, Deequ-style: uniqueness, non-negativity,
+    domain membership, and FK referential integrity — each check reduced to
+    a (name, violation-count, passed) row. The three single-table checks
+    share ONE aggregation pass; the FK check is a left-anti join counting
+    orphans (the count crosses the wire, never the rows). A pipeline gate
+    reads `passed` and aborts the write — the Glue Data Quality ruleset
+    verb re-expressed as two Spark jobs total."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    single = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    )
+    row = F.struct
+    checks = single.crossJoin(F.broadcast(orphans)).select(
+        F.explode(
+            F.array(
+                row(
+                    F.lit("orderkey_unique").alias("check_name"),
+                    (F.col("n") - F.col("n_keys")).alias("violations"),
+                    (F.col("n") == F.col("n_keys")).alias("passed"),
+                ),
+                row(
+                    F.lit("price_nonnegative").alias("check_name"),
+                    F.col("neg_price").cast("long").alias("violations"),
+                    (F.col("neg_price") == 0).alias("passed"),
+                ),
+                row(
+                    F.lit("status_in_domain").alias("check_name"),
+                    F.col("bad_status").cast("long").alias("violations"),
+                    (F.col("bad_status") == 0).alias("passed"),
+                ),
+                row(
+                    F.lit("custkey_fk_integrity").alias("check_name"),
+                    F.col("n_orphans").alias("violations"),
+                    (F.col("n_orphans") == 0).alias("passed"),
+                ),
+            )
+        ).alias("kv")
+    )
+    return checks.select("kv.check_name", "kv.violations", "kv.passed")
