@@ -321,3 +321,42 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@query(
+    "q_reuse_exchange",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+  FROM orders GROUP BY o_custkey
+),
+s AS (SELECT SUM(revd) AS tot, COUNT(*) AS n FROM rev)
+SELECT o_custkey, CAST(revd AS DOUBLE) AS rev
+FROM rev, s
+WHERE revd * n > 2 * tot
+""",
+)
+def q_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose lifetime revenue exceeds 2× the per-customer average —
+    the same aggregate consumed twice (as the probe rows AND reduced again
+    into the global average).
+
+    The point is plan-level: Catalyst's ReuseExchange dedupes the two
+    identical scan→partial-agg→shuffle subtrees, so orders is scanned and
+    shuffled ONCE and the second consumer reads a ReusedExchange node — the
+    declarative answer to hand-caching intermediate results (asserted in
+    tests/test_plans.py). Revenue stays DECIMAL and the average is compared
+    multiply-through (rev·n > 2·total), so no division ulp can flip boundary
+    customers."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revd")
+    )
+    stats = rev.agg(
+        F.sum("revd").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        rev.crossJoin(F.broadcast(stats))
+        .where(F.col("revd") * F.col("n") > 2 * F.col("tot"))
+        .select("o_custkey", F.col("revd").cast("double").alias("rev"))
+    )

@@ -21,7 +21,7 @@ event counts are bounded, so no skew amplification.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -142,4 +142,64 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+iv AS (
+  SELECT user_id, state, ts AS vf,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM chg
+)
+SELECT user_id,
+       state,
+       epoch_us(vf)                    AS valid_from_us,
+       epoch_us(vt)                    AS valid_to_us,
+       vt IS NULL                      AS is_current
+FROM iv
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change log: compress each user's
+    event stream to state-change rows (drop consecutive repeats via lag),
+    then stitch validity intervals with lead — valid_from/valid_to plus an
+    is_current flag on the open interval. The standard warehouse-ETL verb a
+    Glue job materializes for history-tracked dimensions.
+
+    One shuffle total: both windows partition by user_id, so the second
+    window reuses the first's partitioning (no second exchange). Validity
+    bounds are emitted as epoch-microsecond longs — integer arithmetic,
+    bit-identical across engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
     )

@@ -169,3 +169,18 @@ def test_smallqty_single_lineitem_scan(plans):
     final = p.split("Initial Plan")[0]  # AQE prints the plan twice
     assert final.count("lineitem.parquet") == 1, final
     assert "Window" in final
+
+
+def test_reuse_exchange_scans_orders_once(plans):
+    p = plans("q_reuse_exchange")
+    final = p.split("Initial Plan")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("orders.parquet") == 1, final
+
+
+def test_scd2_single_shuffle_two_windows(plans):
+    # both windows partition by user_id → second reuses the first's exchange
+    p = plans("q_scd2")
+    final = p.split("Initial Plan")[0]
+    assert final.count("Exchange") == 1, final
+    assert final.count("Window") == 2, final
