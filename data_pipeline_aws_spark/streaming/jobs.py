@@ -186,6 +186,64 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_state",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_events,
+       ROUND(SUM(value), 4)      AS total_value,
+       epoch_us(MAX(ts))         AS last_seen_us
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`: a
+    per-user running profile (event count, value total, last-seen watermark)
+    held in explicit GroupState and re-emitted on every update — the shape a
+    bespoke enrichment/state machine takes when windowed aggs can't express
+    it. Drained over the bounded fixture, the final emitted state per user
+    must equal the batch GROUP BY (the oracle).
+
+    Scale notes: state is O(distinct users) and keyed by the shuffle
+    partitioning, so it shards across executors; each micro-batch touches
+    only arriving users' state via the state store, never the history. The
+    value total is kept as an exact integer number of 1e-4 units (values have
+    4 decimals) so resumed state never accumulates float drift."""
+    events = _stream_events(spark, sf_dir)
+    typed = events.select("user_id", "value", F.unix_micros("ts").alias("ts_us"))
+
+    def track(key, batches, state):  # noqa: ANN001 - pyspark callback shape
+        import pandas as pd  # local: executes on executors
+
+        n, cents, last = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            # exact integer units of 1e-4 → no float accumulation drift
+            cents += int(round(float(pdf["value"].sum()) * 10_000))
+            last = max(last, int(pdf["ts_us"].max()))
+        state.update((n, cents, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(cents / 10_000, 4)],
+                "last_seen_us": [last],
+            }
+        )
+
+    updated = typed.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, total_value double, "
+        "last_seen_us long",
+        stateStructType="n long, cents long, last long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    # Single-file bounded source → one micro-batch → one (final) emit per user.
+    return _run_to_completion(updated, "update")
+
+
+@query(
     "q_stream_session",
     oracle="""
 WITH flagged AS (
