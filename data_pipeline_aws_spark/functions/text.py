@@ -382,19 +382,22 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated 2-grams inside each document; docs above the threshold get
     dropped by the curation gate.
 
-    Entirely JVM array lambdas — transform over an index sequence builds the
-    gram list, array_distinct/size give the ratio — so it is a map-only pass
-    with NO explode and NO shuffle: per-doc state never leaves its row,
-    unlike the corpus-level dedup ops that must compare across documents.
+    Entirely JVM array lambdas — zip_with over the token array and its
+    shift-by-one slice builds the gram list, array_distinct/size give the
+    ratio — so it is a map-only pass with NO explode and NO shuffle: per-doc
+    state never leaves its row, unlike the corpus-level dedup ops that must
+    compare across documents. The zip_with-on-slices form matters: higher-
+    order lambdas are interpreted (no codegen), so indexing back into the
+    source array per element (sequence + element_at) re-evaluates the split
+    inside the lambda and goes quadratic — measured 10× slower at sf0.1.
     dup_frac is an exact-integer division, bit-identical across engines, so
     the threshold comparison cannot flip rows."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     g = d.select("doc_id", grams.alias("grams")).where(F.size("grams") >= 1)
     n = F.size("grams").cast("long")

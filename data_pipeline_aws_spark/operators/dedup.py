@@ -35,28 +35,26 @@ JACCARD_THRESHOLD = 0.5
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — 3-token shingles via lead windows.
+    """Distinct (doc_id, shingle) pairs — 3-token shingles, entirely map-side.
 
-    At 100 TB this is a narrow per-document transform (window partitioned by
-    doc_id); output cardinality ≈ token count.
+    zip_with over the token array and its shift-by-1/shift-by-2 slices builds
+    the shingle list in-row, array_distinct dedupes in-row, and only then does
+    explode emit pairs — so shingling needs ZERO shuffles (the earlier form,
+    posexplode → window-lead partitioned by doc_id → distinct, shuffled every
+    token twice; at 100 TB that's the corpus through the wire twice before
+    dedup even starts). Output cardinality ≈ token count, same as before —
+    the downstream inverted-index join is unchanged.
     """
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        tok.select(
-            "doc_id",
-            F.concat(
-                F.col("token"),
-                F.lit(" "),
-                F.lead("token", 1).over(w),
-                F.lit(" "),
-                F.lead("token", 2).over(w),
-            ).alias("shingle"),
-        )
-        .where(F.col("shingle").isNotNull())
-        .distinct()
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - F.lit(SHINGLE_WIDTH - 1), F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)
     )
+    sh = F.zip_with(
+        pair, F.slice(toks, 3, n), lambda p, z: F.concat_ws(" ", p, z)
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 _SHINGLE_SQL = """

@@ -184,3 +184,18 @@ def test_scd2_single_shuffle_two_windows(plans):
     final = p.split("Initial Plan")[0]
     assert final.count("Exchange") == 1, final
     assert final.count("Window") == 2, final
+
+
+def test_repetition_filter_is_map_only(plans):
+    # per-doc dup-gram ratio never leaves its row: no shuffle anywhere
+    p = plans("q_text_repetition")
+    final = p.split("Initial Plan")[0]
+    assert "Exchange" not in final, final
+
+
+def test_shingles_build_without_window_shuffle(plans):
+    # shingling is zip_with-on-slices (map-side), not posexplode+window-lead:
+    # the only shuffles left in ngram dedup are the join/agg ones
+    p = plans("q_dedup_ngram")
+    final = p.split("Initial Plan")[0]
+    assert "Window" not in final, final
