@@ -206,22 +206,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    bits = spark.range(32).withColumnRenamed("id", "bit")
-    # per (doc, bit): majority vote of token-hash bits, weighted by term freq
-    votes = (
-        tok.join(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
+    # All 32 bit-votes in ONE aggregation pass (32 parallel sum columns),
+    # mirroring the minhash one-pass form: the bits-table cross-join
+    # alternative explodes every token 32× through the shuffle, and map-side
+    # partial aggregation here collapses the shuffle to O(docs) regardless of
+    # token count. Votes are term-frequency weighted, same as before.
+    votes = tok.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.expr("CASE WHEN (shiftright(hash(token), CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END")
-            ).alias("v")
-        )
+                F.when(F.shiftright(F.hash("token"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
     )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(32)
+    ]
+    simhash_col = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash_col = simhash_col + term
+    sig = votes.select("doc_id", simhash_col.alias("simhash"))
     bands = sig.select(
         "doc_id",
         "simhash",
