@@ -132,6 +132,21 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem as a Hive-style ship_year-partitioned parquet table
+    (materialized once per sf_dir) — the layout that turns year filters into
+    directory pruning and enables dynamic partition pruning on joins."""
+    out = _cache_dir("part_lineitem", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = table(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+        write_partitioned(
+            li.select("l_orderkey", "l_extendedprice", "ship_year"), out, "ship_year"
+        )
+    return spark.read.parquet(out)
+
+
 @query(
     "q_partitioned_sink",
     oracle="""
@@ -148,18 +163,47 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     The re-read proves Hive-style partition discovery recovers the partition
     column; at scale the same layout turns every year/date filter into
     directory pruning instead of data reads."""
-    out = _cache_dir("part_lineitem", sf_dir)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        li = table(spark, sf_dir, "lineitem").withColumn(
-            "ship_year", F.year("l_shipdate")
-        )
-        write_partitioned(
-            li.select("l_orderkey", "l_extendedprice", "ship_year"), out, "ship_year"
-        )
-    back = spark.read.parquet(out)
+    back = partitioned_lineitem(spark, sf_dir)
     return back.groupBy(F.col("ship_year").cast("int").alias("ship_year")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "q_dpp",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT)                   AS n_lines,
+       ROUND(SUM(l_extendedprice), 2)             AS total_price
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) >= 1997
+GROUP BY ship_year
+""",
+)
+def q_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the ship_year-partitioned lineitem joined
+    to a small year dimension whose FILTER (is_recent) — not the fact's —
+    decides which partitions exist in the plan. Catalyst turns the broadcast
+    build side into a runtime `dynamicpruning` partition filter on the fact
+    scan (plan-asserted), so at 100 TB only the surviving year directories
+    are ever read; no literal year appears in the fact query.
+
+    The dim is generated executor-side from `range`, so the optimizer cannot
+    constant-fold it away — exactly the shape of a real dimension table."""
+    fact = partitioned_lineitem(spark, sf_dir)
+    dim = spark.range(1990, 2010).select(
+        F.col("id").cast("int").alias("yr"),
+        (F.col("id") >= 1997).alias("is_recent"),
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.ship_year == dim.yr)
+        .where(F.col("is_recent"))
+        .groupBy(F.col("ship_year").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
     )
 
 

@@ -199,3 +199,9 @@ def test_shingles_build_without_window_shuffle(plans):
     p = plans("q_dedup_ngram")
     final = p.split("Initial Plan")[0]
     assert "Window" not in final, final
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(plans):
+    # the dim-side filter must become a runtime partition filter on the fact
+    p = plans("q_dpp")
+    assert "dynamicpruning" in p.lower(), p
