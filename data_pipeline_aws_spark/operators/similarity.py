@@ -245,3 +245,38 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "q_vec_centroid",
+    oracle="""
+WITH u AS (
+  SELECT label,
+         unnest(embedding)                 AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label,
+       dim - 1                  AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(x), 6)         AS centroid
+FROM u
+GROUP BY label, dim
+""",
+)
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (elementwise mean) — the k-means /
+    IVF-training building block, emitted as (label, dim, centroid) scalars.
+
+    posexplode → groupBy(label, dim) avg: map-side partial aggregation
+    collapses each task's contribution to ≤ |labels|·|dims| rows before the
+    shuffle, so wire volume is independent of corpus size — the reduction
+    shape that makes centroid updates feasible per k-means round at 100 TB.
+    The scalar (label, dim) layout also avoids array-equality hashing in the
+    correctness gate."""
+    e = table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return pos.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("x"), 6).alias("centroid"),
+    )
