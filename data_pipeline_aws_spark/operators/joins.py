@@ -695,3 +695,214 @@ def q_smallqty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("small_rev"),
         )
     )
+
+
+@query(
+    "q_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = 1996
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 2) AS total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: 1996 revenue per supplier, return the supplier(s)
+    hitting the maximum. Revenue stays DECIMAL end-to-end (price × (1 −
+    discount) is exact at scale 6), so the equality against the max scalar
+    cannot miss by an ulp the way float sums would. The per-supplier
+    aggregate is built once — the max consumer reads a ReusedExchange of the
+    same scan→agg subtree, and both the 1-row max and the supplier dim ride
+    broadcasts."""
+    li = table(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1996)
+    rev_expr = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+    ).alias("total_rev")
+    rev = li.groupBy("l_suppkey").agg(rev_expr)
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+@query(
+    "q_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size) for
+    qualifying parts, excluding blacklisted suppliers (negative balance
+    standing in for the complaints filter; no partsupp table exists, so
+    lineitem is the part↔supplier link).
+
+    The blacklist NOT IN becomes a left-anti join against a broadcast
+    6-row exclusion list — never a per-row subquery. Part predicates are
+    pushed to the part scan; count-distinct expands to the standard
+    two-level partial aggregation, so the shuffle carries (group, suppkey)
+    pairs, not lines."""
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_dominant_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty,
+            COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+  FROM ps
+)
+SELECT s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT)  AS n_parts_dominated,
+       CAST(SUM(qty) AS BIGINT)  AS qty_dominated
+FROM tot JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND qty * n_supp > 2 * part_qty
+GROUP BY s_suppkey, s_name
+""",
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping an outsized share (> 2× the mean
+    per-supplier share) of a multi-supplier part's quantity — the
+    availqty-vs-half-demand test re-expressed on the lineitem link (no
+    partsupp table exists; volumes here are too uniform for an absolute
+    >50%% cut to ever fire, so dominance is relative to the part's mean).
+
+    Per-(part, supplier) totals come from one aggregation; the part-level
+    denominator comes from a window over the SAME rows — the partial agg
+    has already collapsed lineitem to ≤ |part×supp| rows, so the window's
+    re-shuffle is over the reduced table, never raw lines. Quantities and
+    counts are integral, so the multiply-through dominance comparison
+    (qty · n_supp > 2 · part_qty) is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    tot = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        "qty",
+        F.sum("qty").over(w).alias("part_qty"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        tot.where(
+            (F.col("n_supp") > 1)
+            & (F.col("qty") * F.col("n_supp") > 2 * F.col("part_qty"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_dominated"),
+            F.sum("qty").alias("qty_dominated"),
+        )
+    )
+
+
+@query(
+    "q_late_supplier",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+per AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM l GROUP BY l_orderkey
+)
+SELECT s_name,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_waiting_orders
+FROM l
+JOIN per USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+""",
+)
+def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late shipper on multi-supplier orders,
+    ranked by how many orders waited on them (late = shipped > 60 days
+    after the order date; no commit/receipt dates exist in this schema).
+
+    The classic formulation is EXISTS + NOT EXISTS — two extra correlated
+    scans of lineitem. Here both per-order facts (supplier count, late-
+    supplier count) are collect_set sizes over ONE orderkey window on one
+    scan: the two window functions share the same partitioning, so the plan
+    has a single lineitem pass and a single orderkey exchange serving both.
+    The orders join pushes only (o_orderkey, o_orderdate) through a
+    broadcast-capable projection."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("n_waiting_orders"))
+    )
