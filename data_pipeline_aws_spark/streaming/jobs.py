@@ -186,6 +186,58 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream join: purchases matched to the same user's clicks
+    in the preceding 30 minutes, both sides unbounded streams. The time-
+    interval condition plus per-side watermarks is what makes this feasible:
+    each side's buffered state is evicted once the other side's watermark
+    passes the interval bound, so state is O(events in the 30-minute + lateness
+    horizon), not O(stream history). Inner joins emit eagerly on match, so
+    the bounded drain equals the batch interval self-join (the oracle)."""
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_to_completion(joined, "append")
+
+
+@query(
     "q_stream_state",
     oracle="""
 SELECT user_id,
