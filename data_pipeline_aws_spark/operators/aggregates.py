@@ -360,3 +360,49 @@ def q_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("revd") * F.col("n") > 2 * F.col("tot"))
         .select("o_custkey", F.col("revd").cast("double").alias("rev"))
     )
+
+
+@query(
+    "q_incremental_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                               AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                                              AS revenue,
+       MIN(o_orderdate)                                       AS first_order,
+       MAX(o_orderdate)                                       AS last_order
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a historical partial aggregate
+    (orders before 2000 — in production a materialized table) merged with the
+    newly-arrived delta's partial aggregate by RE-AGGREGATING the partials:
+    counts sum, DECIMAL sums sum, mins min, maxes max. Because every measure
+    is an algebraic monoid, the merge touches |groups| rows, never history —
+    the pattern that keeps a 100 TB rollup refreshable from each day's
+    arrivals alone. The oracle recomputes from scratch over everything;
+    equality proves the incremental path is lossless."""
+    o = table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+
+    hist = partial(o.where(F.year("o_orderdate") < 2000))
+    delta = partial(o.where(F.year("o_orderdate") >= 2000))
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.min("first_o").alias("first_order"),
+            F.max("last_o").alias("last_order"),
+        )
+    )

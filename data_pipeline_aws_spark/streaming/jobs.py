@@ -186,6 +186,46 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4)     AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch production sink: the stream lands in partitioned parquet
+    with one `epoch=<id>` directory per micro-batch, written mode=overwrite —
+    so a replayed epoch (restart after a sink failure) overwrites its own
+    directory instead of duplicating rows. That idempotent-by-layout contract
+    is how exactly-once file sinks are actually built on at-least-once
+    delivery. The landed table is then read back through ordinary partition
+    discovery and aggregated — the result must equal the batch aggregate over
+    the source (the oracle), proving no loss and no duplication."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dpas_stream_sink_")
+    stream = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
+
+    q = stream.writeStream.foreachBatch(land).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
     "q_stream_stream_join",
     oracle="""
 SELECT p.event_id AS purchase_id,
