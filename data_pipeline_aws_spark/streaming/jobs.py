@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import itertools
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,24 @@ from data_pipeline_aws_spark.registry import query
 from data_pipeline_aws_spark.tables import table
 
 _COUNTER = itertools.count()
+
+# Streaming state-store instance count == shuffle partitions at query start.
+# Size it to STATE volume (active windows / open sessions / join buffer), not
+# the batch default: every micro-batch pays a fixed per-instance commit cost,
+# so 32 near-empty stores more than double the per-batch floor (measured
+# 1.14 s → 0.65 s per drained query at sf0.1 with 8). Production jobs with
+# huge keyspaces raise it; it is fixed at FIRST start for a checkpoint's life.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,17 +68,18 @@ def _run_to_completion(result: DataFrame, mode: str) -> DataFrame:
     memory-sink table."""
     spark = result.sparkSession
     name = f"dpas_stream_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    with _stream_partitions(spark):
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     return spark.table(name)
 
 
@@ -212,12 +232,13 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def land(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
 
-    q = stream.writeStream.foreachBatch(land).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    with _stream_partitions(spark):
+        q = stream.writeStream.foreachBatch(land).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
