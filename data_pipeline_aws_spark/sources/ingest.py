@@ -274,3 +274,56 @@ def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "q_corrupt_ingest",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0)  AS BIGINT) AS n_corrupt,
+       ROUND(SUM(value) FILTER (WHERE event_id % 97 <> 0), 4)     AS good_value
+FROM events
+""",
+)
+def q_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on raw ingest: a JSONL arrival where a
+    deterministic subset of lines (event_id % 97 == 0) is garbage, read with
+    an explicit schema in PERMISSIVE mode + `columnNameOfCorruptRecord` — bad
+    lines land whole in the quarantine column with every typed field null,
+    good lines parse normally, and NOTHING aborts. The Glue/ETL answer to
+    "one bad record must not kill a 100 TB load"; FAILFAST is the opposite
+    contract and DROPMALFORMED silently lies about volume. The oracle knows
+    exactly which rows were corrupted, so good/bad counts and the surviving
+    value sum are exactly checkable."""
+    out = _cache_dir("corrupt_jsonl", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        line = F.to_json(F.struct("event_id", "user_id", "value"))
+        (
+            e.select(
+                F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("!corrupt!"), line))
+                .otherwise(line)
+                .alias("value")
+            ).write.mode("overwrite").text(out)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        F.round(F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 4).alias(
+            "good_value"
+        ),
+    )
