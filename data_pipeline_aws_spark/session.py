@@ -38,6 +38,12 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bucketed tables are written one-file-per-bucket (see
+        # sources/ingest.py); with that invariant the catalog's SORTED BY
+        # metadata is safe to trust, letting bucket joins skip the sort as
+        # well as the shuffle. (Off by default since 3.0 because multi-file
+        # buckets force a single-threaded merge-read — not our layout.)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Measured on this engine's full query sweep: reused Python workers
         # serialize on the SparkEnv worker-pool monitor after applyInPandas /
         # mapInPandas stages (threads blocked tens of seconds in
@@ -68,6 +74,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")  # see get_spark note
     try:
         conf.set("spark.python.worker.reuse", "false")  # see get_spark note
     except Exception:

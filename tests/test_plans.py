@@ -205,3 +205,13 @@ def test_dpp_prunes_fact_partitions_at_runtime(plans):
     # the dim-side filter must become a runtime partition filter on the fact
     p = plans("q_dpp")
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_bucket_join_has_no_join_side_exchange_or_sort(plans):
+    # both sides bucketed+sorted on the key: SMJ reads buckets directly;
+    # the only exchange left is the final groupBy's
+    p = plans("q_bucket_join")
+    final = p.split("Initial Plan")[0]
+    assert "SortMergeJoin" in final, final
+    assert final.count("Exchange") == 1, final
+    assert "Sort " not in final.replace("SortMergeJoin", "SMJ"), final
