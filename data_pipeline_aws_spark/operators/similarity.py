@@ -280,3 +280,71 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("x"), 6).alias("centroid"),
     )
+
+
+@query("q_kmeans")  # iterative float refinement → deterministic rows-only
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (K=8, 3 iterations) over the embedding
+    corpus — the training loop q_sim_ivf's "trained model" comes from.
+
+    Per iteration: (1) ASSIGN is map-only — the K×64 centroid matrix is
+    closure-broadcast into a mapInPandas pass that emits each vector's
+    nearest cluster plus its exploded (dim, value) pairs, one numpy matmul
+    per Arrow batch, no shuffle; (2) UPDATE is one partial-agg shuffle of
+    (cluster, dim) cells — O(K·D·partitions) wire volume regardless of
+    corpus size — after which the bounded K×D model returns to the driver
+    (the legal bounded collect: model state, not data). That
+    map-assign/reduce-update split is exactly how k-means scales to 100 TB;
+    init is the first K vectors (deterministic), and
+    tests/test_properties.py replays the same schedule in pure numpy and
+    requires identical assignments and near-identical inertia."""
+    import numpy as np
+
+    k, iters, dim = 8, 3, 64
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+
+    def make_assign(c):
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                cl = d2.argmin(axis=1)
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy().repeat(dim),
+                        "cluster": cl.astype("int32").repeat(dim),
+                        "dim": np.tile(np.arange(dim, dtype="int32"), n),
+                        "x": m.reshape(-1),
+                        "d2": d2.min(axis=1).repeat(dim),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, cluster int, dim int, x double, d2 double"
+    for _ in range(iters):
+        cells = e.mapInPandas(make_assign(cents.copy()), schema)
+        new = (
+            cells.groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in new:
+            nxt[r.cluster, r.dim] = r.c
+        cents = nxt
+
+    final = e.mapInPandas(make_assign(cents.copy()), schema)
+    return (
+        final.where(F.col("dim") == 0)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+        )
+    )

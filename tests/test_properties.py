@@ -94,3 +94,47 @@ def test_stratified_sample_is_deterministic_and_rate_bounded(spark, ids):
     kept = {r.doc_id for r in df.filter(bucket < rate).collect()}
     want = {i for i in ids if (i * 2654435761) % 100 < rate}
     assert kept == want
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """The distributed Lloyd loop must replay exactly against a pure-numpy
+    reference on the same data, init, and iteration schedule: identical
+    cluster sizes and inertia to float tolerance."""
+    import numpy as np
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    k, iters = 8, 3
+    cents = m[:k].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        nxt = cents.copy()
+        for j in range(k):
+            if (cl == j).any():
+                nxt[j] = m[cl == j].mean(axis=0)
+        cents = nxt
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    ref = {
+        j: (int((cl == j).sum()), float(d2.min(axis=1)[cl == j].sum()))
+        for j in range(k)
+        if (cl == j).any()
+    }
+
+    got = {
+        r.cluster: (r.n_vecs, r.inertia)
+        for r in all_queries()["q_kmeans"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(ref)
+    for j, (n, inertia) in ref.items():
+        assert got[j][0] == n, (j, got[j], (n, inertia))
+        assert abs(got[j][1] - inertia) < 1e-4 * max(1.0, abs(inertia))
