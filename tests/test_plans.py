@@ -6,6 +6,7 @@ sf0.001 (plan shape is scale-independent)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark import all_queries
 
@@ -215,3 +216,36 @@ def test_bucket_join_has_no_join_side_exchange_or_sort(plans):
     assert "SortMergeJoin" in final, final
     assert final.count("Exchange") == 1, final
     assert "Sort " not in final.replace("SortMergeJoin", "SMJ"), final
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Runtime row-level filtering, the shuffle-join sibling of DPP: a
+    selective dim filter becomes a bloom filter built on the dim side and
+    applied to the fact scan BEFORE its shuffle, so non-joining fact rows
+    never cross the wire. Thresholds gate it to genuinely-large plans in
+    production; the test lowers them to make the injection visible at test
+    scale (and disables broadcast, which would otherwise subsume it)."""
+    from data_pipeline_aws_spark.tables import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+        p = table(spark, sf_dir, "part").where(F.col("p_size") == 1).select("p_partkey")
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
