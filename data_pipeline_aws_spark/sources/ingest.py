@@ -421,3 +421,66 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # standard 128 MB output-file goal
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str) -> int:
+    """Small-file compaction: rewrite a fragmented parquet prefix into
+    ceil(bytes / 128 MB) files. Returns the output file count.
+
+    The repartition count comes from the actual byte size, not a guess — the
+    one-shuffle rewrite is the standard maintenance job that keeps scan task
+    counts (and S3 LIST/GET amplification) proportional to data volume
+    instead of arrival granularity."""
+    n_out = max(1, -(-_dir_bytes(src) // COMPACT_TARGET_BYTES))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    return n_out
+
+
+@query(
+    "q_compact",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4)     AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round-trip: events fragmented into 200 arrival-grain files
+    (the event-per-trigger landing pattern), compacted to size-targeted
+    files, read back and aggregated — the oracle proves the rewrite is
+    content-lossless, and tests/test_sources_sinks.py asserts the file-count
+    collapse. A 100 TB table landed by per-event triggers degrades every
+    scan with task-per-tiny-file overhead; scheduled compaction is the fix,
+    and because it is a pure rewrite it can run concurrently with readers
+    (writers park output in a temp dir and swap)."""
+    frag = _cache_dir("frag_events", sf_dir)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).repartition(200).write.mode("overwrite").parquet(frag)
+    compacted = _cache_dir("compacted_events", sf_dir)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        compact_parquet(spark, frag, compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

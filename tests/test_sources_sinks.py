@@ -44,3 +44,18 @@ def test_partitioned_parquet_sink_and_pruning(spark, sf_dir, tmp_path):
     # filter, not a data filter
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    import glob
+    import os
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.sources.ingest import _cache_dir
+
+    all_queries()["q_compact"](spark, sf_dir).collect()
+    frag = glob.glob(os.path.join(_cache_dir("frag_events", sf_dir), "*.parquet"))
+    comp = glob.glob(os.path.join(_cache_dir("compacted_events", sf_dir), "*.parquet"))
+    assert len(frag) == 200
+    # tiny fixture → well under one 128 MB target file
+    assert len(comp) == 1
