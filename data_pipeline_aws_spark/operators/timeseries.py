@@ -203,3 +203,53 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+WITH r AS (
+  SELECT date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id)       AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT)            AS n_events,
+       MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+       MAX(value)                          AS high,
+       MIN(value)                          AS low,
+       MAX(CASE WHEN rn_last = 1 THEN value END)  AS close
+FROM r
+GROUP BY bucket
+""",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the hypertable/candlestick rollup): per hour
+    bucket, the opening value, high, low, and closing value — the standard
+    time-series compression that turns raw ticks into chart-grain bars.
+
+    Open/close are deterministic under the total (ts, event_id) order, found
+    with two row_number windows over the SAME bucket partitioning (one
+    exchange, two sorts) and folded in the same aggregation as high/low/count
+    — one scan, one shuffle total. Per-bucket state is O(1), so bar width
+    (hour → minute → second) trades output rows, never memory."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts")
+    w_first = Window.partitionBy(bucket).orderBy("ts", "event_id")
+    w_last = Window.partitionBy(bucket).orderBy(F.desc("ts"), F.desc("event_id"))
+    r = e.select(
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+    )

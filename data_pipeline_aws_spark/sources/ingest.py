@@ -484,3 +484,48 @@ def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                       AS n_events,
+       CAST(COUNT(session_bucket) AS BIGINT)          AS n_with_bucket,
+       CAST(COALESCE(SUM(session_bucket), 0) AS BIGINT) AS bucket_sum
+FROM (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 1 THEN event_id % 16 END AS session_bucket
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on a landed table: generation 1 files lack
+    the `session_bucket` column, generation 2 (odd event_ids) carries it.
+    Read back with `mergeSchema` — old files surface NULL for the new column,
+    new files their values, and the unified schema needs no rewrite of
+    history. The only schema change a 100 TB append-only table can afford is
+    exactly this additive widen; renames/narrowing force a full rewrite.
+    mergeSchema is a footer-only merge pass (one tiny task per file footer,
+    no data read) — fine as an explicit opt-in here, while production
+    catalogs pin the merged schema in the metastore instead of re-deriving
+    it per query."""
+    out = _cache_dir("schema_evo_events", sf_dir)
+    if not os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
+        e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        e.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            os.path.join(out, "gen1")
+        )
+        e.where(F.col("event_id") % 2 == 1).withColumn(
+            "session_bucket", (F.col("event_id") % 16).cast("long")
+        ).write.mode("overwrite").parquet(os.path.join(out, "gen2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("session_bucket").alias("n_with_bucket"),
+        F.coalesce(F.sum("session_bucket"), F.lit(0)).alias("bucket_sum"),
+    )
