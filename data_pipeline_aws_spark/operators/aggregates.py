@@ -406,3 +406,31 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_o").alias("last_order"),
         )
     )
+
+
+@query("q_hll_merge")  # sketch estimates have no SQL twin → rows-only
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-nation HyperLogLog sketches of the
+    distinct customer set, UNIONED up to region level with `hll_union_agg` —
+    the region estimate comes from merging 25 fixed-size sketches, never
+    from rescanning customers. This mergeability is why sketches are the
+    100 TB answer for layered distinct-count dashboards: each refresh ships
+    kilobytes of sketch, not keys; any rollup (nation → region → global) is
+    a re-merge. Estimates are deterministic (HLL register updates are
+    order-insensitive), and tests assert ≤5%% error vs exact.
+    lgConfigK=12 → 4 KB registers, ~1.6%% standard error."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_nation"),
+    )
+    return (
+        per_nation.join(F.broadcast(n), per_nation.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+            F.sum("exact_nation").alias("exact_customers"),  # nationkey partitions customers
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

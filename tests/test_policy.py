@@ -25,10 +25,11 @@ def test_no_row_at_a_time_udf():
 
 
 def test_no_unbounded_collect_in_operators():
-    """`.collect()` in operator code must be bounded model state (IVF
-    centroids; the streaming sentinel's 1-row max-ts aggregate) — never a
-    data-path verb."""
-    allowed = {"similarity.py", "inspect.py", "jobs.py"}
+    """`.collect()` in operator code must be bounded model state (IVF /
+    k-means centroids; the streaming sentinel's 1-row max-ts aggregate;
+    ingest's distinct-partition-value listing for targeted rewrites) — never
+    a data-path verb."""
+    allowed = {"similarity.py", "inspect.py", "jobs.py", "ingest.py"}
     offenders = [
         path
         for path, text in _sources().items()

@@ -138,3 +138,14 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     for j, (n, inertia) in ref.items():
         assert got[j][0] == n, (j, got[j], (n, inertia))
         assert abs(got[j][1] - inertia) < 1e-4 * max(1.0, abs(inertia))
+
+
+def test_hll_merge_estimates_within_error_bound(spark, sf_dir):
+    """Merged region-level HLL estimates must track the exact distinct count
+    within the sketch's error envelope (lgConfigK=12 → ~1.6% σ; assert 5%)."""
+    from data_pipeline_aws_spark import all_queries
+
+    for r in all_queries()["q_hll_merge"](spark, sf_dir).collect():
+        assert r.exact_customers > 0
+        rel = abs(r.approx_customers - r.exact_customers) / r.exact_customers
+        assert rel <= 0.05, (r.n_regionkey, r.approx_customers, r.exact_customers)
