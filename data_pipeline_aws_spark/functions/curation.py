@@ -186,3 +186,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH thr AS (SELECT quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem)
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_extendedprice > p99) AS BIGINT) AS n_clipped,
+       ROUND(SUM(l_extendedprice), 2)                                AS rev_raw,
+       ROUND(SUM(LEAST(l_extendedprice, p99)), 2)                    AS rev_winsorized
+FROM lineitem, thr
+GROUP BY l_returnflag
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: cap the value column at its global p99 so a handful of
+    extreme rows can't own a mean — the standard robust-aggregation step
+    before any per-group average is trusted. The threshold is a 1-row
+    broadcast (exact interpolated percentile here; `percentile_approx`'s
+    mergeable sketch at 100 TB — same plan, sketchable partials), so the
+    clip itself is map-only and the whole query is one scan + one 1-row
+    exchange + one group shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    thr = li.agg(F.expr("percentile(l_extendedprice, 0.99)").alias("p99"))
+    return (
+        li.crossJoin(F.broadcast(thr))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_extendedprice") > F.col("p99"), 1)).alias(
+                "n_clipped"
+            ),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev_raw"),
+            F.round(F.sum(F.least("l_extendedprice", F.col("p99"))), 2).alias(
+                "rev_winsorized"
+            ),
+        )
+    )

@@ -410,3 +410,45 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("dup_frac"),
         (dup <= 0.2).alias("keep"),
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, text[i.i : i.i] AS c
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) i
+  WHERE len(text) > 0
+),
+freq AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT)                               AS n_chars,
+       CAST(COUNT(*) AS BIGINT)                               AS n_distinct_chars,
+       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 4) AS entropy_nats
+FROM freq
+GROUP BY doc_id
+""",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the Gopher-class
+    quality signal that separates natural text (≈ 3 nats) from boilerplate,
+    base64 blobs, and keyboard mash. Computed as ln(n) − Σ cnt·ln(cnt) / n
+    over per-char counts: one explode + one (doc, char) aggregation + one doc
+    aggregation, all partial-agg combined map-side, so the shuffle carries
+    ≤ |alphabet| rows per doc — at 100 TB this is the cheap screen that runs
+    BEFORE any model-based scoring."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", ""), lambda c: c != F.lit(""))).alias("c")
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(
+            F.log(F.sum("cnt")) - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"), 4
+        ).alias("entropy_nats"),
+    )

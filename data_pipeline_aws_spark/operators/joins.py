@@ -906,3 +906,54 @@ def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("n_waiting_orders"))
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_1995
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_2001
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2001 GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey)        AS custkey,
+       COALESCE(n_1995, 0)                       AS n_1995,
+       COALESCE(n_2001, 0)                       AS n_2001,
+       CASE WHEN a.o_custkey IS NULL THEN 'new'
+            WHEN b.o_custkey IS NULL THEN 'churned'
+            ELSE 'retained' END                  AS cohort
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the cohort-comparison verb: customers active in
+    1995 vs 2001, keeping rows unmatched on EITHER side (churned vs new vs
+    retained). Both inputs are pre-aggregated to one row per customer before
+    the join, so the full-outer shuffle carries |customers|, not |orders|;
+    at scale both sides hash-partition on the key and the join is a plain
+    SMJ/SHJ — full outer just disables both-side pruning, which is why it
+    must sit ABOVE the aggregates, never below."""
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_1995"))
+    )
+    b = (
+        o.where(F.year("o_orderdate") == 2001)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_2001"))
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+        F.coalesce("n_2001", F.lit(0)).alias("n_2001"),
+        F.when(F.col("a.o_custkey").isNull(), "new")
+        .when(F.col("b.o_custkey").isNull(), "churned")
+        .otherwise("retained")
+        .alias("cohort"),
+    )
