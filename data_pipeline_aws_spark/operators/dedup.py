@@ -87,21 +87,40 @@ WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
 
 def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard for all shared-shingle pairs, or only for the
-    given (d1, d2) candidate pairs."""
+    given (d1, d2) candidate pairs.
+
+    With candidates, the intersection join is RESTRICTED BEFORE counting:
+    d1's shingles fan out only to its candidate partners, then equi-join d2's
+    shingles on (d2, shingle) — cost O(|candidates| · shingles/doc), not the
+    full shared-shingle blow-up. Verifying after the full inverted-index join
+    would redo all the work LSH banding exists to avoid."""
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+        probe = candidates.join(
+            a, F.col("d1") == F.col("a.doc_id")
+        ).select("d1", "d2", F.col("a.shingle").alias("sh1"))
+        inter = (
+            probe.join(
+                b,
+                (F.col("d2") == F.col("b.doc_id"))
+                & (F.col("sh1") == F.col("b.shingle")),
+                "left_semi",
+            )
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     jac = F.col("n_common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
