@@ -168,17 +168,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(shingles(spark, sf_dir))
 
 
-@query("q_dedup_minhash", oracle=_SHINGLE_SQL)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dedup — the 100 TB scale path.
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs from a (doc_id, shingle) relation.
 
-    32 minhashes per doc (murmur3 seeded by hash-column position), banded as
-    16 bands × 2 rows; candidate pairs collide on (band, band-signature) and
-    only candidates get exact Jaccard verification. Detection probability at
-    the planted-duplicate similarity (~0.9+) is 1-(1-0.81)^16 ≈ 1-1e-12, so
-    the verified output equals q_dedup_ngram's exact result — same oracle.
-    """
-    sh = shingles(spark, sf_dir)
+    32 minhashes per doc, banded 16×2; a pair is a candidate iff some band's
+    signature collides. Detection probability at the planted-duplicate
+    similarity (~0.9+) is 1-(1-0.81)^16 ≈ 1-1e-12."""
     n_hashes, rows_per_band = 32, 2
     # All 32 minhashes in ONE aggregation pass: min(hash(seed_i, shingle)) as
     # 32 parallel agg columns. Shuffles |shingle-pairs| rows once — the
@@ -203,7 +198,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = band.alias("a")
     b = band.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -213,7 +208,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    return _exact_jaccard_pairs(sh, candidates)
+
+
+@query("q_dedup_minhash", oracle=_SHINGLE_SQL)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dedup — the 100 TB scale path.
+
+    All 32 minhashes come from ONE aggregation pass (32 parallel min-agg
+    columns — the seed-join formulation shuffles 32× the shingle table and
+    is exactly what this avoids); band signatures collide candidates, and
+    only candidates get exact Jaccard verification (restricted BEFORE
+    intersection counting, see _exact_jaccard_pairs). The verified output
+    equals q_dedup_ngram's exact result — same oracle."""
+    sh = shingles(spark, sf_dir)
+    return _exact_jaccard_pairs(sh, _lsh_candidates(sh))
 
 
 @query("q_dedup_simhash")  # murmur3-based sketch → deterministic rows-only
@@ -447,7 +455,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round so the plan doesn't grow with iterations — the standard Spark
     pattern for iterative graph algorithms at scale. The oracle computes the
     same components with a recursive-CTE transitive closure."""
-    pairs = _exact_jaccard_pairs(shingles(spark, sf_dir)).select("d1", "d2")
+    sh = shingles(spark, sf_dir)
+    # LSH-candidate pruning before exact verification — same pairs as the
+    # full inverted-index join w.p. 1-1e-12 (q_dedup_minhash's argument),
+    # at O(candidates) verify cost; the recursive-CTE oracle recomputes the
+    # exact pair graph from scratch and must agree.
+    pairs = _exact_jaccard_pairs(sh, _lsh_candidates(sh)).select("d1", "d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst")
