@@ -188,6 +188,49 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_global_percentile(df: DataFrame, col: str, q: float) -> DataFrame:
+    """EXACT interpolated global percentile as a 1-row DataFrame, computed by
+    sketch-bracketed selection instead of Spark's `percentile` aggregate.
+
+    `percentile` is exact but builds a value→count hashmap over every
+    distinct value per partition and merges them single-threaded — 2× the
+    whole query's runtime at sf0.1, and O(distinct values) memory, which is
+    the thing that falls over on a high-cardinality column at 100 TB. This
+    helper gets the same bit-exact answer from two constant-memory passes:
+
+    1. GK sketch pass: `approx_percentile(q ± 5/acc, acc)` brackets [lo, hi].
+       The sketch's rank error is ≤ n/acc, so the true rank-(n-1)·q order
+       statistics provably land inside the bracket (5× margin).
+    2. Selection pass: count(x < lo) pins the bracket's global rank offset;
+       the ≤ 10·n/acc in-bracket values fit one sorted in-row array, and
+       element_at picks the two order statistics that `percentile` would
+       interpolate between — same (n-1)·q linear interpolation, same double.
+
+    Both passes are mergeable map-side partials (no per-value state), so the
+    plan scales to any row count; at extreme n, raise `acc` or re-bracket
+    recursively to keep the pass-2 array bounded."""
+    acc = 10_000
+    d = 5.0 / acc
+    s1 = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile({col}, {q - d}, {acc})").alias("lo"),
+        F.expr(f"approx_percentile({col}, {q + d}, {acc})").alias("hi"),
+    )
+    x = F.col(col)
+    s2 = df.crossJoin(F.broadcast(s1)).agg(
+        F.first("n").alias("n"),
+        F.sum(F.when(x < F.col("lo"), 1).otherwise(0)).alias("below"),
+        F.sort_array(
+            F.collect_list(F.when((x >= F.col("lo")) & (x <= F.col("hi")), x))
+        ).alias("vals"),
+    )
+    r = (F.col("n") - 1) * F.lit(q)
+    k1, k2 = F.floor(r), F.ceil(r)
+    v1 = F.element_at("vals", (k1 - F.col("below") + 1).cast("int"))
+    v2 = F.element_at("vals", (k2 - F.col("below") + 1).cast("int"))
+    return s2.select((v1 + (r - k1) * (v2 - v1)).alias(f"p{int(q * 100)}"))
+
+
 @query(
     "q_winsorize",
     oracle="""
@@ -204,12 +247,11 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization: cap the value column at its global p99 so a handful of
     extreme rows can't own a mean — the standard robust-aggregation step
     before any per-group average is trusted. The threshold is a 1-row
-    broadcast (exact interpolated percentile here; `percentile_approx`'s
-    mergeable sketch at 100 TB — same plan, sketchable partials), so the
-    clip itself is map-only and the whole query is one scan + one 1-row
-    exchange + one group shuffle."""
+    broadcast (exact via sketch-bracketed selection, see
+    _exact_global_percentile), so the clip itself is map-only and the whole
+    query is two cheap stat scans + one group shuffle."""
     li = table(spark, sf_dir, "lineitem")
-    thr = li.agg(F.expr("percentile(l_extendedprice, 0.99)").alias("p99"))
+    thr = _exact_global_percentile(li, "l_extendedprice", 0.99)
     return (
         li.crossJoin(F.broadcast(thr))
         .groupBy("l_returnflag")

@@ -288,16 +288,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the training loop q_sim_ivf's "trained model" comes from.
 
     Per iteration: (1) ASSIGN is map-only — the K×64 centroid matrix is
-    closure-broadcast into a mapInPandas pass that emits each vector's
-    nearest cluster plus its exploded (dim, value) pairs, one numpy matmul
-    per Arrow batch, no shuffle; (2) UPDATE is one partial-agg shuffle of
-    (cluster, dim) cells — O(K·D·partitions) wire volume regardless of
-    corpus size — after which the bounded K×D model returns to the driver
-    (the legal bounded collect: model state, not data). That
-    map-assign/reduce-update split is exactly how k-means scales to 100 TB;
-    init is the first K vectors (deterministic), and
+    closure-broadcast into a mapInPandas pass, one numpy distance matrix per
+    Arrow batch, no shuffle; (2) the UPDATE partials are combined INSIDE the
+    batch (per-cluster sum vector + count via np.add.at), so each batch
+    emits at most K×D cells no matter how many vectors it holds — the
+    Arrow transfer and shuffle carry O(K·D·batches), not O(N·D), which is
+    the 64× difference between shipping the model and re-shipping the
+    corpus every iteration. The bounded K×D model then returns to the
+    driver (the legal bounded collect: model state, not data). That
+    map-assign/combine-update split is exactly how k-means scales to
+    100 TB; init is the first K vectors (deterministic), and
     tests/test_properties.py replays the same schedule in pure numpy and
-    requires identical assignments and near-identical inertia."""
+    requires identical cluster sizes and near-identical inertia."""
     import numpy as np
 
     k, iters, dim = 8, 3, 64
@@ -305,33 +307,38 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
 
-    def make_assign(c):
-        def assign(batches):
+    def _assign(c, pdf):
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return m, d2.argmin(axis=1), d2.min(axis=1)
+
+    def make_update(c):
+        def update(batches):
             import pandas as pd
 
             for pdf in batches:
-                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                cl = d2.argmin(axis=1)
-                n = len(pdf)
+                m, cl, _ = _assign(c, pdf)
+                sums = np.zeros((k, dim))
+                cnts = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, cl, m)
+                np.add.at(cnts, cl, 1)
+                kk = np.nonzero(cnts > 0)[0]
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf["vec_id"].to_numpy().repeat(dim),
-                        "cluster": cl.astype("int32").repeat(dim),
-                        "dim": np.tile(np.arange(dim, dtype="int32"), n),
-                        "x": m.reshape(-1),
-                        "d2": d2.min(axis=1).repeat(dim),
+                        "cluster": kk.astype("int32").repeat(dim),
+                        "dim": np.tile(np.arange(dim, dtype="int32"), len(kk)),
+                        "s": sums[kk].reshape(-1),
+                        "cnt": cnts[kk].repeat(dim),
                     }
                 )
 
-        return assign
+        return update
 
-    schema = "vec_id long, cluster int, dim int, x double, d2 double"
     for _ in range(iters):
-        cells = e.mapInPandas(make_assign(cents.copy()), schema)
+        cells = e.mapInPandas(make_update(cents.copy()), "cluster int, dim int, s double, cnt long")
         new = (
             cells.groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("c"))
+            .agg((F.sum("s") / F.sum("cnt")).alias("c"))
             .collect()
         )
         nxt = cents.copy()  # empty clusters keep their previous centroid
@@ -339,12 +346,23 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt[r.cluster, r.dim] = r.c
         cents = nxt
 
-    final = e.mapInPandas(make_assign(cents.copy()), schema)
-    return (
-        final.where(F.col("dim") == 0)
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("d2"), 4).alias("inertia"),
-        )
+    def make_final(c):
+        def fin(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                _, cl, best = _assign(c, pdf)
+                cnts = np.bincount(cl, minlength=k)
+                sd2 = np.bincount(cl, weights=best, minlength=k)
+                kk = np.nonzero(cnts > 0)[0]
+                yield pd.DataFrame(
+                    {"cluster": kk.astype("int32"), "n": cnts[kk], "sd2": sd2[kk]}
+                )
+
+        return fin
+
+    final = e.mapInPandas(make_final(cents.copy()), "cluster int, n long, sd2 double")
+    return final.groupBy("cluster").agg(
+        F.sum("n").alias("n_vecs"),
+        F.round(F.sum("sd2"), 4).alias("inertia"),
     )
