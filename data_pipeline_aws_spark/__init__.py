@@ -31,6 +31,7 @@ def load_all() -> None:
         aggregates,
         analytic,
         dedup,
+        graph,
         joins,
         nested,
         quality,

@@ -434,3 +434,42 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS total FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * 1000 >= 8 * (SELECT total FROM n)
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (users with ≥ 0.8% of all events) via a one-pass
+    Misra-Gries screen plus an exact verification pass — the same
+    sketch-prunes/exact-verifies shape as MinHash-LSH dedup.
+
+    Pass 1: `df.stat.freqItems` (Misra-Gries summaries merged across
+    partitions) returns a GUARANTEED SUPERSET of every key above the support
+    threshold, at O(1/support) counters per partition — no shuffle of the
+    full key space. Pass 2 re-counts ONLY those ≤ 1/support candidate keys
+    (an in-filter the scan pushes down) and applies the exact threshold.
+    At 100 TB the difference is shuffling a bounded candidate set versus
+    group-counting every distinct key just to discard 99.9% of them.
+    The threshold compare is pure int64 (count·1000 ≥ 8·total) — no float
+    boundary for the oracle to disagree on. Output is exact, so candidate
+    false positives from the sketch never surface."""
+    e = table(spark, sf_dir, "events")
+    support = 0.007  # screen strictly below the 0.8% keep threshold
+    candidates = e.select("user_id").stat.freqItems(["user_id"], support).first()[0]
+    total = e.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        e.where(F.col("user_id").isin([int(c) for c in candidates]))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * 1000 >= 8 * F.col("total"))
+        .select("user_id", "n_events")
+    )

@@ -1,0 +1,124 @@
+"""Graph operators: PageRank over the customer↔supplier trade graph.
+
+The other graph operator in the engine is connected components
+(`operators/dedup.py::q_dedup_clusters`, min-label propagation); this module
+holds the rank-propagation side of the family.
+
+Reference parity: the declared-but-empty Glue ETL job
+(`/root/reference/Hoth/FHIR/glue/etl_script.py`, 0 bytes; job declared at
+`/root/reference/Hoth/FHIR/cloudformations/lambda-stack.yml:11-21`) commits
+to PySpark transformations over an "orders" domain; entity-importance
+ranking over the order graph is the canonical iterative-analytics extension,
+and FHIR data (Patient↔Practitioner↔Organization references) is itself a
+graph domain.
+
+Scale notes (100 TB):
+- The rank vector is O(nodes) and STAYS DISTRIBUTED — only bounded model
+  state may ever reach the driver (contrast q_kmeans' K×D collect). Each
+  iteration is one join + one partial-agg shuffle keyed on node id.
+- A fixed iteration count unrolls into a LINEAR chain of join→agg stages;
+  each stage consumes the previous stage's shuffle output exactly once, so
+  nothing is recomputed and no per-iteration checkpoint is needed (an
+  open-ended convergence loop would localCheckpoint like q_dedup_clusters).
+- The edge list with out-degrees attached is localCheckpoint'ed once and
+  re-read from executor storage every iteration instead of re-running the
+  lineitem⋈orders build 3×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+_DAMPING = 0.85
+_ITERS = 3
+
+
+@query(
+    "q_pagerank",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 45
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+r0 AS (SELECT node, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+r1 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT nn FROM n) + 0.85 * SUM(r0.pr / deg.deg) AS pr
+  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT nn FROM n) + 0.85 * SUM(r1.pr / deg.deg) AS pr
+  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT nn FROM n) + 0.85 * SUM(r2.pr / deg.deg) AS pr
+  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.node
+  GROUP BY e.dst
+)
+SELECT node, ROUND(pr * (SELECT nn FROM n), 4) AS pr_norm
+FROM r3
+""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the undirected bipartite
+    customer↔supplier graph of high-volume trades (distinct partners on
+    line items with l_quantity ≥ 45).
+
+    Node ids are 'c<custkey>' / 's<suppkey>' — the two key spaces overlap
+    numerically and must not collide. Every node has degree ≥ 1 by
+    construction (undirected edges), so there is no dangling-mass term.
+    Output is the rank normalized to mean 1.0 (pr · N) rounded to 4
+    decimals — raw ranks are O(1/N) and would drown in rounding; the
+    normalized value is scale-free and safe against cross-engine
+    float-summation-order jitter (~1e-12 relative). The oracle unrolls the
+    same 3 iterations as chained CTEs."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    e0 = (
+        li.where(F.col("l_quantity") >= 45)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg(src)) — built once, re-read from executor storage each
+    # iteration instead of re-running the lineitem⋈orders build per pass.
+    out = edges.join(deg, "src").localCheckpoint()
+    nodes = out.select(F.col("src").alias("node")).distinct()
+    # N is a bounded scalar (node count); keep it as a 1-row broadcast so the
+    # plan stays fully declarative — no driver round-trip mid-plan.
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(_ITERS):
+        contribs = (
+            out.join(r, out.src == r.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+        )
+        r = contribs.crossJoin(F.broadcast(nn)).select(
+            "node",
+            (
+                F.lit(1 - _DAMPING) / F.col("nn") + F.lit(_DAMPING) * F.col("mass")
+            ).alias("pr"),
+        )
+    return r.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.col("pr") * F.col("nn"), 4).alias("pr_norm")
+    )

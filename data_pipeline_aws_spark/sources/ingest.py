@@ -584,3 +584,78 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+_ZBITS = 15  # covers l_partkey (< 2^15 at sf ≤ 1) and l_suppkey interleaved
+
+_Z_TERMS_SQL = " | ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i}) | (((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZBITS)
+)
+
+
+def _zval_col() -> F.Column:
+    """30-bit Morton (z-order) key: bit-interleave of (l_partkey, l_suppkey).
+
+    Pure shift/mask arithmetic — whole-stage-codegen'd JVM expressions, no
+    UDF anywhere near the hot path."""
+    z = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("l_partkey"), i).bitwiseAND(1), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("l_suppkey"), i).bitwiseAND(1), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+WITH z AS (
+  SELECT ({_Z_TERMS_SQL}) AS zval, l_quantity FROM lineitem
+)
+SELECT CAST(zval >> 16 AS BIGINT)  AS zbucket,
+       CAST(COUNT(*) AS BIGINT)   AS n_items,
+       CAST(SUM(zval) AS BIGINT)  AS zsum,
+       ROUND(SUM(l_quantity), 2)  AS sum_qty
+FROM z GROUP BY zbucket
+""",
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: rewrite lineitem range-partitioned
+    and sorted by the bit-interleaved (l_partkey, l_suppkey) key, so a scan
+    filtered on EITHER dimension prunes most files from parquet row-group
+    min/max stats alone — the multi-dimensional generalization of sort-by-
+    one-column clustering (Delta/Iceberg OPTIMIZE ZORDER does exactly this;
+    here it is plain repartitionByRange + sortWithinPartitions, no custom
+    writer). The curve key is pure shift/mask codegen arithmetic.
+
+    At 100 TB the layout job is one range shuffle — the same shape as
+    q_compact — and pays for itself by turning every subsequent
+    two-predicate scan into a file-pruned scan. The oracle recomputes the
+    curve key in SQL and checks the rewrite is content-lossless;
+    tests/test_sources_sinks.py asserts the actual layout property
+    (per-file bounding boxes over both dimensions collapse vs. the
+    unclustered baseline)."""
+    out = _cache_dir("zorder_lineitem", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+            .withColumn("zval", _zval_col())
+            .repartitionByRange(16, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    # SUM(zval) is an exact integer checksum of every curve key — the oracle
+    # recomputes it in SQL, so a single wrong bit anywhere fails the hash.
+    return back.groupBy(
+        F.shiftright("zval", 16).cast("long").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("zval").alias("zsum"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

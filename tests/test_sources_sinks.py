@@ -59,3 +59,41 @@ def test_compaction_collapses_file_count(spark, sf_dir):
     assert len(frag) == 200
     # tiny fixture → well under one 128 MB target file
     assert len(comp) == 1
+
+
+def test_zorder_layout_tightens_per_file_bounding_boxes(spark, sf_dir):
+    """Z-order clustering must give each output file a small bounding box
+    over BOTH interleaved dimensions — that box is what parquet row-group
+    min/max stats expose to scan pruning. Require the mean per-file box
+    area under 15% of the full (partkey × suppkey) domain; an unclustered
+    layout leaves every file at ~100%."""
+    import glob
+    import os
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.sources.ingest import _cache_dir
+
+    all_queries()["q_zorder"](spark, sf_dir).collect()
+    files = glob.glob(os.path.join(_cache_dir("zorder_lineitem", sf_dir), "*.parquet"))
+    assert len(files) > 4, files
+
+    li = table(spark, sf_dir, "lineitem")
+    dom = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
+    ).first()
+    domain_area = dom.dp * dom.ds
+
+    areas = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
+            )
+            .first()
+        )
+        areas.append(r.dp * r.ds)
+    mean_frac = sum(areas) / len(areas) / domain_area
+    assert mean_frac < 0.15, (mean_frac, sorted(areas))
