@@ -452,3 +452,79 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("cnt")) - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"), 4
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "q_vocab_oov",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                 AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+bg AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bg
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+vocab AS (
+  SELECT bg FROM (
+    SELECT bg, ROW_NUMBER() OVER (ORDER BY c DESC, bg) AS rn FROM cnt
+  ) WHERE rn <= 256
+),
+per_doc AS (
+  SELECT bg.doc_id,
+         COUNT(*) AS n_bg,
+         SUM(CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM bg LEFT JOIN vocab v USING (bg)
+  GROUP BY bg.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_oov AS DOUBLE) / n_bg), 6) AS avg_oov_rate
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY lang
+""",
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + out-of-vocabulary audit: take the top-256 token
+    bigrams by corpus frequency (ties broken lexically) as the vocab, then
+    measure each document's OOV occurrence rate and average it per language
+    — the coverage check run before committing to a tokenizer vocab.
+
+    The vocab selection is orderBy+limit — TakeOrderedAndProject keeps a
+    256-element heap per partition and merges heaps, NOT a global
+    single-partition window sort (the row_number-over-everything form
+    funnels every distinct term through one task at 100 TB). The bounded
+    vocab then broadcasts into the occurrence join, so the corpus-side
+    bigram stream is never shuffled for membership — its only shuffle is
+    the per-doc rollup."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bgs = F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    b = d.select("doc_id", "lang", F.explode(bgs).alias("bg"))
+    vocab = (
+        b.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(256)
+        .select("bg", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        b.join(F.broadcast(vocab), "bg", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_oov").cast("double") / F.col("n_bg")), 6).alias(
+            "avg_oov_rate"
+        ),
+    )

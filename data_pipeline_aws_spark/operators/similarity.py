@@ -366,3 +366,71 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_vecs"),
         F.round(F.sum("sd2"), 4).alias("inertia"),
     )
+
+
+@query(
+    "q_quantize",
+    oracle="""
+WITH d AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY i),
+q AS (
+  SELECT vec_id, x, mn, mx,
+         ROUND((x - mn) / (mx - mn) * 255) AS code
+  FROM d JOIN st USING (i)
+)
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       ROUND(AVG(ABS(x - (mn + code / 255 * (mx - mn)))), 6) AS recon_err
+FROM q GROUP BY vec_id
+""",
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (per-dimension
+    min/max bounds, 256 levels) plus reconstruction-error audit — the
+    4×-compression step an ANN index applies before storing vectors (FAISS
+    SQ8 shape).
+
+    The trained bounds are one 2×64-value stats pass — 128 parallel min/max
+    agg columns over element_at, map-side mergeable partials, NO explode (the
+    posexplode form shuffles corpus×dim rows; this shuffles O(partitions))
+    — broadcast back as two 1-row arrays. Encode, decode, and the error fold
+    are zip_with/aggregate chains: vectors never leave Tungsten rows and the
+    quantization itself is map-only, which is the whole point — at 100 TB
+    the codes are written where the vectors live, no shuffle anywhere.
+    Output is an exact integer code checksum per vector (any wrong code
+    fails the oracle hash) and the mean absolute reconstruction error."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dim = 64
+    stats = e.agg(
+        F.array(*[F.min(F.element_at("emb", i + 1)) for i in range(dim)]).alias("mns"),
+        F.array(*[F.max(F.element_at("emb", i + 1)) for i in range(dim)]).alias("mxs"),
+    )
+    with_stats = e.crossJoin(F.broadcast(stats))
+    spans = F.zip_with("mxs", "mns", lambda hi, lo: hi - lo)
+    codes = F.zip_with(
+        F.zip_with("emb", "mns", lambda x, lo: x - lo),
+        spans,
+        lambda c, s: F.round(c / s * 255),
+    )
+    recon = F.zip_with(
+        F.zip_with(codes, spans, lambda code, s: code / 255 * s),
+        F.col("mns"),
+        lambda r, lo: r + lo,
+    )
+    abs_err = F.zip_with("emb", recon, lambda x, r: F.abs(x - r))
+    return with_stats.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0.0), lambda acc, c: acc + c)
+        .cast("long")
+        .alias("code_sum"),
+        F.round(
+            F.aggregate(abs_err, F.lit(0.0), lambda acc, v: acc + v) / dim, 6
+        ).alias("recon_err"),
+    )
