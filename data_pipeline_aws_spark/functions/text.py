@@ -12,7 +12,7 @@ weights are rounded (libm ulp differences).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -527,4 +527,118 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_oov").cast("double") / F.col("n_bg")), 6).alias(
             "avg_oov_rate"
         ),
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c) AS total FROM freq)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)             AS n_tok,
+       ROUND(AVG(LN(CAST(c AS DOUBLE) / (SELECT total FROM tot))), 4) AS avg_logprob
+FROM tok JOIN freq USING (token)
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token log-probabilities on the
+    corpus itself, then score every document by its mean token log-prob —
+    the cheap stand-in for the perplexity filter every LLM data pipeline
+    runs (low avg log-prob ≡ high perplexity ≡ gibberish/boilerplate
+    candidates).
+
+    Train pass: one token groupBy (the model IS the unigram table — bounded
+    by vocab, not corpus). Score pass: the model broadcasts into the token
+    stream, so the corpus side is never shuffled for the lookup; its only
+    shuffle is the per-doc rollup. Two scans total, both aggregations
+    map-side partial — at 100 TB the model stays a few MB regardless."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("total"))
+    model = freq.crossJoin(F.broadcast(tot)).select(
+        "token", F.log(F.col("c") / F.col("total")).alias("lp")
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "q_seq_pack",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT CAST(FLOOR(start / 256) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY seq_id
+""",
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the corpus in doc_id order and cut it
+    into fixed 256-token training sequences; each document is assigned to
+    the sequence its global token offset starts in — the deterministic
+    batch-assembly step of an LLM training pipeline.
+
+    The global token offset is a DISTRIBUTED PREFIX SUM, not a global-order
+    window (Window.orderBy with no partitionBy funnels the whole corpus
+    into one task): range-partition by doc_id so partition index follows
+    key order, take each partition's token subtotal (one bounded row per
+    partition — the legal collect), prefix-sum those on the driver, and
+    broadcast the per-partition base offsets back into a partition-local
+    cumsum window. Every stage is distributed; the driver only ever sees
+    O(partitions) scalars. The oracle computes the same offsets with a
+    single ORDER BY cumsum window."""
+    n_parts, seq_len = 8, 256
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint()  # pin partitioning: pid must not be recomputed
+    subtotals = {
+        r.pid: r.s for r in d.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(subtotals) + 1):
+        offsets.append((pid, acc))
+        acc += subtotals.get(pid, 0)
+    base = spark.createDataFrame(offsets, "pid int, base long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("base") + F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.join(F.broadcast(base), "pid")
+        .withColumn("seq_id", F.floor(start / seq_len))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )

@@ -249,3 +249,35 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_candidate_filter_reaches_scan(plans):
+    # the freqItems candidate set must arrive at the parquet scan as an
+    # in-set data filter — the verify pass reads candidates, not the table
+    p = plans("q_heavy_hitters")
+    assert "INSET" in p or "In(user_id" in p, p
+
+
+def test_unigram_model_join_is_broadcast(plans):
+    # the bounded unigram model broadcasts; the corpus token stream must not
+    # be sort-merge-shuffled for the lookup
+    p = plans("q_unigram_logprob")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_seq_pack_window_is_partitioned(plans):
+    # the prefix-sum window runs partitioned by pid — a global-order window
+    # (empty partition spec) would funnel the corpus into one task
+    p = plans("q_seq_pack")
+    final = p.split("Initial Plan")[0]
+    assert "windowspecdefinition(pid" in final, final
+
+
+def test_quantize_is_map_only_after_stats(plans):
+    # encode/decode/error are per-row against broadcast bounds: the corpus
+    # side must reach the project with no exchange after its scan
+    p = plans("q_quantize")
+    final = p.split("Initial Plan")[0]
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final, final
