@@ -265,3 +265,71 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_mix_sources",
+    oracle="""
+WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+c AS (SELECT SUM(SQRT(n)) AS z, SUM(n) AS total FROM s),
+r AS (
+  SELECT source, n,
+         LEAST(CAST(1 AS DOUBLE),
+               0.4 * (SELECT total FROM c) * SQRT(n) / ((SELECT z FROM c) * n))
+           AS rate
+  FROM s
+),
+k AS (
+  SELECT d.source, r.n, r.rate,
+         CASE WHEN (d.doc_id * 2654435761) % 1000003 < rate * 1000003
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN r USING (source)
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT)      AS n_total,
+       CAST(SUM(kept) AS BIGINT)   AS n_sampled,
+       ROUND(MAX(rate), 6)         AS target_rate
+FROM k GROUP BY source
+""",
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (τ=2): resample the corpus so each
+    source's share is ∝ √(its size) under a 40% token budget — the
+    rebalancing step that keeps one giant crawl from drowning small
+    high-quality sources in a training mix.
+
+    Pass 1 is a bounded per-source stat table (broadcast — sources are
+    dozens, never data-scale). Pass 2 is a MAP-ONLY deterministic keep
+    decision: an integer LCG of doc_id against the source's rate — no
+    rand(), so the sample is replayable, resumable, and push-downable (the
+    filter is a pure expression of scan columns). √n weights instead of a
+    fractional power: IEEE sqrt is correctly rounded in every engine, so
+    the oracle's rates agree bit-for-bit where pow(n, 0.7) would drift
+    ulps. At 100 TB: one tiny agg + one map pass, zero data shuffles."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    c = s.agg(
+        F.sum(F.sqrt("n")).alias("z"), F.sum("n").cast("double").alias("total")
+    )
+    r = s.crossJoin(F.broadcast(c)).select(
+        "source",
+        "n",
+        F.least(
+            F.lit(1.0).cast("double"),
+            F.lit(0.4) * F.col("total") * F.sqrt("n") / (F.col("z") * F.col("n")),
+        ).alias("rate"),
+    )
+    kept = F.when(
+        (F.col("doc_id") * F.lit(_HASH_MULT)) % 1000003 < F.col("rate") * 1000003,
+        1,
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(r), "source")
+        .select("source", "n", "rate", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.max("rate"), 6).alias("target_rate"),
+        )
+    )
