@@ -30,6 +30,7 @@ def load_all() -> None:
     from data_pipeline_aws_spark.operators import (  # noqa: F401
         aggregates,
         analytic,
+        behavior,
         dedup,
         graph,
         joins,

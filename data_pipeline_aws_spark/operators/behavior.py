@@ -1,0 +1,317 @@
+"""Behavioral / product-analytics operators over the event stream: ordered
+conversion funnels, daily cohort retention, Markov transition matrices, and
+an A/B significance test.
+
+Reference parity: the declared-but-empty Glue ETL job
+(`/root/reference/Hoth/FHIR/glue/etl_script.py`, 0 bytes; job declared at
+`/root/reference/Hoth/FHIR/cloudformations/lambda-stack.yml:11-21`) commits
+to PySpark transformations over event-shaped data; funnel / retention /
+transition analysis is the canonical product-analytics layer every event
+pipeline grows.
+
+Scale notes (100 TB):
+- All four operators shuffle AT MOST ONCE on `user_id` and then reduce to a
+  bounded output (stages, cohort×offset grid, |event_types|² matrix, one
+  stats row). Nothing user-level ever reaches the driver.
+- The funnel's three cascading "first qualifying timestamp" columns are
+  three Window ops over the SAME partitioning — Catalyst reuses one
+  Exchange; no sort is needed because every frame is unbounded.
+- The A/B test converts money to integer cents BEFORE any aggregation:
+  per-user sums become exact BIGINTs, so group means/variances are derived
+  from order-independent integer sums and the t-statistic is bit-stable
+  regardless of partitioning (float summation order never enters).
+- The Markov matrix sorts each user's events once inside the `lead` window
+  (ts, event_id tiebreak → deterministic under equal timestamps), then
+  reduces to a |types|² table; the row-normalizing second window runs on
+  that bounded table, not on events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+# Conversion window between consecutive funnel stages.
+_FUNNEL_WINDOW = "INTERVAL 24 HOURS"
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_view
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts > first_view
+                   AND ts <= first_view + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS first_click
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > first_click
+                   AND ts <= first_click + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS first_purchase
+  FROM s2
+),
+agg AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_all,
+         CAST(COUNT(DISTINCT CASE WHEN first_view     IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+         CAST(COUNT(DISTINCT CASE WHEN first_click    IS NOT NULL THEN user_id END) AS BIGINT) AS n_click,
+         CAST(COUNT(DISTINCT CASE WHEN first_purchase IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase
+  FROM s3
+)
+SELECT '0_all' AS stage, n_all AS n_users FROM agg
+UNION ALL SELECT '1_view', n_view FROM agg
+UNION ALL SELECT '2_click', n_click FROM agg
+UNION ALL SELECT '3_purchase', n_purchase FROM agg
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase, each stage within
+    24 hours of the previous one: how many users ever complete the strictly
+    ordered sequence.
+
+    Three cascading unbounded-frame Window mins over ONE `user_id`
+    partitioning (single shuffle, Exchange reused across the Window ops),
+    then one global conditional count-distinct and a `stack` unpivot to the
+    4-row funnel. At 100 TB: one shuffle of (user_id, type, ts) triples,
+    bounded output."""
+    w = Window.partitionBy("user_id")
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    horizon = F.expr(_FUNNEL_WINDOW)
+    s = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view"))
+                    & (F.col("ts") <= F.col("first_view") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click"))
+                    & (F.col("ts") <= F.col("first_click") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    agg = s.agg(
+        F.countDistinct("user_id").alias("n_all"),
+        F.countDistinct(
+            F.when(F.col("first_view").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(F.col("first_click").isNotNull(), F.col("user_id"))
+        ).alias("n_click"),
+        F.countDistinct(
+            F.when(F.col("first_purchase").isNotNull(), F.col("user_id"))
+        ).alias("n_purchase"),
+    )
+    return agg.selectExpr(
+        "stack(4, '0_all', n_all, '1_view', n_view, '2_click', n_click, "
+        "'3_purchase', n_purchase) AS (stage, n_users)"
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+f AS (
+  SELECT user_id, d,
+         MIN(d) OVER (PARTITION BY user_id) AS cohort
+  FROM a
+)
+SELECT CAST(cohort AS TIMESTAMP)                AS cohort_day,
+       DATEDIFF('day', cohort, d)               AS day_offset,
+       CAST(COUNT(*) AS BIGINT)                 AS n_users
+FROM f
+GROUP BY 1, 2
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle: users grouped by first-active day,
+    counted on each later active day (offset in days).
+
+    `(user, day)` distinct first (map-side combine collapses each user's
+    ~dozens of daily events before the shuffle), then a `user_id` window
+    min for the cohort day, then a bounded `(cohort, offset)` count — the
+    count needs no DISTINCT because rows are already unique per (user, day).
+    At 100 TB the first distinct is the only data-scale shuffle."""
+    a = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    f = a.withColumn("cohort", F.min("d").over(Window.partitionBy("user_id")))
+    return f.groupBy(
+        F.col("cohort").cast("timestamp").alias("cohort_day"),
+        F.datediff("d", "cohort").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_markov",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS src_type, next_type AS dst_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_transitions,
+       ROUND(n_transitions * 1.0
+             / SUM(n_transitions) OVER (PARTITION BY src_type), 6) AS p
+FROM c
+""",
+)
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current event type), estimated per-user-ordered.
+
+    One `lead` window (partition user, order ts with event_id tiebreak so
+    equal timestamps stay deterministic), a |types|² count, and a
+    row-normalizing window over that bounded matrix. The probability is a
+    ratio of exact integer counts — bit-stable across engines."""
+    seq = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    c = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return c.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(Window.partitionBy("src_type")),
+            6,
+        ).alias("p"),
+    )
+
+
+@query(
+    "q_abtest",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)     AS n_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)     AS n_b,
+         CAST(SUM(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+  FROM u
+)
+SELECT n_a, n_b,
+       ROUND(s_a / (100.0 * n_a), 4) AS mean_a,
+       ROUND(s_b / (100.0 * n_b), 4) AS mean_b,
+       ROUND((s_b * 1.0 * n_a / (s_a * n_b) - 1.0) * 100, 4) AS lift_pct,
+       ROUND((s_b * 1.0 / n_b - s_a * 1.0 / n_a)
+             / SQRT( (ss_a - s_a * 1.0 * s_a / n_a) / (n_a - 1) / n_a
+                   + (ss_b - s_b * 1.0 * s_b / n_b) / (n_b - 1) / n_b ), 4)
+         AS t_welch
+FROM g
+""",
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split by deterministic assignment
+    (user_id parity), metric = per-user purchase revenue; reports group
+    sizes, means, relative lift, and Welch's t-statistic.
+
+    Money → integer cents BEFORE aggregation, so every sum is an exact
+    BIGINT and the variance comes from the Σx/Σx² identity — the t-stat is
+    a fixed sequence of float ops on exact integers, identical in any
+    engine and any partitioning (no float-summation-order drift). Two
+    all-integer aggregations (per-user, then global) → one stats row."""
+    ev = table(spark, sf_dir, "events")
+    cents_expr = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    u = ev.groupBy("user_id").agg(F.sum(cents_expr).alias("cents"))
+    u = u.withColumn("grp", F.col("user_id") % 2)
+    g = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cents")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0)).alias("s_b"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("ss_a"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("ss_b"),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("s_a") / (100.0 * F.col("n_a")), 4).alias("mean_a"),
+        F.round(F.col("s_b") / (100.0 * F.col("n_b")), 4).alias("mean_b"),
+        F.round(
+            (F.col("s_b") * 1.0 * F.col("n_a") / (F.col("s_a") * F.col("n_b")) - 1.0)
+            * 100,
+            4,
+        ).alias("lift_pct"),
+        F.round(
+            (F.col("s_b") * 1.0 / F.col("n_b") - F.col("s_a") * 1.0 / F.col("n_a"))
+            / F.sqrt(
+                (
+                    F.col("ss_a")
+                    - F.col("s_a") * 1.0 * F.col("s_a") / F.col("n_a")
+                )
+                / (F.col("n_a") - 1)
+                / F.col("n_a")
+                + (
+                    F.col("ss_b")
+                    - F.col("s_b") * 1.0 * F.col("s_b") / F.col("n_b")
+                )
+                / (F.col("n_b") - 1)
+                / F.col("n_b")
+            ),
+            4,
+        ).alias("t_welch"),
+    )

@@ -281,3 +281,25 @@ def test_quantize_is_map_only_after_stats(plans):
     final = p.split("Initial Plan")[0]
     assert "SortMergeJoin" not in final, final
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final, final
+
+
+def test_funnel_three_windows_one_user_shuffle(plans):
+    # the three cascading first-qualifying-ts windows all partition by
+    # user_id: exactly one data-scale Exchange, the rest is the bounded
+    # final aggregate
+    p = plans("q_funnel")
+    final = p.split("Initial Plan")[0]
+    assert final.count("Window") == 3, final
+    import re
+
+    user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", final))
+    assert user_exchanges == 1, final
+
+
+def test_abtest_all_integer_until_final_row(plans):
+    # per-user and group sums are BIGINT cents — no float agg anywhere
+    p = plans("q_abtest")
+    final = p.split("Initial Plan")[0]
+    assert "sum(cents" in final or "sum(CASE" in final or "Exchange" in final
+    # two aggs: per-user hash agg + single-row final agg
+    assert final.count("HashAggregate") >= 2, final
