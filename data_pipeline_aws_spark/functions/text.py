@@ -642,3 +642,168 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+bg AS (
+  -- parallel unnests zip positionally: (ss[i], ss[i+1]) adjacent pairs,
+  -- the same zip-on-slices the Spark side builds map-side
+  SELECT unnest(ss[1:len(ss) - 1]) AS a, unnest(ss[2:len(ss)]) AS b
+  FROM (SELECT string_split(text, ' ') AS ss FROM documents)
+  WHERE len(ss) >= 2
+),
+cab AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY a, b
+),
+cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+n2 AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cab)
+SELECT a, b, c_ab,
+       ROUND(LN((c_ab * 1.0 / n2.n)
+                / ((ca.c * 1.0 / n1.n) * (cb.c * 1.0 / n1.n))), 6) AS pmi
+FROM cab
+JOIN cu ca ON cab.a = ca.token
+JOIN cu cb ON cab.b = cb.token
+CROSS JOIN n1 CROSS JOIN n2
+WHERE c_ab >= 10
+""",
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: pointwise mutual information
+    ln(P(ab) / (P(a)·P(b))) for adjacent token pairs seen ≥ 10 times —
+    the classic phrase detector ("new york") over a training corpus.
+
+    Bigrams are built MAP-SIDE by zipping the token array against its own
+    tail (`zip_with` on slices — no posexplode + window-lead shuffle of
+    per-token rows), then counted. The unigram table and the two scalar
+    totals are broadcast: vocabulary is bounded, so the bigram→unigram
+    joins never shuffle the bigram side. The PMI ratio divides exact
+    integer counts in a fixed op order, so both engines round identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (x, y) -> struct(x AS a, y AS b))"
+    )
+    bg = (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = cu.agg(F.sum("c").alias("n1"))
+    n2 = cab.agg(F.sum("c_ab").alias("n2"))
+    ca = cu.select(F.col("token").alias("a"), F.col("c").alias("ca"))
+    cb = cu.select(F.col("token").alias("b"), F.col("c").alias("cb"))
+    return (
+        cab.where(F.col("c_ab") >= 10)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * 1.0 / F.col("n2"))
+                    / (
+                        (F.col("ca") * 1.0 / F.col("n1"))
+                        * (F.col("cb") * 1.0 / F.col("n1"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_IN = "('hash', 'join', 'scan')"
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN {_BM25_IN}
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+dl AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) * 1.0 / COUNT(*)
+           AS avgdl
+  FROM documents
+)
+SELECT tf.doc_id,
+       ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores (k1=1.2, b=0.75) of every document for the
+    fixed query {hash, join, scan} — the ranking function behind every
+    inverted-index search engine, as a batch scoring pass.
+
+    Term frequencies come from a map-side `filter` lambda on the token
+    array BEFORE explode — only query-term hits ever become rows, so the
+    explode carries |terms-per-doc| rows, not the whole corpus's tokens.
+    Document length is `size(split(...))`, map-only. The df table (≤ |query
+    terms| rows) and corpus stats (1 row) broadcast; per-term scores sum in
+    a fixed 3-term order and round to 6, absorbing summation-order ulps."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.expr(
+        f"filter(split(text, ' '), t -> t IN {_BM25_IN})"
+    )
+    tf = (
+        d.select("doc_id", F.explode(hits).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("long")
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    term_score = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )

@@ -473,3 +473,80 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") * 1000 >= 8 * F.col("total"))
         .select("user_id", "n_events")
     )
+
+
+_CMS_P = 1000003  # prime modulus; all arithmetic stays < 1e12 (BIGINT-safe)
+_CMS_W = 512  # buckets per hash row
+_CMS_HASHES = ((0, 131, 17), (1, 977, 43), (2, 2663, 71), (3, 524287, 101))
+
+
+@query(
+    "q_cms",
+    oracle=f"""
+WITH h(j, a, b) AS (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_HASHES)}),
+cms AS (
+  SELECT j, ((user_id % {_CMS_P}) * a + b) % {_CMS_P} % {_CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events CROSS JOIN h GROUP BY 1, 2
+),
+probes AS (SELECT unnest(generate_series(0, 9)) AS user_id),
+ph AS (
+  SELECT user_id, j, ((user_id % {_CMS_P}) * a + b) % {_CMS_P} % {_CMS_W} AS bucket
+  FROM probes CROSS JOIN h
+),
+est AS (
+  SELECT user_id, CAST(MIN(c) AS BIGINT) AS n_est
+  FROM ph JOIN cms USING (j, bucket) GROUP BY user_id
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id
+)
+SELECT user_id, n_exact, n_est FROM exact JOIN est USING (user_id)
+""",
+)
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 × w=512) of per-user event frequency, probed
+    for ten keys against exact counts — the mergeable fixed-size frequency
+    sketch for when the key cardinality itself is too big to count exactly.
+
+    The sketch IS a groupBy((j, bucket)) count: Spark's partial aggregation
+    makes every map task emit at most d·w cells, so merging per-partition
+    sketches is the ordinary combiner path — 2048 longs per task regardless
+    of data volume, the whole point of CMS at 100 TB. Hashes are explicit
+    integer LCGs (mod-prime, BIGINT-safe in every engine), so estimates are
+    exact integers and the oracle matches bit-for-bit; overestimation only
+    ever comes from genuine bucket collisions, never float drift."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def buckets(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (((col % _CMS_P) * a + b) % _CMS_P % _CMS_W).alias("bucket"),
+                )
+                for j, a, b in _CMS_HASHES
+            ]
+        )
+
+    cms = (
+        ev.select(F.explode(buckets(F.col("user_id"))).alias("h"))
+        .groupBy("h.j", "h.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.range(10).select(F.col("id").alias("user_id"))
+    ph = probes.select(
+        "user_id", F.explode(buckets(F.col("user_id"))).alias("h")
+    ).select("user_id", "h.j", "h.bucket")
+    est = (
+        ph.join(cms, ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("n_est"))
+    )
+    exact = (
+        ev.where(F.col("user_id").between(0, 9))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return exact.join(est, "user_id").select("user_id", "n_exact", "n_est")

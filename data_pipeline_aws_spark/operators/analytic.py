@@ -342,3 +342,56 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_size, p_retailprice
+  FROM part WHERE p_type = 'PROMO'
+),
+m AS (SELECT p_size, MIN(p_retailprice) AS mp FROM p GROUP BY p_size),
+sky AS (
+  SELECT p_size, mp FROM (
+    SELECT p_size, mp,
+           MIN(mp) OVER (ORDER BY p_size DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS better
+    FROM m
+  )
+  WHERE better IS NULL OR mp < better
+)
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM p JOIN sky ON p.p_size = sky.p_size AND p.p_retailprice = sky.mp
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator: PROMO parts not dominated on
+    (maximize p_size, minimize p_retailprice) — the multi-criteria
+    shortlist query (BNL/SFS skyline in the literature).
+
+    The naive skyline is a quadratic NOT-EXISTS self-join. This plan
+    exploits the BOUNDED second dimension (p_size ∈ [1,50]): one
+    data-scale groupBy(p_size) min reduces 100 TB to ≤ 50 rows, the
+    running-min-over-larger-sizes window runs on that bounded table (its
+    single-partition sort is 50 rows, not data), and a broadcast
+    semi-join pulls back the surviving rows. Data is touched by exactly
+    one agg and one map-side join — no O(n²) anywhere."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+    m = p.groupBy("p_size").agg(F.min("p_retailprice").alias("mp"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        m.withColumn("better", F.min("mp").over(w))
+        .where(F.col("better").isNull() | (F.col("mp") < F.col("better")))
+        .select("p_size", F.col("mp").alias("p_retailprice"))
+    )
+    return p.join(F.broadcast(sky), ["p_size", "p_retailprice"]).select(
+        "p_partkey", "p_size", "p_retailprice"
+    )

@@ -122,3 +122,89 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(nn)).select(
         "node", F.round(F.col("pr") * F.col("nn"), 4).alias("pr_norm")
     )
+
+
+@query(
+    "q_triangles",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+  FROM lineitem WHERE l_quantity >= 48
+),
+e0 AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+              THEN e0.u ELSE e0.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+              THEN e0.v ELSE e0.u END AS dst
+  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0)  AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM o e1
+        JOIN o e2 ON e1.dst = e2.src
+        JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-order graph (suppliers that
+    both ship a high-quantity item in the same order are adjacent).
+
+    Degree-ordered edge orientation — every undirected edge points from its
+    lower-(degree, id) endpoint — before the wedge self-join: each triangle
+    is generated EXACTLY once and the wedge count is bounded by
+    O(E^{3/2}) instead of Σdeg² (a hub node's star never self-joins, which
+    is the difference between feasible and explosive on power-law graphs at
+    100 TB). The closure check is an equi-join on (src, dst), so AQE can
+    broadcast the oriented edge list when it is small."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 48)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nn.crossJoin(ne).crossJoin(tri)

@@ -303,3 +303,29 @@ def test_abtest_all_integer_until_final_row(plans):
     assert "sum(cents" in final or "sum(CASE" in final or "Exchange" in final
     # two aggs: per-user hash agg + single-row final agg
     assert final.count("HashAggregate") >= 2, final
+
+
+def test_pmi_bigrams_build_map_side(plans):
+    # bigrams come from zip-on-slices, not posexplode + window lead: no
+    # Window operator anywhere in the plan
+    p = plans("q_text_pmi")
+    final = p.split("Initial Plan")[0]
+    assert "Window" not in final, final
+
+
+def test_bm25_filters_tokens_before_explode(plans):
+    # the array-filter runs before Generate, so only query-term hits explode
+    p = plans("q_text_bm25")
+    final = p.split("Initial Plan")[0]
+    gen = [ln for ln in final.splitlines() if "Generate explode" in ln]
+    assert gen and all("filter(" in ln for ln in gen), final
+
+
+def test_skyline_window_runs_on_bounded_table(plans):
+    # the global-order window must sit above the p_size aggregate (≤50
+    # rows), never above the data-scale scan
+    p = plans("q_skyline")
+    final = p.split("Initial Plan")[0]
+    win = final.find("Window")
+    agg = final.find("HashAggregate")
+    assert win != -1 and agg != -1 and win < agg, final
