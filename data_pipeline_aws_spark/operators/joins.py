@@ -957,3 +957,116 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("retained")
         .alias("cohort"),
     )
+
+
+_BF_P = 1000003  # prime modulus for the LCG hash family (BIGINT-safe)
+_BF_M = 4096  # bloom bits
+_BF_HASHES = ((131, 17), (977, 43), (2663, 71))
+
+
+def _bf_bucket_sql(key: str, a: int, b: int) -> str:
+    """Hash `key` to a bloom bit index — same text parses in Spark & DuckDB."""
+    return f"((({key} % {_BF_P}) * {a} + {b}) % {_BF_P}) % {_BF_M}"
+
+
+@query(
+    "q_bloom_join",
+    oracle=f"""
+WITH dim AS (SELECT p_partkey FROM part WHERE p_size = 50),
+h(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _BF_HASHES)}),
+bloom AS (
+  SELECT bucket // 32 AS word,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(bucket % 32 AS INT)) AS bits
+  FROM (SELECT {_bf_bucket_sql("p_partkey", "a", "b")} AS bucket
+        FROM dim CROSS JOIN h)
+  GROUP BY 1
+),
+probe AS (
+  SELECT l_partkey, l_extendedprice,
+         {", ".join(_bf_bucket_sql("l_partkey", a, b) + f" AS bk{j}" for j, (a, b) in enumerate(_BF_HASHES))}
+  FROM lineitem
+),
+cand AS (
+  SELECT p.l_partkey, p.l_extendedprice
+  FROM probe p
+  {" ".join(f"LEFT JOIN bloom b{j} ON b{j}.word = p.bk{j} // 32" for j in range(3))}
+  WHERE {" AND ".join(f"(COALESCE(b{j}.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.bk{j} % 32 AS INT))) <> 0" for j in range(3))}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(dim.p_partkey) AS BIGINT) AS n_exact,
+       ROUND(SUM(CASE WHEN dim.p_partkey IS NOT NULL
+                      THEN l_extendedprice END), 2) AS revenue
+FROM cand LEFT JOIN dim ON cand.l_partkey = dim.p_partkey
+""",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned dimension join: lineitems for size-50 parts,
+    pre-screened by a 4096-bit / 3-hash Bloom bitmap built from the dim
+    side — the runtime-filter pattern every warehouse uses to keep a
+    selective dim join from shuffling (or even decompressing) the fact
+    side at 100 TB.
+
+    The bitmap is a groupBy(bucket//32) BIT_OR — ≤128 longs total —
+    collapsed to a single map<word,bits> row and cross-broadcast, so the
+    membership test (3 LCG hashes, AND of bit probes) is a pure map-side
+    expression on the fact scan: false-negative-free pruning with zero
+    fact-side shuffle. The exact broadcast join afterwards removes the
+    ~|false positive| survivors; n_candidates vs n_exact exposes the
+    measured false-positive rate. Integer LCG hashes make the bitmap
+    bit-identical in any engine, so even the candidate count is exact."""
+    dim = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 50)
+        .select("p_partkey")
+    )
+    hashed = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bf_bucket_sql("p_partkey", a, b))
+                    for a, b in _BF_HASHES
+                ]
+            )
+        ).alias("bucket")
+    )
+    bloom = (
+        hashed.select(
+            F.expr("CAST(bucket DIV 32 AS BIGINT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloommap = bloom.agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias(
+            "bf"
+        )
+    )
+    fact = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    member = None
+    for a, b in _BF_HASHES:
+        bk = _bf_bucket_sql("l_partkey", a, b)
+        probe = F.coalesce(
+            F.element_at("bf", F.expr(f"CAST(({bk}) DIV 32 AS BIGINT)")), F.lit(0)
+        ).bitwiseAND(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({bk}) % 32 AS INT))")
+        ) != 0
+        member = probe if member is None else member & probe
+    cand = fact.crossJoin(F.broadcast(bloommap)).where(member)
+    return (
+        cand.join(F.broadcast(dim), cand.l_partkey == dim.p_partkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("p_partkey").alias("n_exact"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("p_partkey").isNotNull(), F.col("l_extendedprice")
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

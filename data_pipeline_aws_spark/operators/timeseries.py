@@ -253,3 +253,47 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
     )
+
+
+_EWMA_ALPHA = 0.25  # exact dyadic: every weight below is an exact double
+_EWMA_K = 16  # truncated-impulse length; tail mass 0.75^16 ≈ 1%
+_EWMA_W = []
+_p = 1.0
+for _k in range(_EWMA_K):
+    _EWMA_W.append(_EWMA_ALPHA * _p)
+    _p *= 1.0 - _EWMA_ALPHA
+
+_EWMA_SQL_TERMS = " + ".join(
+    f"{w!r} * COALESCE(LAG(value, {k}) OVER w, 0.0)" for k, w in enumerate(_EWMA_W)
+)
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       {_EWMA_SQL_TERMS} AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.25) of each user's event
+    value stream — the standard smoother for rate/latency/engagement
+    signals, as a truncated 16-tap impulse (tail mass < 1.1%).
+
+    The recursive definition s_t = α·x_t + (1−α)·s_{t−1} doesn't
+    parallelize; the truncation turns it into 16 LAG taps that Spark
+    coalesces into ONE Window operator over ONE (user_id) exchange — after
+    the shuffle everything is map-side, no iteration, no driver loop.
+    Weights are exact dyadic rationals (3^k/4^{{k+1}}, exact doubles) and
+    the tap sum is a fixed left-to-right chain, so both engines execute the
+    identical IEEE op sequence — the unrounded doubles match bit-for-bit."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = None
+    for k, wt in enumerate(_EWMA_W):
+        term = F.lit(wt) * F.coalesce(F.lag("value", k).over(w), F.lit(0.0))
+        taps = term if taps is None else taps + term
+    return table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", taps.alias("ewma")
+    )
