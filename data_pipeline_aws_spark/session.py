@@ -79,8 +79,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         conf.set("spark.python.worker.reuse", "false")  # see get_spark note
     except Exception:
         pass  # static in some deployments; the default then stands
+    # Only replace the stock default (200): a caller who deliberately set a
+    # higher value keeps it — this engine must not silently retune an
+    # externally-owned session's shuffle width for its other workloads.
     try:
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) == 200:
             conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         conf.set("spark.sql.shuffle.partitions", "32")

@@ -32,9 +32,22 @@ EVENTS_JSON_SCHEMA = T.StructType(
 )
 
 
+def _code_version() -> str:
+    """Version token folded into every materialized-cache dir name: the hash
+    of this module's source. Any edit to a writer in this file moves every
+    cache key, so a _SUCCESS-marked artifact written by older code can never
+    satisfy a newer read path (stale caches would otherwise mask write-path
+    bugs from the oracle sweep)."""
+    with open(__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:8]
+
+
+_CODE_VERSION = _code_version()
+
+
 def _json_cache_dir(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}_{_CODE_VERSION}")
 
 
 def events_as_json(spark: SparkSession, sf_dir: str) -> str:
@@ -102,7 +115,7 @@ ORDERS_CSV_SCHEMA = T.StructType(
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}_{_CODE_VERSION}")
 
 
 @query(

@@ -58,9 +58,21 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return _ensure_event_time(stream)
+
+
+def _ensure_event_time(df: DataFrame) -> DataFrame:
+    """Normalize `ts` to TIMESTAMP (with local-time semantics) whatever the
+    parquet ts[ns] column decoded to in this session: bigint nanos under
+    `nanosAsLong`, or TIMESTAMP_NTZ under NTZ inference. Watermarks reject
+    NTZ event time, and the session timezone is pinned UTC so the NTZ→TZ
+    cast is value-preserving."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _run_to_completion(result: DataFrame, mode: str) -> DataFrame:
@@ -224,26 +236,35 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivery. The landed table is then read back through ordinary partition
     discovery and aggregated — the result must equal the batch aggregate over
     the source (the oracle), proving no loss and no duplication."""
+    import shutil
     import tempfile
 
     out = tempfile.mkdtemp(prefix="dpas_stream_sink_")
-    stream = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    try:
+        stream = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
 
-    def land(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
+        def land(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
 
-    with _stream_partitions(spark):
-        q = stream.writeStream.foreachBatch(land).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination(30)
-    back = spark.read.parquet(out)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-    )
+        with _stream_partitions(spark):
+            q = stream.writeStream.foreachBatch(land).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+        back = spark.read.parquet(out)
+        agg = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        # The landed parquet is scratch: materialize the few-row aggregate so
+        # the directory can be removed before returning (every bench/verify
+        # invocation would otherwise leak a full parquet copy of events).
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @query(
@@ -427,8 +448,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw.schema).option(
         "recursiveFileLookup", "true"
     ).parquet(tmp)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _ensure_event_time(stream)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")

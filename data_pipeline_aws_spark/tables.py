@@ -34,19 +34,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints —
     so every downstream query plan starts from a pushdown-capable file scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    as a timestamp (PARQUET_TYPE_ILLEGAL). With
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as epoch-nanos
-    LongType and is converted here to a µs TimestampType via integer division
-    — the exact truncation DuckDB applies when it reads the same file into
-    its µs-native TIMESTAMP, so oracle comparisons stay bit-identical.
+    ``events.ts`` is parquet TIMESTAMP(NANOS); how it decodes depends on the
+    Spark version: ≤4.0 with ``spark.sql.legacy.parquet.nanosAsLong=true``
+    it arrives as epoch-nanos LongType; 4.1+ ignores that flag and reads it
+    as a µs-truncated TIMESTAMP_NTZ. Both are normalized here to a µs
+    TimestampType (session timezone is pinned UTC, so the NTZ cast is
+    value-preserving) — the exact truncation DuckDB applies when it reads
+    the same file into its µs-native TIMESTAMP, so oracle comparisons stay
+    bit-identical across versions.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
