@@ -40,6 +40,7 @@ def load_all() -> None:
         setops,
         similarity,
         timeseries,
+        tpch_suite,
         windows,
     )
     from data_pipeline_aws_spark.functions import curation, scalar, text  # noqa: F401
