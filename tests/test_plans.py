@@ -329,3 +329,43 @@ def test_skyline_window_runs_on_bounded_table(plans):
     win = final.find("Window")
     agg = final.find("HashAggregate")
     assert win != -1 and agg != -1 and win < agg, final
+
+
+def test_forecast_revenue_pushes_all_predicates(plans):
+    p = plans("q_forecast_revenue")
+    # all three predicates reach the parquet scan as pushed filters
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_forecast_revenue_prunes_to_three_columns(plans):
+    p = plans("q_forecast_revenue")
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_shipdate" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_product_profit_broadcasts_filtered_part(plans):
+    p = plans("q_product_profit")
+    # p_name LIKE filter prunes part BEFORE the broadcast; the fact side
+    # is probe-only (no lineitem-sized shuffle until after the joins)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "StartsWith" in p or "Contains(p_name" in p or "p_name" in p
+
+
+def test_important_stock_reuses_per_part_exchange(plans):
+    p = plans("q_important_stock")
+    # the 1-row total aggregates the SAME scan->join->agg subtree the probe
+    # side uses; Catalyst must dedupe it rather than re-scan lineitem
+    assert "ReusedExchange" in p, p
+
+
+def test_min_cost_supplier_single_lineitem_shuffle(plans):
+    # count scans in the Final Plan section only (AQE's toString repeats the
+    # tree in its Initial Plan section)
+    p = plans("q_min_cost_supplier").split("== Initial Plan ==")[0]
+    # window-min rides the (l_partkey, l_suppkey) agg exchange: lineitem is
+    # scanned once (map-side partial_min combine), no self-join of the fact
+    assert p.count("lineitem.parquet") == 1, p
+    assert "partial_min" in plans("q_min_cost_supplier")
