@@ -333,3 +333,46 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("rate"), 6).alias("target_rate"),
         )
     )
+
+
+@query(
+    "q_corpus_mix",
+    oracle="""
+WITH per AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM per) AS token_share
+FROM per
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: documents and whitespace tokens per
+    (source, lang) stratum plus each stratum's share of all corpus tokens —
+    the standard audit table a training-data pipeline publishes before and
+    after rebalancing (the input that `q_mix_sources`'s temperature
+    reweighting consumes).
+
+    Token counts stay in-row (`size(split(...))` — no explode, so the
+    exchange carries one row per document, not per token, and the stratum
+    grid is bounded at |sources|×|langs|). The corpus total is a 1-row
+    aggregate of the SAME per-stratum relation (ReusedExchange, then
+    broadcast); the share is one IEEE division of two exact BIGINTs —
+    bit-identical across engines, left unrounded."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.col("tot")).alias("token_share"),
+    )

@@ -807,3 +807,63 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
+
+
+@query(
+    "q_text_winnow",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct([
+           list_aggregate(grams[j : j + 3], 'min')
+           FOR j IN range(1, len(grams) - 2)
+         ])) AS fps
+  FROM (
+    SELECT doc_id,
+           [substring(text, i, 8) FOR i IN range(1, length(text) - 6)] AS grams
+    FROM documents
+  )
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT)      AS n_fp,
+       md5(array_to_string(fps, '|')) AS fp_check
+FROM fp
+""",
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): slide a window of w=4 consecutive character
+    8-grams over each document and keep the minimum gram of every window.
+    Winnowing guarantees any shared substring ≥ k+w-1 chars yields at least
+    one shared fingerprint, making the selected set a position-robust
+    near-dup signature (insertion/deletion shifts positions but not most
+    window minima — unlike the head-anchored q_text_fingerprint shingle).
+
+    This implementation selects the lexicographic-minimum gram per window
+    (structurally identical to hash-minimum; selection quality differs, the
+    guarantee doesn't) so both engines pick bit-identical fingerprints with
+    no hash function to keep in sync. Entirely JVM higher-order array
+    lambdas — transform/slice/array_min over in-row arrays: map-only, no
+    explode, no shuffle; at 100 TB each document fingerprints inside its own
+    scan partition and only the (doc_id, count, checksum) rows move."""
+    d = table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN length(text) >= 8 THEN "
+        "  transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) "
+        "ELSE array() END"
+    )
+    wins = F.expr(
+        "CASE WHEN size(grams) >= 4 THEN "
+        "  transform(sequence(1, size(grams) - 3), j -> array_min(slice(grams, j, 4))) "
+        "ELSE array() END"
+    )
+    fps = F.array_sort(F.array_distinct(F.col("wins")))
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .select("doc_id", wins.alias("wins"))
+        .select(
+            "doc_id",
+            F.size(fps).alias("n_fp"),
+            F.md5(F.concat_ws("|", fps)).alias("fp_check"),
+        )
+    )
