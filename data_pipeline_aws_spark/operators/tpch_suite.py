@@ -32,12 +32,14 @@ from pyspark.sql import functions as F
 from data_pipeline_aws_spark.registry import query
 from data_pipeline_aws_spark.tables import table
 
-# price × (1 − discount), exact: DECIMAL(18,2) × DECIMAL(8,4) keeps every
-# product representable; SUM over decimals is order-independent.
-_REV = (
-    F.col("l_extendedprice").cast("decimal(18,2)")
-    * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
-)
+def _rev():
+    """price × (1 − discount), exact: DECIMAL(18,2) × DECIMAL(8,4) keeps
+    every product representable; SUM over decimals is order-independent.
+    Built lazily — Column construction needs an active SparkContext, which
+    must not be an import-time requirement of this module."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
 
 
 @query(
@@ -227,7 +229,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(_REV).cast("double"), 2).alias("profit"))
+        .agg(F.round(F.sum(_rev()).cast("double"), 2).alias("profit"))
     )
 
 
