@@ -852,9 +852,13 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) "
         "ELSE array() END"
     )
+    # least() over direct element accesses, not array_min(slice(...)): the
+    # slice form allocates a 4-element array per window position (O(n·w)
+    # garbage per document); least() evaluates in-register inside codegen.
     wins = F.expr(
         "CASE WHEN size(grams) >= 4 THEN "
-        "  transform(sequence(1, size(grams) - 3), j -> array_min(slice(grams, j, 4))) "
+        "  transform(sequence(1, size(grams) - 3), j -> "
+        "    least(grams[j - 1], grams[j], grams[j + 1], grams[j + 2])) "
         "ELSE array() END"
     )
     fps = F.array_sort(F.array_distinct(F.col("wins")))
