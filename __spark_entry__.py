@@ -60,7 +60,8 @@ _PRIORITY = [
     # windows
     "q_win_frame", "q_topk_group", "q_win_session",
     # dedup ladder
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed", "q_dedup_clusters",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_prefix", "q_dedup_embed",
+    "q_dedup_clusters", "q_dedup_incremental",
     # similarity / vectors
     "q_sim_topk", "q_quantize", "q_vec_centroid",
     # text / curation
@@ -78,7 +79,7 @@ _PRIORITY = [
     # streaming (batch-equal, oracle-checked)
     "q_stream_tumbling", "q_stream_state", "q_stream_stream_join",
     # UDF surface + data quality
-    "q_pandas_udaf", "q_grouped_map", "q_dq_checks",
+    "q_pandas_udaf", "q_grouped_map", "q_dq_checks", "q_dq_anomaly",
     # remaining TPC-H completions
     "q_min_cost_supplier", "q_product_profit", "q_important_stock",
     "q_order_priority", "q_ship_modes",

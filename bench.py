@@ -31,7 +31,7 @@ HEADLINE = [
     "q_agg_basic", "q_ship_priority", "q_mkt_share", "q_returned_items",
     "q_star_join", "q_join_salted", "q_join_asof", "q_win_frame",
     "q_rollup", "q_cube", "q_percentile", "q_topk_group",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_prefix", "q_dedup_embed",
     "q_dedup_clusters", "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_text_quality",
     "q_pagerank", "q_triangles", "q_funnel", "q_retention",

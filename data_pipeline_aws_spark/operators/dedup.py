@@ -12,6 +12,9 @@ The LLM-data-pipeline dedup ladder, cheapest-first:
                   verified exactly. P(candidate | J=0.9) ≈ 1-1e-12, so at the
                   0.5 threshold the verified output equals the exact ngram
                   result, and both share one oracle.
+3b. prefix      — PPJoin-style prefix filtering: deterministic candidates
+                  from each doc's rarest shingles only; kills the hot-key
+                  quadratic of the inverted-index join by construction.
 4. simhash      — 32-bit signatures, hamming ≤ 3 pairs found via 4-byte
                   pigeonhole banding (a pair within distance 3 must agree on
                   ≥1 of 4 bytes) — exact under banding, no full cross-join.
@@ -186,25 +189,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(shingle_fingerprints(spark, sf_dir))
 
 
-def _lsh_candidates(shh: DataFrame) -> DataFrame:
-    """MinHash-LSH candidate pairs from a (doc_id, h) fingerprint relation.
+def _band_signatures(shh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) MinHash-LSH band table from a (doc_id, h)
+    fingerprint relation — 32 minhashes per doc, banded 16×2.
 
-    32 minhashes per doc, banded 16×2; a pair is a candidate iff some band's
-    signature collides. Detection probability at the planted-duplicate
-    similarity (~0.9+) is 1-(1-0.81)^16 ≈ 1-1e-12."""
+    All 32 minhashes in ONE aggregation pass: min(hash(seed_i, h)) as
+    32 parallel agg columns. Shuffles |shingle-pairs| rows once — the
+    seed-join alternative shuffles 32× that, which is the difference between
+    one pass and an hour at 100 TB. Seeded murmur3 over the 8-byte
+    fingerprint instead of the shingle string: 32 hash evaluations per row
+    each touch 8 bytes, not ~30."""
     n_hashes, rows_per_band = 32, 2
-    # All 32 minhashes in ONE aggregation pass: min(hash(seed_i, h)) as
-    # 32 parallel agg columns. Shuffles |shingle-pairs| rows once — the
-    # seed-join alternative shuffles 32× that, which is the difference between
-    # one pass and an hour at 100 TB. Seeded murmur3 over the 8-byte
-    # fingerprint instead of the shingle string: 32 hash evaluations per row
-    # each touch 8 bytes, not ~30.
     sig = shh.groupBy("doc_id").agg(
         *[F.min(F.hash(F.lit(i), "h")).alias(f"mh{i}") for i in range(n_hashes)]
     )
     # Band signature = hash of the band's (min, max) — order-insensitive.
     n_bands = n_hashes // rows_per_band
-    band = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(*[
@@ -216,6 +217,13 @@ def _lsh_candidates(shh: DataFrame) -> DataFrame:
             ])
         ).alias("band", "band_sig"),
     )
+
+
+def _lsh_candidates(shh: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs: a pair is a candidate iff some band's
+    signature collides. Detection probability at the planted-duplicate
+    similarity (~0.9+) is 1-(1-0.81)^16 ≈ 1-1e-12."""
+    band = _band_signatures(shh)
     a = band.alias("a")
     b = band.alias("b")
     return (
@@ -242,6 +250,149 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals q_dedup_ngram's exact result — same oracle."""
     shh = shingle_fingerprints(spark, sf_dir)
     return _exact_jaccard_pairs(shh, _lsh_candidates(shh))
+
+
+@query("q_dedup_prefix", oracle=_SHINGLE_SQL)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (PPJoin family, Xiao et al.
+    WWW'08): exact Jaccard ≥ θ pairs, with candidates generated ONLY from
+    each document's rarest shingles.
+
+    Order every document's shingle set by ascending global frequency and
+    keep the first p = n − ⌈θ·n⌉ + 1 as its *prefix*: any pair with
+    J ≥ θ must share at least one prefix element (if two sets disagree on
+    all of either's p rarest elements, their overlap is < θ·n). Candidates
+    come from equi-joining prefixes only; exact verification then runs
+    restricted to candidates, so the output equals the exact n-gram result
+    and shares its oracle.
+
+    This is the skew-killing alternative to the plain inverted-index join
+    (`q_dedup_ngram`): there a stop-shingle appearing in k docs creates a
+    k² join blow-up on one hot key — exactly the pathology 100 TB corpora
+    have. Frequency-ascending prefixes push common shingles into suffixes,
+    which are NEVER join keys, bounding per-key fan-in by construction
+    rather than by AQE skew-splitting after the fact. Costs: one extra
+    frequency aggregate + one doc-partitioned window (both shuffle the
+    8-byte fingerprint relation, not text), traded against the hot-key
+    quadratic. Complements minhash-LSH: same candidate-then-verify shape,
+    but deterministic (no hash-collision recall argument needed)."""
+    shh = shingle_fingerprints(spark, sf_dir)
+    freq = shh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    w_rank = Window.partitionBy("doc_id").orderBy("freq", "h")
+    w_all = Window.partitionBy("doc_id")
+    ranked = (
+        shh.join(freq, "h")
+        .select(
+            "doc_id",
+            "h",
+            F.row_number().over(w_rank).alias("r"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "h")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(shh, cands)
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                   AS token,
+         generate_subscripts(string_split(text, ' '), 1)   AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT h.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM shd h JOIN shd b ON h.shingle = b.shingle
+  WHERE h.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY h.doc_id, b.doc_id
+),
+near_dup AS (
+  SELECT DISTINCT d2 AS doc_id
+  FROM inter
+  JOIN cnt ca ON d1 = ca.doc_id
+  JOIN cnt cb ON d2 = cb.doc_id
+  WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
+),
+exact_dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM documents b JOIN documents h ON md5(b.text) = md5(h.text)
+  WHERE b.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an arriving batch against an existing corpus —
+    the shape a production pipeline actually runs (dedup the new crawl
+    against 100 TB of history WITHOUT re-clustering the history). Fixtures
+    have no arrival column, so the split is deterministic: even doc_ids are
+    'history', odd are the 'batch'. A batch doc survives iff (1) no history
+    doc has identical content (md5 anti-join) and (2) no history doc is a
+    near-duplicate at Jaccard ≥ 0.5 (cross-side LSH candidates, exactly
+    verified).
+
+    Scale shape: both screens are anti-joins keyed on O(batch) relations.
+    The exact screen shuffles 16-byte content hashes, never text. The near
+    screen reuses the banded-minhash table (one agg pass over each side's
+    fingerprints); only band collisions BETWEEN the sides are verified, so
+    history×batch never materializes. History's band table is the thing a
+    real pipeline would persist and append to — the incremental property is
+    that nothing here rescans or re-pairs history against itself
+    (`_lsh_candidates`' within-corpus join is exactly what this op avoids)."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+
+    hist_md5 = hist.select(F.md5(F.encode("text", "utf-8")).alias("chash"))
+    surv_exact = batch.withColumn(
+        "chash", F.md5(F.encode("text", "utf-8"))
+    ).join(hist_md5, "chash", "left_anti")
+
+    shh = shingle_fingerprints(spark, sf_dir)
+    band = _band_signatures(shh)
+    hb = band.where(F.col("doc_id") % 2 == 0).alias("hb")
+    bb = band.where(F.col("doc_id") % 2 == 1).alias("bb")
+    cands = (
+        hb.join(
+            bb,
+            (F.col("hb.band") == F.col("bb.band"))
+            & (F.col("hb.band_sig") == F.col("bb.band_sig")),
+        )
+        .select(F.col("hb.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .distinct()
+    )
+    near_dup_batch = _exact_jaccard_pairs(shh, cands).select(
+        F.col("d2").alias("doc_id")
+    ).distinct()
+    return surv_exact.join(near_dup_batch, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 @query("q_dedup_simhash")  # murmur3-based sketch → deterministic rows-only

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -164,3 +164,65 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kv")
     )
     return checks.select("kv.check_name", "kv.violations", "kv.passed")
+
+
+@query(
+    "q_dq_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT day, n_events,
+         CAST(SUM(n_events) OVER w AS DOUBLE)            AS s1,
+         CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS s2,
+         COUNT(*) OVER w                                 AS m
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_events,
+       ROUND(s1 / 7, 6) AS base_mean,
+       ROUND((n_events - s1 / 7) / sqrt((s2 - s1 * s1 / 7) / 6), 6) AS zscore,
+       ABS((n_events - s1 / 7) / sqrt((s2 - s1 * s1 / 7) / 6)) > 2.0 AS is_anomaly
+FROM win WHERE m = 7
+""",
+)
+def q_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection — the monitoring verb that completes the DQ
+    family (profile → constraints → drift): per-day event counts scored
+    against a trailing-7-day baseline, z = (x − μ)/σ, flag |z| > 2.
+
+    Determinism across engines: σ is NOT stddev_samp (engines disagree in
+    low bits between Welford and moment formulas) — variance is computed
+    from the exact integer window sums Σx and Σx² with the identical IEEE
+    expression on both sides, the same Σx/Σx² identity q_abtest uses.
+
+    Scale: the window is global-ordered but runs on the already-aggregated
+    DAILY relation — bounded at 365 rows/year regardless of corpus size
+    (same boundedness argument as q_skyline); the event-scale work is one
+    partial+final count per day. The first 7 days emit no score (m = 7
+    gate), matching the oracle exactly rather than scoring a short
+    baseline."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    win = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("double").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    z = (F.col("n_events") - F.col("s1") / 7) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / 7) / 6
+    )
+    return win.where(F.col("m") == 7).select(
+        "day",
+        "n_events",
+        F.round(F.col("s1") / 7, 6).alias("base_mean"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
