@@ -66,12 +66,14 @@ _PRIORITY = [
     "q_sim_topk", "q_quantize", "q_vec_centroid",
     # text / curation
     "q_text_tokens", "q_text_tfidf", "q_text_winnow", "q_corpus_mix",
-    "q_sample_stratified", "q_decontaminate", "q_seq_pack", "q_text_redact",
+    "q_sample_stratified", "q_sample_reservoir", "q_decontaminate",
+    "q_seq_pack", "q_text_redact",
     # graph + behavior analytics
     "q_pagerank", "q_triangles", "q_funnel", "q_retention", "q_abtest",
     # storage layout / sources / sinks
     "q_partitioned_sink", "q_dpp", "q_bucket_join", "q_compact", "q_zorder",
     "q_gdpr_delete", "q_schema_evolution", "q_corrupt_ingest",
+    "q_snapshot_diff", "q_upsert",
     # nested / semi-structured
     "q_fhir_relationalize", "q_json_extract", "q_higher_order",
     # multimodal

@@ -376,3 +376,40 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens") * 1.0 / F.col("tot")).alias("token_share"),
     )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+SELECT lang, doc_id, source
+FROM (
+  SELECT lang, doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample per stratum (reservoir-sampling semantics,
+    deterministic): exactly 20 docs per language, selected by ranking on a
+    content-independent hash of the stable key — complements
+    `q_sample_stratified`'s fixed-RATE hash-mod filter. Ordering by
+    md5(doc_id) is an arbitrary-but-fixed uniform permutation both engines
+    compute identically, so re-runs (and the oracle) select the same rows —
+    the property rand()-based sampling can't give a resumable pipeline.
+
+    Scale: rank-within-stratum is one hash-partitioned window; with k=20
+    Spark plans the rank filter as WindowGroupLimit (per-partition heaps,
+    no full per-stratum sort materialization). For corpus-scale strata the
+    same shape holds — state per partition is O(k)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "source")
+    )

@@ -16,7 +16,7 @@ against summation-order nondeterminism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -550,3 +550,46 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     return exact.join(est, "user_id").select("user_id", "n_exact", "n_est")
+
+
+@query(
+    "q_equidepth_hist",
+    oracle="""
+WITH t AS (
+  SELECT l_extendedprice,
+         NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT)  AS n_rows,
+       MIN(l_extendedprice)      AS lo,
+       MAX(l_extendedprice)      AS hi
+FROM t GROUP BY bucket
+""",
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 quantile buckets of l_extendedprice with
+    per-bucket bounds) — the optimizer-statistics companion to
+    `q_histogram`'s equi-width profile: equal row mass per bucket exposes
+    the distribution's shape where equi-width flattens skewed tails. NTILE
+    is tie-broken to a unique total order (price, orderkey, linenumber) so
+    bucket assignment is deterministic and both engines agree exactly.
+
+    Scale caveat, stated honestly: exact NTILE needs a global order (one
+    range exchange + single-partition rank). For a 100 TB column the
+    production form is `percentile_approx` bounds (mergeable sketch,
+    `q_percentile`); this operator is the exact-bounds verb for
+    table-profile jobs where a total sort of ONE projected column is an
+    acceptable one-off cost."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )

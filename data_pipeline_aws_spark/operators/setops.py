@@ -106,3 +106,73 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return active_in(1996).intersect(active_in(1997)).subtract(pending)
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 103 <> 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+)
+SELECT
+  CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+       WHEN v2.o_orderkey IS NULL THEN 'deleted'
+       ELSE 'updated' END                         AS change_type,
+  COALESCE(v1.o_orderkey, v2.o_orderkey)          AS o_orderkey,
+  v1.o_totalprice                                 AS old_price,
+  v2.o_totalprice                                 AS new_price
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_totalprice <> v2.o_totalprice
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed derivation: given two versions of a
+    table, emit (change_type, key, old, new) for every added, deleted, or
+    updated row — the verb behind Delta/Iceberg CDF, audit tables, and
+    downstream incremental refresh. Versions are derived deterministically
+    from the fixture (v1 drops keys ≡0 mod 103 as 'arrived later'; v2 drops
+    keys ≡0 mod 101 as 'deleted' and bumps prices on keys ≡0 mod 97).
+
+    One full-outer hash join on the primary key, then a residual filter
+    keeps only actual changes — unchanged rows (the overwhelming majority
+    of any real snapshot pair) are discarded BEFORE any further processing,
+    so the output scales with churn, not table size. Both version filters
+    are pushable scan predicates on the same file relation; value equality
+    compares the raw stored doubles (no arithmetic, no float drift — the
+    update bump itself is ROUND(·,2) in both engines)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.where(F.col("o_orderkey") % 103 != 0).alias("v1")
+    v2 = (
+        o.where(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .alias("v2")
+    )
+    joined = v1.join(v2, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full")
+    return joined.where(
+        F.col("v1.o_orderkey").isNull()
+        | F.col("v2.o_orderkey").isNull()
+        | (F.col("v1.o_totalprice") != F.col("v2.o_totalprice"))
+    ).select(
+        F.when(F.col("v1.o_orderkey").isNull(), "added")
+        .when(F.col("v2.o_orderkey").isNull(), "deleted")
+        .otherwise("updated")
+        .alias("change_type"),
+        F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias("o_orderkey"),
+        F.col("v1.o_totalprice").alias("old_price"),
+        F.col("v2.o_totalprice").alias("new_price"),
+    )
