@@ -58,7 +58,8 @@ _PRIORITY = [
     "q_agg_basic", "q_star_join", "q_forecast_revenue", "q_ship_priority",
     "q_rollup", "q_pivot", "q_percentile", "q_heavy_hitters",
     # windows
-    "q_win_frame", "q_topk_group", "q_win_session",
+    "q_win_frame", "q_topk_group", "q_win_session", "q_gap_fill",
+    "q_time_weighted_avg",
     # dedup ladder
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_prefix", "q_dedup_embed",
     "q_dedup_clusters", "q_dedup_incremental",

@@ -297,3 +297,112 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", taps.alias("ewma")
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ROUND(SUM(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT g.user_id, g.day,
+       last_value(d.v IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day) AS filled_value,
+       d.v IS NOT NULL AS is_observed
+FROM (SELECT user_id, day FROM users CROSS JOIN days) g
+LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + LOCF (last observation carried forward) — the
+    hypertable verb that turns an irregular event stream into a dense
+    per-(user, day) series: build the full user × day grid, left-join the
+    observed daily totals, and forward-fill missing days from each user's
+    last observation (`last(..., ignorenulls=True)` over a day-ordered
+    window). Days before a user's first observation stay NULL — LOCF
+    carries, it does not invent.
+
+    Scale: the grid IS the output (every gap-fill materializes
+    |users|×|days| rows — inherent to the verb, not a join blow-up); it is
+    built from two already-tiny relations (distinct users, a generated
+    day spine from a 1-row bounds aggregate — no driver collect). The
+    event-scale work is one (user, day) partial+final aggregate; the fill
+    window partitions on user_id, reusing the grid's natural key. Daily
+    sums are rounded at aggregation (summation-order parity), then carried
+    verbatim by the fill."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("v").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twa_value
+FROM iv WHERE dt_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the monitoring/TSDB aggregate where
+    each observation holds until the next one, so its weight is the
+    interval it was live (plain AVG over-counts bursts of cheap events).
+    Each value is weighted by epoch-microseconds until the user's next
+    event (exact integer durations, lead tie-broken on event_id); the open
+    last interval is excluded.
+
+    One shuffle: the lead window and the per-user aggregate share the
+    user_id partitioning. Parity: dt is exact integer µs on both engines;
+    the two float sums feed ONE division whose relative error is ~1e-12
+    regardless of per-engine summation order, so rounding the ratio at 6
+    decimals is stable where rounding the raw sums would not be."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6).alias(
+            "twa_value"
+        ),
+    )
