@@ -57,6 +57,7 @@ _PRIORITY = [
     # flagship + relational core
     "q_agg_basic", "q_star_join", "q_forecast_revenue", "q_ship_priority",
     "q_rollup", "q_pivot", "q_percentile", "q_heavy_hitters",
+    "q_grouped_regression", "q_equidepth_hist",
     # windows
     "q_win_frame", "q_topk_group", "q_win_session", "q_gap_fill",
     "q_time_weighted_avg",

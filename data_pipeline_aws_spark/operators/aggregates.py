@@ -593,3 +593,67 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+
+
+@query(
+    "q_grouped_regression",
+    oracle="""
+WITH s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT)                              AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                  * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+""",
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price vs quantity per brand) from the
+    closed-form sum identities: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+    The built-in regr_slope/regr_intercept exist in both engines but
+    accumulate floats internally in engine-specific order — here every Σ
+    is DECIMAL-exact (quantity is integral, price has 2 decimals), cast to
+    double only at the final arithmetic, so both engines evaluate the same
+    IEEE expression on identical inputs.
+
+    Scale: this is a single partial+final aggregate pass — the five sums
+    are ordinary mergeable agg columns over the fact join (part side
+    broadcast), grouped at |brands| cardinality. The same identity is how
+    any distributed OLS over 100 TB runs: sufficient statistics in one
+    pass, model solve on the reduced relation."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.col("l_quantity").cast("decimal(18,0)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
