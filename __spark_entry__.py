@@ -65,7 +65,7 @@ _PRIORITY = [
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_prefix", "q_dedup_embed",
     "q_dedup_clusters", "q_dedup_incremental",
     # similarity / vectors
-    "q_sim_topk", "q_quantize", "q_vec_centroid",
+    "q_sim_topk", "q_quantize", "q_vec_centroid", "q_pca_embed",
     # text / curation
     "q_text_tokens", "q_text_tfidf", "q_text_winnow", "q_corpus_mix",
     "q_sample_stratified", "q_sample_reservoir", "q_decontaminate",

@@ -434,3 +434,70 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(abs_err, F.lit(0.0), lambda acc, v: acc + v) / dim, 6
         ).alias("recon_err"),
     )
+
+
+@query("q_pca_embed")  # float eigensolve → deterministic rows-only
+def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus via sufficient statistics:
+    top-5 principal components' eigenvalues and explained-variance ratios.
+
+    The pattern is the linear-algebra twin of q_kmeans' model/data split:
+    each Arrow batch combines its vectors into a local Gram matrix XᵀX,
+    feature sum, and count with numpy (one matmul per batch), and emits at
+    most D² + D + 1 cells — the shuffle carries O(D²·batches), never
+    O(N·D). One groupBy folds the partials; the D×D covariance
+    (Σxxᵀ − n·μμᵀ)/(n−1) then returns to the driver (bounded model state:
+    64×64 doubles), where numpy's symmetric eigensolver finishes in
+    microseconds. At 100 TB the corpus is touched exactly once, map-only;
+    the eigensolve cost is independent of N — this is how PCA/whitening of
+    embedding tables actually runs on a cluster (same shape: covariance →
+    driver solve → broadcast the projection back for the transform step).
+    tests/test_properties.py replays the whole computation in pure numpy
+    and requires matching eigenvalues to float tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    dim = 64
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = m.T @ m
+            s = m.sum(axis=0)
+            i_idx, j_idx = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([i_idx.reshape(-1), np.arange(dim), [-1]]).astype("int32"),
+                    "j": np.concatenate([j_idx.reshape(-1), np.full(dim, -1), [-1]]).astype("int32"),
+                    "v": np.concatenate([g.reshape(-1), s, [float(len(m))]]),
+                }
+            )
+
+    cells = (
+        e.mapInPandas(partials, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    gram = np.zeros((dim, dim))
+    mean_sum = np.zeros(dim)
+    n = 0.0
+    for r in cells:
+        if r.i == -1:
+            n = r.v
+        elif r.j == -1:
+            mean_sum[r.i] = r.v
+        else:
+            gram[r.i, r.j] = r.v
+    mu = mean_sum / n
+    cov = (gram - n * np.outer(mu, mu)) / (n - 1.0)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    trace = float(evals.sum())
+    rows = [
+        (int(c), float(round(float(evals[c]), 4)), float(round(float(evals[c]) / trace, 6)))
+        for c in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )

@@ -149,3 +149,29 @@ def test_hll_merge_estimates_within_error_bound(spark, sf_dir):
         assert r.exact_customers > 0
         rel = abs(r.approx_customers - r.exact_customers) / r.exact_customers
         assert rel <= 0.05, (r.n_regionkey, r.approx_customers, r.exact_customers)
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """The distributed sufficient-statistics PCA must reproduce a pure-numpy
+    covariance eigensolve on the same vectors to float tolerance."""
+    import numpy as np
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "embeddings").select("embedding").collect()
+    )
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    cov = np.cov(m, rowvar=False)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    trace = float(evals.sum())
+
+    got = {
+        r.component: (r.eigenvalue, r.explained_ratio)
+        for r in all_queries()["q_pca_embed"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(5))
+    for c in range(5):
+        assert abs(got[c][0] - evals[c]) < 1e-3 * max(1.0, abs(evals[c])), (c, got[c], evals[c])
+        assert abs(got[c][1] - evals[c] / trace) < 1e-5
