@@ -359,22 +359,25 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token counts stay in-row (`size(split(...))` — no explode, so the
     exchange carries one row per document, not per token, and the stratum
-    grid is bounded at |sources|×|langs|). The corpus total is a 1-row
-    aggregate of the SAME per-stratum relation (ReusedExchange, then
-    broadcast); the share is one IEEE division of two exact BIGINTs —
-    bit-identical across engines, left unrounded."""
+    grid is bounded at |sources|×|langs|). The corpus total is an
+    unpartitioned window SUM over that bounded grid — NOT a second
+    aggregate branch, which would either re-scan the corpus or depend on
+    fragile exchange reuse; a global window is safe here precisely because
+    its input is the |sources|×|langs| grid, never the corpus (the plan
+    test asserts the single scan). The share is one IEEE division of two
+    exact BIGINTs — bit-identical across engines, left unrounded."""
     d = table(spark, sf_dir, "documents")
     per = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
     )
-    total = per.agg(F.sum("n_tokens").alias("tot"))
-    return per.crossJoin(F.broadcast(total)).select(
+    w = Window.partitionBy()
+    return per.select(
         "source",
         "lang",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") * 1.0 / F.col("tot")).alias("token_share"),
+        (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w)).alias("token_share"),
     )
 
 

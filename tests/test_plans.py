@@ -369,3 +369,36 @@ def test_min_cost_supplier_single_lineitem_shuffle(plans):
     # scanned once (map-side partial_min combine), no self-join of the fact
     assert p.count("lineitem.parquet") == 1, p
     assert "partial_min" in plans("q_min_cost_supplier")
+
+
+def test_snapshot_diff_plans_full_outer_on_key(plans):
+    p = plans("q_snapshot_diff")
+    assert "FullOuter" in p, p
+
+
+def test_gap_fill_window_is_user_partitioned(plans):
+    # the LOCF window must ride the grid's user_id partitioning — a global
+    # (unpartitioned) fill window would single-partition the whole grid
+    p = plans("q_gap_fill")
+    assert "Window" in p
+    win_line = next(l for l in p.splitlines() if "windowspecdefinition" in l and "last" in l)
+    assert "user_id" in win_line, win_line
+
+
+def test_time_weighted_avg_single_user_exchange(plans):
+    # lead window and final aggregate share one user_id hash exchange
+    p = plans("q_time_weighted_avg").split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_corpus_mix_single_corpus_scan(plans):
+    # the corpus total is a window over the bounded stratum grid — the
+    # documents table must be scanned exactly once
+    p = plans("q_corpus_mix").split("== Initial Plan ==")[0]
+    assert p.count("documents.parquet") == 1, p
+
+
+def test_dedup_prefix_verify_is_semi_join_no_cartesian(plans):
+    p = plans("q_dedup_prefix")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p, p
