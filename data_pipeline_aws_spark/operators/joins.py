@@ -1070,3 +1070,66 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_context
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN events e
+  ON e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts < p.ts
+GROUP BY p.event_id
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join — the scale path for point-in-interval joins
+    where BOTH sides are large: every purchase counts all platform events
+    in its preceding 5 minutes (the activity-context lookup behind
+    fraud/ops checks). `q_join_range` broadcasts its tiny interval table;
+    here the interval side is event-scale, and a broadcast nested loop (or
+    worse, a full theta join) is O(N·M).
+
+    The rewrite: quantize time into 5-minute buckets. Each event carries
+    its one bucket; each purchase's window [ts−5min, ts) spans at most two
+    buckets, so the purchase side explodes into ≤2 bucket rows, the join
+    becomes an EQUI-join on bucket (hash-partitionable, AQE-skew-splittable
+    — everything theta joins aren't) and the true interval predicate runs
+    as a residual on the matched bucket pairs. Each in-window event shares
+    exactly one bucket with the purchase's pair, so no dedup is needed;
+    zero-context purchases survive via the left join + count of the
+    non-null side. Bucket width tunes fan-out: width ≈ window keeps the
+    per-row bucket count at 2 while bounding residual waste to ~2× the
+    window population."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros
+    win_us = 5 * 60 * 1_000_000
+    ctx = e.select(
+        F.col("event_id").alias("ctx_id"),
+        F.col("ts").alias("cts"),
+        F.floor(us(F.col("ts")) / win_us).alias("bucket"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    p2 = p.select(
+        "purchase_id",
+        "pts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((us(F.col("pts")) - win_us) / win_us),
+                    F.floor(us(F.col("pts")) / win_us),
+                )
+            )
+        ).alias("bucket"),
+    )
+    j = p2.join(
+        ctx,
+        (p2.bucket == ctx.bucket)
+        & (ctx.cts >= p2.pts - F.expr("INTERVAL 5 MINUTES"))
+        & (ctx.cts < p2.pts),
+        "left",
+    )
+    return j.groupBy("purchase_id").agg(F.count("ctx_id").alias("n_context"))
