@@ -68,3 +68,22 @@ def test_every_query_module_is_registered():
         if "@query(" in text
     }
     assert defining_files <= registered_files, defining_files - registered_files
+
+
+def test_priority_prefix_is_valid_and_family_representative():
+    """__spark_entry__.queries() leads with the curated _PRIORITY prefix:
+    every priority name must exist in the registry (a rename that orphans a
+    priority entry silently demotes that family from the graded prefix),
+    and the prefix must stay mostly oracle-backed."""
+    import __spark_entry__ as e
+    from data_pipeline_aws_spark import all_oracles, all_queries
+
+    qs = all_queries()
+    missing = [n for n in e._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    names = list(e.queries())
+    assert names[: len(e._PRIORITY)] == e._PRIORITY
+    oracles = all_oracles()
+    rows_only = [n for n in e._PRIORITY if n not in oracles]
+    # rows-only entries are allowed (sketches/eigensolves) but stay rare
+    assert len(rows_only) <= 3, rows_only
