@@ -68,7 +68,8 @@ _PRIORITY = [
     "q_sim_topk", "q_quantize", "q_vec_centroid", "q_pca_embed",
     # text / curation
     "q_text_tokens", "q_text_tfidf", "q_text_winnow", "q_corpus_mix",
-    "q_sample_stratified", "q_sample_reservoir", "q_decontaminate",
+    "q_sample_stratified", "q_sample_reservoir", "q_train_split",
+    "q_decontaminate",
     "q_seq_pack", "q_text_redact",
     # graph + behavior analytics
     "q_pagerank", "q_triangles", "q_funnel", "q_retention", "q_abtest",

@@ -416,3 +416,53 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("lang", "doc_id", "source")
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split, lang
+""",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) with a per-(split, lang)
+    balance report — the assignment step every training-data pipeline runs
+    last, and the report that catches a skewed split before a model does.
+    Assignment hashes the stable doc key (same Knuth multiplicative bucket
+    as `q_sample_stratified`), NOT rand(): re-runs, late-arriving shards,
+    and the oracle all agree on every document's split, and a document can
+    never migrate between train and test across pipeline restarts — the
+    leakage property rand() splits cannot guarantee.
+
+    The split expression is a pure map-side projection (pushable, no
+    shuffle); the report is one partial+final aggregate over the bounded
+    3×|langs| grid with in-row token counts (no explode)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _HASH_MULT) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

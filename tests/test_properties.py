@@ -175,3 +175,44 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     for c in range(5):
         assert abs(got[c][0] - evals[c]) < 1e-3 * max(1.0, abs(evals[c])), (c, got[c], evals[c])
         assert abs(got[c][1] - evals[c] / trace) < 1e-5
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """Winnowing's defining property (Schleimer et al. §2): two documents
+    sharing any substring of length ≥ k + w − 1 (= 8 + 4 − 1 = 11 chars)
+    must share at least one selected fingerprint, wherever that substring
+    sits in either document. Checked on constructed cases: a common core
+    embedded at different offsets in otherwise-different texts."""
+    from data_pipeline_aws_spark import all_queries
+    import pyspark.sql.functions as F
+
+    core = "the quick brown fox jumps"  # 25 chars >> 11
+    docs = [
+        (1, "aaaaaaaaaaaaaaaa " + core + " zzzzzzzz"),
+        (2, "bbbb " + core + " qqqqqqqqqqqqqqqqqqqqqq"),
+        (3, "totally unrelated content with no overlap at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("winnow_prop_docs")
+
+    grams = (
+        "CASE WHEN length(text) >= 8 THEN "
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) "
+        "ELSE array() END"
+    )
+    wins = (
+        "CASE WHEN size(grams) >= 4 THEN "
+        "transform(sequence(1, size(grams) - 3), j -> "
+        "least(grams[j - 1], grams[j], grams[j + 1], grams[j + 2])) "
+        "ELSE array() END"
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.selectExpr("doc_id", f"{grams} AS grams")
+        .selectExpr("doc_id", f"{wins} AS wins")
+        .selectExpr("doc_id", "array_distinct(wins) AS fps")
+        .collect()
+    }
+    assert fps[1] & fps[2], "docs sharing a 25-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
