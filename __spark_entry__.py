@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # order and still runs when the sweep has budget.
 _PRIORITY = [
     # flagship + relational core
-    "q_agg_basic", "q_star_join", "q_forecast_revenue", "q_ship_priority",
+    "q_agg_basic", "q_pipeline_e2e", "q_star_join", "q_forecast_revenue",
+    "q_ship_priority",
     "q_rollup", "q_pivot", "q_percentile", "q_heavy_hitters",
     "q_grouped_regression", "q_equidepth_hist",
     # windows

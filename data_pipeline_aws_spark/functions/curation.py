@@ -466,3 +466,81 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle="""
+WITH dedup AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))                 AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM dedup
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE n_types * 1.0 / n_tok >= 0.3 AND n_tok BETWEEN 10 AND 10000
+),
+assigned AS (
+  SELECT lang, n_tok,
+         CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM gated
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split, lang
+""",
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a complete curation pipeline — exact dedup → quality
+    gate → train/val/test assignment → balance report — composed as ONE
+    declarative DataFrame plan. This is the point of building on
+    Catalyst: the stages FUSE. The quality metrics (token count, in-row
+    distinct types via array_distinct — no explode) and the split
+    assignment are map-side projections that pipeline with the dedup
+    window's output inside one codegen stage; the whole corpus is scanned
+    once, shuffled twice (16-byte content hash for dedup rank, bounded
+    3×|langs| grid for the report), and nothing materializes between
+    stages. An orchestrated version of this pipeline (one job per stage,
+    parquet between stages — the Glue/Step Functions shape the reference
+    declares) pays a full corpus write+read at every arrow; expressed as
+    one plan, those boundaries simply don't exist.
+
+    Determinism: every gate ratio is a single IEEE division of exact
+    integers; the split is the same leakage-proof hash-mod as
+    `q_train_split`."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.encode("text", "UTF-8"))).orderBy("doc_id")
+    dedup = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    toks = F.split("text", " ")
+    scored = dedup.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    gated = scored.where(
+        (F.col("n_types") * 1.0 / F.col("n_tok") >= 0.3)
+        & F.col("n_tok").between(10, 10000)
+    )
+    bucket = (F.col("doc_id") * _HASH_MULT) % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    return (
+        gated.select("lang", "n_tok", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

@@ -402,3 +402,11 @@ def test_dedup_prefix_verify_is_semi_join_no_cartesian(plans):
     p = plans("q_dedup_prefix")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p, p
+
+
+def test_pipeline_e2e_single_scan_fused_stages(plans):
+    # dedup -> gate -> split -> report must fuse into one plan: one corpus
+    # scan, no Python evaluation, no materialization between stages
+    p = plans("q_pipeline_e2e").split("== Initial Plan ==")[0]
+    assert p.count("documents.parquet") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
