@@ -86,6 +86,7 @@ _PRIORITY = [
     "q_stream_tumbling", "q_stream_state", "q_stream_stream_join",
     # UDF surface + data quality
     "q_pandas_udaf", "q_grouped_map", "q_dq_checks", "q_dq_anomaly",
+    "q_skew_report",
     # remaining TPC-H completions
     "q_min_cost_supplier", "q_product_profit", "q_important_stock",
     "q_order_priority", "q_ship_modes",

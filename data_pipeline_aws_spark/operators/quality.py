@@ -226,3 +226,50 @@ def q_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+WITH per_key AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)        AS n_keys,
+  CAST(SUM(n_rows) AS BIGINT)     AS total_rows,
+  CAST(MAX(n_rows) AS BIGINT)     AS max_key_rows,
+  CAST(MEDIAN(n_rows) AS DOUBLE)  AS median_key_rows,
+  CAST(MAX(n_rows) AS DOUBLE) / CAST(MEDIAN(n_rows) AS DOUBLE) AS skew_factor,
+  CAST(MIN(l_suppkey) FILTER (WHERE n_rows = (SELECT MAX(n_rows) FROM per_key))
+       AS BIGINT)                 AS hottest_key
+FROM per_key
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides BEFORE a
+    big join whether to salt (`q_join_salted`), rely on AQE skew splitting,
+    or do nothing: per-key row counts for the prospective join key, rolled
+    into one report row (key count, max and median per-key cardinality,
+    their ratio as the skew factor, and the hottest key's id).
+
+    Shape: one partial+final aggregate to |keys| grain, then a second
+    aggregate over the bounded key relation. Exact median of the per-key
+    counts is legitimate HERE because its input is |keys| rows (not the
+    fact table); the same report at billions of keys swaps in
+    `percentile_approx` — the report's grain, not its math, is what makes
+    it cheap. The hottest-key id rides the same pass as a max_by, no
+    second scan."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_key_rows"),
+        F.median("n_rows").cast("double").alias("median_key_rows"),
+        (F.max("n_rows").cast("double") / F.median("n_rows").cast("double")).alias(
+            "skew_factor"
+        ),
+        F.min_by("l_suppkey", F.struct((-F.col("n_rows")).alias("neg"), "l_suppkey"))
+        .alias("hottest_key"),
+    )
