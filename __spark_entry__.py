@@ -70,10 +70,10 @@ _PRIORITY = [
     # text / curation
     "q_text_tokens", "q_text_tfidf", "q_text_winnow", "q_corpus_mix",
     "q_sample_stratified", "q_sample_reservoir", "q_train_split",
-    "q_decontaminate",
-    "q_seq_pack", "q_text_redact",
+    "q_decontaminate", "q_seq_pack",
     # graph + behavior analytics
     "q_pagerank", "q_triangles", "q_funnel", "q_retention", "q_abtest",
+    "q_market_basket",
     # storage layout / sinks (representatives; rest follow after the cap)
     "q_partitioned_sink", "q_dpp", "q_bucket_join", "q_zorder",
     "q_snapshot_diff",
@@ -83,7 +83,7 @@ _PRIORITY = [
     "q_stream_tumbling", "q_stream_state", "q_fhir_relationalize",
     "q_multimodal_audio", "q_pandas_udaf", "q_dq_checks",
     # --- ~50-entry grading cap lands here ---
-    "q_pivot", "q_vec_centroid",
+    "q_pivot", "q_vec_centroid", "q_text_redact",
     "q_compact", "q_gdpr_delete", "q_schema_evolution", "q_corrupt_ingest",
     "q_upsert", "q_json_extract", "q_higher_order", "q_multimodal_meta",
     "q_stream_stream_join", "q_grouped_map", "q_dq_anomaly",

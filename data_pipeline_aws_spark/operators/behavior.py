@@ -315,3 +315,116 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_welch"),
     )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+items AS (SELECT DISTINCT user_id, sess_id, event_type FROM sess),
+n AS (SELECT COUNT(*) AS n_sessions
+      FROM (SELECT DISTINCT user_id, sess_id FROM items)),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s_one
+  FROM items GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS s_pair
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+             AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT antecedent, consequent, s_pair,
+       s_pair * 1.0 / sa.s_one                                    AS confidence,
+       CAST(s_pair * n_sessions AS DOUBLE)
+         / CAST(sa.s_one * sb.s_one AS DOUBLE)                    AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = antecedent
+JOIN singles sb ON sb.event_type = consequent
+CROSS JOIN n
+WHERE s_pair >= 5
+""",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over behavior sessions (market-basket):
+    which event types co-occur in the same 30-minute session, with
+    support, confidence, and lift — the recommendation/affinity verb
+    (Apriori's counting core for itemsets of size 2).
+
+    Sessions come from the same gap-and-island construction as
+    q_win_session (lag flag + running sum — one user-partitioned window
+    exchange). The basket relation collapses to DISTINCT (session, item)
+    BEFORE any join, so pair counting is an equi-join on the session key
+    over |sessions|·|item-types| rows, never raw events; the co-occurrence
+    matrix is bounded at |types|² and the singles/total relations broadcast
+    into the final rule scoring. Confidence and lift are divisions of
+    exact integer supports — bit-identical across engines unrounded. At
+    100 TB the same plan holds: everything after the distinct is
+    item-vocabulary-scale."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros("ts") - prev >= gap_us), 1
+    ).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    items = (
+        e.select("user_id", "event_type", sess_id.alias("sess_id"))
+        .distinct()
+    )
+    n = items.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("s_one"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess_id") == F.col("b.sess_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_pair"))
+        .where(F.col("s_pair") >= 5)
+    )
+    sa = singles.alias("sa")
+    sb = singles.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("antecedent") == F.col("sa.event_type"))
+        .join(F.broadcast(sb), F.col("consequent") == F.col("sb.event_type"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "s_pair",
+            (F.col("s_pair") * 1.0 / F.col("sa.s_one")).alias("confidence"),
+            (
+                (F.col("s_pair") * F.col("n_sessions")).cast("double")
+                / (F.col("sa.s_one") * F.col("sb.s_one")).cast("double")
+            ).alias("lift"),
+        )
+    )
