@@ -406,3 +406,57 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twa_value"
         ),
     )
+
+
+@query(
+    "q_rolling_quantile",
+    oracle="""
+WITH framed AS (
+  SELECT user_id, event_id, ts, value,
+         list_sort(list(value) OVER w) AS frame,
+         COUNT(*) OVER w               AS m
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, value,
+       frame[CAST(ceil(0.9 * m) AS INT)] AS p90_trailing
+FROM framed WHERE m = 20
+""",
+)
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact quantile — trailing-20-event p90 of each user's value
+    stream (the moving tail-latency / spend-spike monitor a TSDB calls a
+    rolling percentile). The frame's values are collected, sorted in-row,
+    and indexed at ⌈0.9·m⌉ — an exact order statistic, not an
+    interpolated estimate, so both engines pick the identical stored
+    double and the result needs no rounding.
+
+    Bounded by construction: the collected frame is ≤20 elements per row
+    (`ROWS BETWEEN 19 PRECEDING AND CURRENT ROW`), so per-row state is
+    O(frame), not O(partition) — the pattern is only legal for FIXED row
+    frames; a running (unbounded-preceding) collect would accumulate the
+    partition and is exactly what this op avoids. One user-partitioned
+    window exchange; partial frames (first 19 events) are suppressed to
+    keep the statistic well-defined."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    framed = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("frame"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    return framed.where(F.col("m") == 20).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.element_at("frame", F.ceil(0.9 * F.col("m")).cast("int")).alias(
+            "p90_trailing"
+        ),
+    )
