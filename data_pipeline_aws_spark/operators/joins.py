@@ -1133,3 +1133,44 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return j.groupBy("purchase_id").agg(F.count("ctx_id").alias("n_context"))
+
+
+@query(
+    "q_topk_join",
+    oracle="""
+WITH top AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+  FROM orders
+  GROUP BY o_custkey
+  ORDER BY SUM(o_totalprice) DESC, o_custkey
+  LIMIT 10
+)
+SELECT t.o_custkey AS custkey, t.total_spend,
+       o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM top t JOIN orders o ON o.o_custkey = t.o_custkey
+""",
+)
+def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k then fetch: the 10 highest-spend customers with their full
+    order history — the 'whale report' shape (rank a key set, then return
+    to the fact table for the detail rows of only those keys).
+
+    Two-phase plan that stays cheap at any scale: phase 1 aggregates the
+    fact to |customers| grain and takes the top 10 via
+    TakeOrderedAndProject (per-partition heaps + a 10-row driver merge —
+    no global sort); phase 2 broadcasts that 10-row key set back into a
+    second fact scan as a broadcast hash join, so the history fetch is a
+    map-side probe with zero shuffle. Deterministic: ties broken on
+    custkey in the ordering."""
+    o = table(spark, sf_dir, "orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.sum("o_totalprice").alias("_raw"))
+        .orderBy(F.desc("_raw"), "o_custkey")
+        .limit(10)
+        .select(F.col("o_custkey").alias("custkey"), "total_spend")
+    )
+    return top.join(
+        o, F.col("custkey") == o.o_custkey
+    ).select("custkey", "total_spend", "o_orderkey", "o_totalprice", "o_orderdate")

@@ -410,3 +410,11 @@ def test_pipeline_e2e_single_scan_fused_stages(plans):
     p = plans("q_pipeline_e2e").split("== Initial Plan ==")[0]
     assert p.count("documents.parquet") == 1, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_topk_join_heap_then_broadcast_back(plans):
+    # phase 1: TakeOrderedAndProject (no global sort); phase 2: the 10-row
+    # key set broadcasts back into the fact scan
+    p = plans("q_topk_join")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
