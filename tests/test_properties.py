@@ -216,3 +216,24 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
     assert fps[1] & fps[2], "docs sharing a 25-char substring must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_ivf_recall_at_5_vs_brute_force(spark, sf_dir):
+    """The IVF ANN path must actually deliver the recall its docstring
+    claims: per query, the fraction of brute-force top-5 neighbors the
+    nprobe-limited IVF search recovers. Deterministic (fixed centroids,
+    fixed assignment), so this is a hard floor, not a flaky statistic."""
+    from data_pipeline_aws_spark import all_queries
+
+    exact = {}
+    for r in all_queries()["q_sim_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in all_queries()["q_sim_ivf"](spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(exact) == set(approx)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.8, f"recall@5 {recall:.3f} below floor"
