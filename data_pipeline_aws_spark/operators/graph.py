@@ -208,3 +208,61 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     ne = e0.agg(F.count(F.lit(1)).alias("n_edges"))
     return nn.crossJoin(ne).crossJoin(tri)
+
+
+@query(
+    "q_degree_dist",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT c_nationkey AS cn, s_nationkey AS sn
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  WHERE c_nationkey <> s_nationkey AND l_quantity >= 50
+),
+und AS (
+  SELECT cn AS a, sn AS b FROM edges
+  UNION
+  SELECT sn, cn FROM edges
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY a)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the cross-nation trade graph — the first
+    diagnostic run on any graph before choosing algorithms (hub detection,
+    skew forecasting for the joins PageRank/triangle counting will do).
+    Nodes are nations; an undirected edge exists where a customer of one
+    nation placed a maximum-quantity line (l_quantity = 50, the top of the
+    domain — the fixture's dense trade graph needs sparsifying for the
+    histogram to have any shape) with a supplier of another.
+
+    Three-stage reduction, each strictly smaller: fact joins (dims
+    broadcast) → DISTINCT edge set (|V|² bounded) → per-node degree →
+    degree histogram. The expensive part — deduplicating the edge
+    multiset — is one shuffle of edge keys; everything after runs at graph
+    grain, orders of magnitude below the fact table."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+        .distinct()
+    )
+    und = edges.select(F.col("cn").alias("a"), F.col("sn").alias("b")).union(
+        edges.select(F.col("sn").alias("a"), F.col("cn").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -190,3 +190,60 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "purchase_ts", "click_event_id", "click_ts")
     )
+
+
+@query(
+    "q_share_of_parent",
+    oracle="""
+WITH nat AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT region, nation,
+       ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
+       CAST(revenue AS DOUBLE)
+         / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)
+         AS region_share,
+       CAST(revenue AS DOUBLE)
+         / CAST(SUM(revenue) OVER () AS DOUBLE)
+         AS global_share
+FROM nat
+""",
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — each nation's revenue as a share of its region and
+    of the world (the OLAP RATIO_TO_REPORT verb behind every 'share of
+    parent' drill-down column). Revenue aggregates in DECIMAL so the
+    shares divide two exactly-equal numerators/denominators on both
+    engines; the division itself is one IEEE op, left unrounded.
+
+    Both share windows run on the |nations|-grain relation (25 rows) —
+    bounded AFTER the event-scale aggregate, so the unpartitioned global
+    window is safe (same boundedness argument as q_dq_anomaly/q_skyline).
+    Dim joins ride broadcasts; one fact shuffle to nation grain."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    rev = F.col("revenue").cast("double")
+    return nat.select(
+        "region",
+        "nation",
+        F.round(rev, 2).alias("revenue"),
+        (rev / F.sum("revenue").over(w_region).cast("double")).alias("region_share"),
+        (rev / F.sum("revenue").over(w_all).cast("double")).alias("global_share"),
+    )
