@@ -271,3 +271,78 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         extract, "doc_id long, window_idx int, n_samples int, rms double, peak int"
     )
+
+
+@query("q_multimodal_phash")  # numpy-hash sketch → deterministic rows-only
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary media — the
+    image twin of SimHash text dedup. Each payload is 'decoded' to an 8×8
+    luminance grid (deterministic fake codec: byte sums over 64 equal
+    payload slices — a real build swaps in PIL resize + grayscale, nothing
+    else changes), pHash-style: bits are grid-cells-above-median, packed
+    to a 64-bit signature in numpy per Arrow batch. Pairs within hamming
+    distance ≤ 6 are found via the same byte-pigeonhole banding as
+    `q_dedup_simhash` (8 bands of 8 bits: distance ≤ 6 forces ≥ 1 equal
+    band — pigeonhole over 7 flipped bits in 8 bands), then exact hamming
+    verification.
+
+    Scale shape: signatures are computed map-only in `mapInPandas`
+    (payloads never shuffle); the band join shuffles 8 rows of 16 bytes
+    per image — constant per item regardless of payload size, which is
+    the entire point of sketch-first media dedup at 100 TB. Rows-only
+    check: the signature depends on numpy-side hashing DuckDB can't
+    replay, but the result is fully deterministic."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) < 64:
+                    b = np.pad(b, (0, 64 - len(b)))
+                cells = np.array_split(b.astype(np.int64), 64)
+                grid = np.array([c.sum() for c in cells], dtype=np.int64)
+                bits = (grid > np.median(grid)).astype(np.uint64)
+                sig = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    sig |= np.uint64(bit) << np.uint64(i)
+                sigs.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": sigs})
+
+    sig = d.mapInPandas(sign, "doc_id long, phash long")
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("phash", 8 * i).bitwiseAND(255).alias("val"),
+                )
+                for i in range(8)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+        .distinct()
+    )

@@ -176,3 +176,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v1.o_totalprice").alias("old_price"),
         F.col("v2.o_totalprice").alias("new_price"),
     )
+
+
+@query(
+    "q_union_evolution",
+    oracle="""
+WITH gen1 AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+         'gen1' AS generation
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+gen2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority, 'gen2' AS generation
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT generation,
+       CAST(COUNT(*) AS BIGINT)                          AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_priority_nulls,
+       ROUND(SUM(o_totalprice), 2)                       AS revenue
+FROM (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+GROUP BY generation
+""",
+)
+def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-level schema-drift union: an older extract generation lacks a
+    column the newer one carries; `unionByName(allowMissingColumns=True)`
+    aligns by NAME and null-fills the missing column — the in-plan
+    counterpart to `q_schema_evolution`'s file-level mergeSchema read (one
+    handles drift at scan time, this handles it when two already-loaded
+    lineages must combine). Positional unionAll would silently mis-bind
+    here; the accounting output (rows and null-fill count per generation)
+    is what an ingest audit publishes.
+
+    Scale: the union is a plan concatenation — zero shuffle of its own;
+    both branch filters are pushable; the report aggregate is the only
+    exchange."""
+    o = table(spark, sf_dir, "orders")
+    gen1 = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("generation", F.lit("gen1"))
+    )
+    gen2 = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("generation", F.lit("gen2"))
+    )
+    merged = gen1.unionByName(gen2, allowMissingColumns=True)
+    return merged.groupBy("generation").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("n_priority_nulls"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
