@@ -228,3 +228,112 @@ def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("n_priority_nulls"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 103 <> 0
+),
+v2_expected AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+feed AS (
+  SELECT
+    CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+         WHEN v2.o_orderkey IS NULL THEN 'deleted'
+         ELSE 'updated' END                AS change_type,
+    COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+    v2.o_totalprice                        AS new_price
+  FROM v1 FULL OUTER JOIN v2_expected v2 ON v1.o_orderkey = v2.o_orderkey
+  WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+     OR v1.o_totalprice <> v2.o_totalprice
+),
+reconstructed AS (
+  SELECT o_orderkey,
+         COALESCE(f.new_price, b.o_totalprice) AS o_totalprice
+  FROM v1 b
+  LEFT JOIN feed f USING (o_orderkey)
+  WHERE f.change_type IS NULL OR f.change_type = 'updated'
+  UNION ALL
+  SELECT o_orderkey, new_price FROM feed WHERE change_type = 'added'
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)     AS n_rows,
+  ROUND(SUM(o_totalprice), 2)  AS total_price,
+  CAST((SELECT COUNT(*) FROM v2_expected) AS BIGINT)    AS expected_rows,
+  ROUND((SELECT SUM(o_totalprice) FROM v2_expected), 2) AS expected_total
+FROM reconstructed
+""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the consumer half of `q_snapshot_diff`: replay a change
+    feed (added/deleted/updated rows) onto the old snapshot and prove the
+    reconstruction equals the new snapshot. Together the two operators
+    close the loop a warehouse runs daily: derive the feed from snapshots
+    upstream, apply it to cheap incremental copies downstream.
+
+    Apply is one left join of the base against the (churn-sized) feed:
+    deleted keys drop, updated keys take the feed's value, unmatched keys
+    pass through, and 'added' rows append via a zero-shuffle union. The
+    feed side scales with churn, so at 100 TB it broadcasts (or
+    shuffle-hash-joins) against a base that never re-sorts. The output
+    row carries both the reconstruction's and the expected snapshot's
+    count and total — equal columns are the proof, checked exactly by the
+    oracle."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.where(F.col("o_orderkey") % 103 != 0)
+    v2 = o.where(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = v1.alias("v1"), v2.alias("v2")
+    feed = (
+        a.join(b, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full")
+        .where(
+            F.col("v1.o_orderkey").isNull()
+            | F.col("v2.o_orderkey").isNull()
+            | (F.col("v1.o_totalprice") != F.col("v2.o_totalprice"))
+        )
+        .select(
+            F.when(F.col("v1.o_orderkey").isNull(), "added")
+            .when(F.col("v2.o_orderkey").isNull(), "deleted")
+            .otherwise("updated")
+            .alias("change_type"),
+            F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.col("v2.o_totalprice").alias("new_price"),
+        )
+    )
+    surviv = (
+        v1.join(feed, "o_orderkey", "left")
+        .where(F.col("change_type").isNull() | (F.col("change_type") == "updated"))
+        .select(
+            "o_orderkey",
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        )
+    )
+    added = feed.where(F.col("change_type") == "added").select(
+        "o_orderkey", F.col("new_price").alias("o_totalprice")
+    )
+    recon = surviv.unionByName(added)
+    expected = v2.agg(
+        F.count(F.lit(1)).alias("expected_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("expected_total"),
+    )
+    return (
+        recon.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .crossJoin(F.broadcast(expected))
+    )
