@@ -657,3 +657,44 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "q_mad",
+    oracle="""
+WITH med AS (
+  SELECT c_mktsegment, MEDIAN(c_acctbal) AS seg_median
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT)       AS n_customers,
+       seg_median,
+       MEDIAN(ABS(c_acctbal - seg_median)) AS mad
+FROM customer c JOIN med USING (c_mktsegment)
+GROUP BY c.c_mktsegment, seg_median
+""",
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per segment — the robust dispersion
+    statistic (outlier-resistant where stddev is not; the scale estimate
+    behind robust z-scores in data-quality screens). Two grouped exact
+    medians: the segment median, joined back (broadcast — |segments|
+    rows), then the median of absolute deviations.
+
+    Exact interpolated medians agree across engines here because both
+    interpolate as the mean of the two central stored doubles — a single
+    shared IEEE expression, unlike variance-style accumulations. Cost is
+    two aggregate passes over the segment partitioning; at 100 TB the
+    same statistic swaps exact median for `percentile_approx` on both
+    passes (mergeable sketches) without changing the plan shape."""
+    c = table(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(F.median("c_acctbal").alias("seg_median"))
+    return (
+        c.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment", "seg_median")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.median(F.abs(F.col("c_acctbal") - F.col("seg_median"))).alias("mad"),
+        )
+        .select("c_mktsegment", "n_customers", "seg_median", "mad")
+    )

@@ -467,3 +467,47 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_completion(agg, "append").where(F.col("user_id") >= 0)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "q_stream_availablenow",
+    oracle="""
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT)  AS n_events,
+  ROUND(SUM(value), 4)      AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow batch-catchup: process everything currently in
+    the source in bounded micro-batches, then STOP — the production mode
+    for 'drain the backlog nightly with streaming semantics' jobs
+    (checkpoint-compatible with a continuously-running twin, unlike a
+    plain batch rewrite, and rate-limited by maxFilesPerTrigger where a
+    one-shot batch read is not). The per-user aggregate drained this way
+    must equal the batch GROUP BY — the oracle.
+
+    This differs from the processAllAvailable-drained ops: AvailableNow
+    plans its own termination (no driver-side drain call), which is what
+    makes it safe to schedule unattended at scale."""
+    stream = _stream_events(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name = f"dpas_stream_{os.getpid()}_{next(_COUNTER)}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    return spark.table(name)
