@@ -122,3 +122,60 @@ def test_apply_in_pandas_with_state_running_count(spark, arrival_dir):
     # the final state.
     final = out.groupby("user_id")["n_events"].max().to_dict()
     assert final == {1: 3, 2: 1}, f"unexpected final counts: {final}"
+
+
+def test_checkpoint_resume_is_exactly_once(spark, arrival_dir):
+    """Checkpoint recovery: a restarted query with the SAME checkpoint
+    location must process only files that arrived since the previous run —
+    never reprocessing landed epochs — so the landed sink equals the batch
+    aggregate exactly (no loss, no duplication). This is the property that
+    makes streaming jobs safely restartable in production."""
+    src = os.path.join(arrival_dir, "src")
+    out = os.path.join(arrival_dir, "out")
+    ckpt = os.path.join(arrival_dir, "ckpt")
+    os.makedirs(src)
+
+    _write_batch(spark, src, "f1", [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (2, 1, "2024-01-01 00:01:00", 20.0),
+    ])
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    epochs_run = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+
+        def land(batch_df, epoch_id):
+            epochs_run.append(epoch_id)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch={epoch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first_epochs = list(epochs_run)
+    assert len(first_epochs) >= 1
+
+    # new data arrives while the job is down; restart from the checkpoint
+    _write_batch(spark, src, "f2", [
+        (3, 2, "2024-01-01 00:02:00", 5.0),
+        (4, 2, "2024-01-01 00:03:00", 7.0),
+    ])
+    run_once()
+    second_epochs = epochs_run[len(first_epochs):]
+    # the restart must begin AFTER the last committed epoch, not at 0
+    assert second_epochs and min(second_epochs) > max(first_epochs)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 4  # every event exactly once
+    assert sorted(r.event_id for r in back.select("event_id").collect()) == [1, 2, 3, 4]
