@@ -298,20 +298,21 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for payload in pdf["payload"]:
+            sigs = np.empty(len(pdf), dtype=np.int64)
+            for row, payload in enumerate(pdf["payload"]):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(b) < 64:
                     b = np.pad(b, (0, 64 - len(b)))
-                cells = np.array_split(b.astype(np.int64), 64)
-                grid = np.array([c.sum() for c in cells], dtype=np.int64)
+                # resample to exactly 64 cells: one bincount instead of 64
+                # slice-sums; bit-pack with a vectorized shift dot product
+                idx = np.arange(len(b)) * 64 // len(b)
+                grid = np.bincount(idx, weights=b, minlength=64)
                 bits = (grid > np.median(grid)).astype(np.uint64)
-                sig = np.uint64(0)
-                for i, bit in enumerate(bits):
-                    sig |= np.uint64(bit) << np.uint64(i)
-                sigs.append(np.int64(sig.astype(np.int64)))
+                sigs[row] = np.int64((bits * weights).sum().astype(np.uint64).astype(np.int64))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": sigs})
 
     sig = d.mapInPandas(sign, "doc_id long, phash long")
