@@ -460,3 +460,90 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_trailing"
         ),
     )
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, state, ts AS vf,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM chg
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT d.state AS state_at_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(p.value), 4)   AS total_value
+FROM purchases p
+JOIN dim d
+  ON d.user_id = p.user_id
+ AND p.ts >= d.vf AND (p.ts < d.vt OR d.vt IS NULL)
+GROUP BY d.state
+""",
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase enriched with the SCD2
+    dimension row that was CURRENT at the purchase's own timestamp — the
+    correctness property behind training-data leakage prevention and
+    retroactive reporting (joining today's dim row onto yesterday's fact
+    is the classic silent error this verb exists to prevent). The dim is
+    the q_scd2 validity-interval build (state change-compression via lag,
+    intervals via lead); the fact then matches its covering interval.
+
+    Plan: the interval condition rides the user_id equi-join as a
+    residual, so this is a hash join on user_id, not a range scan — and
+    because SCD2 intervals for one user never overlap, each fact row
+    matches exactly one dim row (no fan-out, no dedup). Dim build and
+    probe share the user_id partitioning: one exchange each side. The
+    same shape serves any bitemporal lookup at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the dimension tracks the user's ACTIVITY state (non-purchase events):
+    # a purchase then matches the state it happened under, not itself
+    activity = e.where(F.col("event_type") != "purchase")
+    chg = (
+        activity.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    dim = chg.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(w.orderBy("ts", "event_id")).alias("vt"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        p.join(
+            dim,
+            (p.user_id == dim.d_user)
+            & (p.ts >= dim.vf)
+            & ((p.ts < dim.vt) | dim.vt.isNull()),
+        )
+        .groupBy(F.col("state").alias("state_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
