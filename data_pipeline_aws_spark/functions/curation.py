@@ -544,3 +544,48 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tok,
+         (doc_id * 2654435761) % 10000 AS bucket,
+         LEAST(9999, n_chars) AS threshold
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE bucket < threshold) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
+       CAST(SUM(n_tok) FILTER (WHERE bucket < threshold) AS BIGINT) AS kept_tokens
+FROM assigned
+GROUP BY lang
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sampling: each document
+    is kept with probability ≈ n_chars/10000 (capped at 1) — longer
+    documents are proportionally likelier to survive, the standard
+    length-weighted downsampling curation applies when token budget, not
+    document count, is the constraint. Like every sampler here the coin is
+    a hash of the stable key compared against a PER-ROW integer threshold
+    — deterministic across re-runs and engines, no rand(), no float pow —
+    which is what makes weighted sampling resumable AND oracle-checkable
+    (the float-free trick: thresholds stay in integer bucket space).
+
+    Pure map-side projection + one bounded per-lang report aggregate;
+    the keep decision pushes into the scan like q_sample_stratified's."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _HASH_MULT) % 10000
+    threshold = F.least(F.lit(9999), F.col("n_chars"))
+    kept = bucket < threshold
+    n_tok = F.size(F.split("text", " "))
+    return d.select("lang", kept.alias("kept"), n_tok.alias("n_tok")).groupBy(
+        "lang"
+    ).agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+    )

@@ -237,3 +237,44 @@ def test_ivf_recall_at_5_vs_brute_force(spark, sf_dir):
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
     assert recall >= 0.8, f"recall@5 {recall:.3f} below floor"
+
+
+def test_winnow_fingerprints_cover_near_duplicates(spark, sf_dir):
+    """Cross-verification between dedup rungs on REAL fixture data: every
+    near-duplicate pair found by exact shingle Jaccard shares 3-token
+    shingles (≥ 15 chars with separators — above the winnowing guarantee's
+    k + w − 1 = 11), so each such pair must also share at least one
+    winnowing fingerprint. Ties q_text_winnow's signatures to the
+    q_dedup_ngram ground truth."""
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    pairs = [
+        (r.d1, r.d2)
+        for r in all_queries()["q_dedup_ngram"](spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture should contain near-duplicate pairs"
+
+    grams = (
+        "CASE WHEN length(text) >= 8 THEN "
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) "
+        "ELSE array() END"
+    )
+    wins = (
+        "CASE WHEN size(grams) >= 4 THEN "
+        "transform(sequence(1, size(grams) - 3), j -> "
+        "least(grams[j - 1], grams[j], grams[j + 1], grams[j + 2])) "
+        "ELSE array() END"
+    )
+    wanted = {d for p in pairs for d in p}
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(*wanted))
+        .selectExpr("doc_id", f"{grams} AS grams")
+        .selectExpr("doc_id", f"{wins} AS wins")
+        .selectExpr("doc_id", "array_distinct(wins) AS fps")
+        .collect()
+    }
+    for d1, d2 in pairs:
+        assert fps[d1] & fps[d2], f"near-dup pair ({d1}, {d2}) shares no fingerprint"
