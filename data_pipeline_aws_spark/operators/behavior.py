@@ -428,3 +428,72 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.purchase_id, p.value, e.event_type AS touch_type
+  FROM purchases p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type <> 'purchase'
+   AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts < p.ts
+),
+credited AS (
+  SELECT touch_type,
+         value * 1.0 / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM touches
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT)    AS n_touches,
+       ROUND(SUM(credit), 4)       AS attributed_revenue
+FROM credited
+GROUP BY touch_type
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's touchpoints (non-purchase events) in the
+    preceding 30 minutes, then attributed revenue rolls up by touchpoint
+    type — the marketing-analytics verb between first-touch (q_join_asof's
+    shape) and data-driven models.
+
+    Plan: the touch lookup is a user_id equi-join with the time window as
+    a residual (never a theta join); per-purchase touch counts come from a
+    window over the SAME purchase_id grouping the join produced, so credit
+    splitting adds one bounded exchange on purchase_id. Credit is one IEEE
+    division per row of a stored double by an exact integer; only the
+    rolled-up sum is rounded (summation-order parity)."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    touches = p.join(
+        t,
+        (p.p_user == t.t_user)
+        & (t.t_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (t.t_ts < p.p_ts),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "touch_type",
+        (F.col("value") * 1.0 / F.count(F.lit(1)).over(w)).alias("credit"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+    )
