@@ -547,3 +547,118 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "q_scd2_incremental",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+iv AS (
+  SELECT user_id, state, ts AS vf,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM chg
+)
+SELECT user_id,
+       state,
+       epoch_us(vf)                    AS valid_from_us,
+       epoch_us(vt)                    AS valid_to_us,
+       vt IS NULL                      AS is_current
+FROM iv
+""",
+)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: a history built from events BEFORE the
+    cutover (2024-01-15) is merged with the arriving delta WITHOUT
+    re-reading closed history intervals — and the result must equal a full
+    rebuild over all events (the oracle IS q_scd2's full construction, so
+    the hash match is the incremental-equals-rebuild proof).
+
+    The subtle boundary case is a user whose state does NOT change across
+    the cutover: the delta's first events repeat the open interval's state
+    and must extend it, not open a new one. Handled by seeding the delta's
+    change-compression with each user's carried open-interval state (a
+    |users|-sized broadcast): delta events equal to the carried state
+    compress away exactly as they would have in a continuous build; the
+    open history interval then closes at its user's first genuine delta
+    change (or stays open).
+
+    Scale: the work touches |delta| events + |users| open-interval rows
+    (the carried-state table is what a warehouse persists between runs);
+    CLOSED intervals pass through untouched — the whole point, since at
+    100 TB they dwarf every delta."""
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def scd2_intervals(df: DataFrame) -> DataFrame:
+        chg = (
+            df.select(
+                "user_id", "event_type", "ts", "event_id",
+                F.lag("event_type").over(w).alias("prev_type"),
+            )
+            .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        )
+        return chg.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("vf"),
+            F.lead("ts").over(w).alias("vt"),
+        )
+
+    hist = scd2_intervals(e.where(F.col("ts") < cut))
+    closed = hist.where(F.col("vt").isNotNull())
+    open_iv = hist.where(F.col("vt").isNull()).select(
+        F.col("user_id").alias("o_user"),
+        F.col("state").alias("o_state"),
+        F.col("vf").alias("o_vf"),
+    )
+
+    # delta change-compression, seeded with the carried open-interval state
+    delta = e.where(F.col("ts") >= cut)
+    seeded = delta.join(
+        F.broadcast(open_iv), delta.user_id == open_iv.o_user, "left"
+    ).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.coalesce(F.lag("event_type").over(w), F.col("o_state")).alias("prev_type"),
+    )
+    new_chg = seeded.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    new_iv = new_chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(w).alias("vt"),
+    )
+
+    # close each open history interval at its user's first delta change
+    first_chg = new_chg.groupBy(F.col("user_id").alias("c_user")).agg(
+        F.min(F.struct("ts", "event_id")).alias("first")
+    ).select("c_user", F.col("first.ts").alias("close_ts"))
+    closed_or_extended = open_iv.join(
+        F.broadcast(first_chg), open_iv.o_user == first_chg.c_user, "left"
+    ).select(
+        F.col("o_user").alias("user_id"),
+        F.col("o_state").alias("state"),
+        F.col("o_vf").alias("vf"),
+        F.col("close_ts").alias("vt"),
+    )
+
+    merged = closed.unionByName(closed_or_extended).unionByName(new_iv)
+    return merged.select(
+        "user_id",
+        "state",
+        F.unix_micros("vf").alias("valid_from_us"),
+        F.unix_micros("vt").alias("valid_to_us"),
+        F.col("vt").isNull().alias("is_current"),
+    )
