@@ -497,3 +497,63 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("credit"), 4).alias("attributed_revenue"),
     )
+
+
+@query(
+    "q_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+spine AS (SELECT DISTINCT day FROM ud),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+wau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM spine s
+  JOIN ud u ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+  GROUP BY s.day
+)
+SELECT d.day, d.dau, w.wau,
+       d.dau * 1.0 / w.wau AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+""",
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the product-analytics staple: distinct
+    daily actives, distinct trailing-7-day actives, and their ratio per
+    day. Rolling DISTINCT counts can't ride an ordinary window frame
+    (distinct doesn't decompose over frames), so the trailing-week count
+    joins the day spine against the (user, day) activity grid with a
+    6-day band — a |days| × |user-days| range join, both sides already
+    collapsed to grid grain before the join (the event-scale work is one
+    DISTINCT pass).
+
+    At 100 TB the same shape holds because the grid, not the event log, is
+    what the band join touches; at extreme user counts the rolling
+    distinct swaps in per-day HLL sketches merged over the trailing
+    window (`q_hll_merge` shows the mergeable machinery). Stickiness is
+    one IEEE division of exact BIGINTs."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    spine = ud.select("day").distinct().select(F.col("day").alias("s_day"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        spine.join(
+            ud,
+            (ud.day >= spine.s_day - F.expr("INTERVAL 6 DAYS"))
+            & (ud.day <= spine.s_day),
+        )
+        .groupBy("s_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.s_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
+        )
+    )
