@@ -273,3 +273,63 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_suppkey", F.struct((-F.col("n_rows")).alias("neg"), "l_suppkey"))
         .alias("hottest_key"),
     )
+
+
+@query(
+    "q_impute",
+    oracle="""
+WITH masked AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+med AS (
+  SELECT user_id, MEDIAN(value) AS user_median
+  FROM masked WHERE value IS NOT NULL GROUP BY user_id
+)
+SELECT m.user_id,
+       CAST(COUNT(*) AS BIGINT)                            AS n_events,
+       CAST(COUNT(*) - COUNT(m.value) AS BIGINT)           AS n_imputed,
+       ROUND(SUM(COALESCE(m.value, d.user_median)), 4)     AS imputed_sum
+FROM masked m JOIN med d USING (user_id)
+GROUP BY m.user_id
+""",
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation — fill each null with its group's median,
+    the feature-prep verb between raw ingest and model input (imputing
+    with the GLOBAL statistic leaks cross-segment bias; per-group is the
+    defensible default). The fixture has no nulls, so ~9% of values are
+    masked deterministically (event_id ≡ 0 mod 11) before imputing — the
+    mask is part of the op's definition, shared with the oracle.
+
+    One aggregate computes the per-user medians over observed values; the
+    |users|-sized statistic broadcasts back into a map-side COALESCE —
+    the corpus is scanned once for stats and once for the fill, and the
+    fill pass is pure projection (at 100 TB the median swaps for
+    percentile_approx without changing the plan). Output audits the fill:
+    per-user imputed-row count plus the post-fill sum."""
+    e = table(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("value")).alias(
+            "value"
+        ),
+    )
+    med = (
+        masked.where(F.col("value").isNotNull())
+        .groupBy(F.col("user_id").alias("m_user"))
+        .agg(F.median("value").alias("user_median"))
+    )
+    return (
+        masked.join(F.broadcast(med), masked.user_id == med.m_user)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_imputed"),
+            F.round(
+                F.sum(F.coalesce("value", "user_median")), 4
+            ).alias("imputed_sum"),
+        )
+    )
