@@ -80,10 +80,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered sequence.
 
     Three cascading unbounded-frame Window mins over ONE `user_id`
-    partitioning (single shuffle, Exchange reused across the Window ops),
-    then one global conditional count-distinct and a `stack` unpivot to the
-    4-row funnel. At 100 TB: one shuffle of (user_id, type, ts) triples,
-    bounded output."""
+    partitioning (single shuffle, Exchange reused across the Window ops).
+    The window output is then collapsed to ONE ROW PER USER by a
+    groupBy(user_id) that reuses the same hashpartitioning — no second
+    user_id exchange — so the final stage is a plain flag-sum over a
+    |users|-sized relation instead of a conditional count-distinct that
+    would re-shuffle the event stream. At 100 TB: one shuffle of
+    (user_id, type, ts) triples, bounded output."""
     w = Window.partitionBy("user_id")
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     horizon = F.expr(_FUNNEL_WINDOW)
@@ -115,17 +118,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    agg = s.agg(
-        F.countDistinct("user_id").alias("n_all"),
-        F.countDistinct(
-            F.when(F.col("first_view").isNotNull(), F.col("user_id"))
-        ).alias("n_view"),
-        F.countDistinct(
-            F.when(F.col("first_click").isNotNull(), F.col("user_id"))
-        ).alias("n_click"),
-        F.countDistinct(
-            F.when(F.col("first_purchase").isNotNull(), F.col("user_id"))
-        ).alias("n_purchase"),
+    # first_* are per-user constants (unbounded frame), so max() just picks
+    # the flag; groupBy(user_id) satisfies its distribution requirement from
+    # the window's hashpartitioning(user_id) — zero extra exchange
+    per_user = s.groupBy("user_id").agg(
+        F.max(F.col("first_view").isNotNull()).alias("has_view"),
+        F.max(F.col("first_click").isNotNull()).alias("has_click"),
+        F.max(F.col("first_purchase").isNotNull()).alias("has_purchase"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("has_view"), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("has_click"), 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("has_purchase"), 1).otherwise(0)).alias("n_purchase"),
     )
     return agg.selectExpr(
         "stack(4, '0_all', n_all, '1_view', n_view, '2_click', n_click, "
