@@ -263,6 +263,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds actually discriminate. On this corpus every planted near-dup pair
 # sits at J ≈ 0.9, so the θ=0.8 output still equals the exact result.
 PREFIX_THRESHOLD = 0.8
+# Exact rational form of PREFIX_THRESHOLD (θ = NUM/DEN) so every boundary
+# comparison below runs in integer arithmetic — a pair at exactly J=θ must
+# not be dropped by 1-ulp float rounding before exact verification sees it.
+PREFIX_THRESHOLD_NUM, PREFIX_THRESHOLD_DEN = 4, 5
+assert PREFIX_THRESHOLD_NUM / PREFIX_THRESHOLD_DEN == PREFIX_THRESHOLD
 
 
 @query("q_dedup_prefix", oracle=_SHINGLE_SQL.replace(">= 0.5", ">= 0.8"))
@@ -306,21 +311,30 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w_all).alias("n"),
         )
     )
+    # ceil(θn) in exact integer form: ceil(NUM·n/DEN) = floor((NUM·n+DEN−1)/DEN).
+    # (IEEE division is correctly rounded and the true quotient is ≥ 1/DEN
+    # away from any integer when fractional, so floor() here is exact —
+    # unlike ceil(0.8·n) where fl(0.8)·n can land a hair above the integer.)
+    ceil_theta_n = F.floor(
+        (F.col("n") * PREFIX_THRESHOLD_NUM + PREFIX_THRESHOLD_DEN - 1)
+        / PREFIX_THRESHOLD_DEN
+    )
     prefix = ranked.where(
-        F.col("r") <= F.col("n") - F.ceil(F.lit(PREFIX_THRESHOLD) * F.col("n")) + 1
+        F.col("r") <= F.col("n") - ceil_theta_n + 1
     ).select("doc_id", "h", "n", "r")
     a = prefix.alias("a")
     b = prefix.alias("b")
     # Length filter (second PPJoin condition): J ≥ θ forces
     # θ·|B| ≤ |A| ≤ |B|/θ, so size-incompatible collisions die INSIDE the
-    # join before any aggregation.
-    th = F.lit(PREFIX_THRESHOLD)
+    # join before any aggregation. Integer multiply-through (θ = NUM/DEN):
+    # |A| ≥ θ|B| ⟺ DEN·|A| ≥ NUM·|B| — exact at the boundary.
+    num, den = F.lit(PREFIX_THRESHOLD_NUM), F.lit(PREFIX_THRESHOLD_DEN)
     collisions = a.join(
         b,
         (F.col("a.h") == F.col("b.h"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("a.n") >= th * F.col("b.n"))
-        & (F.col("b.n") >= th * F.col("a.n")),
+        & (F.col("a.n") * den >= num * F.col("b.n"))
+        & (F.col("b.n") * den >= num * F.col("a.n")),
     ).select(
         F.col("a.doc_id").alias("d1"),
         F.col("b.doc_id").alias("d2"),
@@ -337,15 +351,17 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.least(F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r"))
         ).alias("ub"),
     )
-    # J ≥ θ ⟺ overlap ≥ θ(na+nb)/(1+θ); at θ=0.8: 9·overlap ≥ 4(na+nb).
+    # J ≥ θ ⟺ overlap ≥ θ(na+nb)/(1+θ); multiply through by DEN(1+θ)/θ⁻¹:
+    # (DEN+NUM)·overlap ≥ NUM·(na+nb) — at θ=4/5: 9·overlap ≥ 4(na+nb).
+    # Integer arithmetic so the J=θ boundary can't be lost to float rounding.
     # min(ub) over a pair's collisions is its tightest provable bound — the
     # dedup groupBy doubles as the bound aggregation, replacing distinct().
     cands = (
         collisions.groupBy("d1", "d2", "na", "nb")
         .agg(F.min("ub").alias("ub"))
         .where(
-            F.col("ub") * (F.lit(1.0) + th)
-            >= th * (F.col("na") + F.col("nb"))
+            F.col("ub") * (den + num)
+            >= num * (F.col("na") + F.col("nb"))
         )
         .select("d1", "d2")
     )

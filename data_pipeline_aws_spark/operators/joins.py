@@ -1139,10 +1139,11 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_topk_join",
     oracle="""
 WITH top AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
   FROM orders
   GROUP BY o_custkey
-  ORDER BY SUM(o_totalprice) DESC, o_custkey
+  ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, o_custkey
   LIMIT 10
 )
 SELECT t.o_custkey AS custkey, t.total_spend,
@@ -1160,16 +1161,21 @@ def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps + a 10-row driver merge —
     no global sort); phase 2 broadcasts that 10-row key set back into a
     second fact scan as a broadcast hash join, so the history fetch is a
-    map-side probe with zero shuffle. Deterministic: ties broken on
-    custkey in the ordering."""
+    map-side probe with zero shuffle. Deterministic: the top-10 membership
+    is decided on a DECIMAL-exact sum (summation-order-independent, so
+    Spark and the oracle can't disagree when two totals differ by float
+    noise), ties broken on custkey."""
     o = table(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
     top = (
         o.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-             F.sum("o_totalprice").alias("_raw"))
-        .orderBy(F.desc("_raw"), "o_custkey")
+        .agg(spend.alias("_spend"))
+        .orderBy(F.desc("_spend"), "o_custkey")
         .limit(10)
-        .select(F.col("o_custkey").alias("custkey"), "total_spend")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("_spend").cast("double").alias("total_spend"),
+        )
     )
     return top.join(
         o, F.col("custkey") == o.o_custkey

@@ -34,20 +34,50 @@ EVENTS_JSON_SCHEMA = T.StructType(
 
 def _code_version() -> str:
     """Version token folded into every materialized-cache dir name: the hash
-    of this module's source. Any edit to a writer in this file moves every
+    of every module whose code shapes cache CONTENTS — this module's writers
+    plus tables.py (ts normalization feeding them) and session.py (session
+    settings active at write time). Any edit to any of them moves every
     cache key, so a _SUCCESS-marked artifact written by older code can never
     satisfy a newer read path (stale caches would otherwise mask write-path
     bugs from the oracle sweep)."""
-    with open(__file__, "rb") as f:
-        return hashlib.md5(f.read()).hexdigest()[:8]
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.dirname(here)
+    h = hashlib.md5()
+    for path in (
+        __file__,
+        os.path.join(pkg, "tables.py"),
+        os.path.join(pkg, "session.py"),
+    ):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
 
 
 _CODE_VERSION = _code_version()
 
 
+def _evict_stale_caches(prefix: str) -> None:
+    """Best-effort delete of sibling cache dirs minted by OTHER code
+    versions (`{prefix}_<other-version>`): each revision would otherwise
+    strand a full parquet/JSON copy of the fixture in tempdir forever."""
+    import shutil
+
+    parent = tempfile.gettempdir()
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    base = os.path.basename(prefix)
+    for name in names:
+        if name.startswith(base + "_") and name != f"{base}_{_CODE_VERSION}":
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def _json_cache_dir(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}_{_CODE_VERSION}")
+    prefix = os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}")
+    _evict_stale_caches(prefix)
+    return f"{prefix}_{_CODE_VERSION}"
 
 
 def events_as_json(spark: SparkSession, sf_dir: str) -> str:
@@ -115,7 +145,9 @@ ORDERS_CSV_SCHEMA = T.StructType(
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}_{_CODE_VERSION}")
+    prefix = os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
+    _evict_stale_caches(prefix)
+    return f"{prefix}_{_CODE_VERSION}"
 
 
 @query(
