@@ -602,29 +602,36 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global token offset is a DISTRIBUTED PREFIX SUM, not a global-order
     window (Window.orderBy with no partitionBy funnels the whole corpus
-    into one task): range-partition by doc_id so partition index follows
-    key order, take each partition's token subtotal (one bounded row per
-    partition — the legal collect), prefix-sum those on the driver, and
-    broadcast the per-partition base offsets back into a partition-local
-    cumsum window. Every stage is distributed; the driver only ever sees
-    O(partitions) scalars. The oracle computes the same offsets with a
-    single ORDER BY cumsum window."""
+    into one task): buckets are cut from doc_id itself (pid = doc_id/span —
+    deterministic, so no repartitionByRange sampling pass and no
+    spark_partition_id pinning), each bucket's token subtotal is reduced to
+    an 8-row relation whose prefix sum is a window over those 8 rows, and
+    the per-bucket base offsets broadcast back into a bucket-local cumsum
+    window. Every data-scale stage is distributed; the only driver value is
+    the max doc_id scalar (column-pruned scan). The oracle computes the
+    same offsets with a single ORDER BY cumsum window."""
     n_parts, seq_len = 8, 256
+    docs = table(spark, sf_dir, "documents")
+    # bounded scalar: bucket span from the key domain (doc_id-only scan)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    span = (max_id + n_parts) // n_parts  # ceil((max_id+1)/n_parts)
     d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-        .repartitionByRange(n_parts, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .withColumn("pid", (F.col("doc_id") / span).cast("int"))
     )
-    d = d.localCheckpoint()  # pin partitioning: pid must not be recomputed
-    subtotals = {
-        r.pid: r.s for r in d.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in range(max(subtotals) + 1):
-        offsets.append((pid, acc))
-        acc += subtotals.get(pid, 0)
-    base = spark.createDataFrame(offsets, "pid int, base long")
+    # materialize once: both the subtotal pass and the final window read d,
+    # and the text-split is the expensive part of the scan
+    d = d.localCheckpoint()
+    w_base = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 8-row relation: global-order window is bounded by construction
+    base = (
+        d.groupBy("pid")
+        .agg(F.sum("n_tok").alias("s"))
+        .select(
+            "pid", F.coalesce(F.sum("s").over(w_base), F.lit(0)).alias("base")
+        )
+    )
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")

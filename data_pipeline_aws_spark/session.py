@@ -44,13 +44,17 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         # well as the shuffle. (Off by default since 3.0 because multi-file
         # buckets force a single-threaded merge-read — not our layout.)
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        # Measured on this engine's full query sweep: reused Python workers
-        # serialize on the SparkEnv worker-pool monitor after applyInPandas /
-        # mapInPandas stages (threads blocked tens of seconds in
-        # releasePythonWorker), inflating later Python stages ~8×. Fresh
-        # fork-per-task from the pyspark daemon is milliseconds and contention
-        # free, so reuse stays off.
-        .config("spark.python.worker.reuse", "false")
+        # Re-measured round 3 on the full 185-query sweep (min-of-2 passes,
+        # sf0.1): worker reuse improves EVERY Arrow/pandas-stage query 30-55%
+        # (q_kmeans 2.29->1.26 s, q_dedup_embed 1.60->0.91, q_stream_state
+        # 1.56->1.09, all multimodal ~2x) by skipping the per-task fork +
+        # numpy/pandas import; no query regresses beyond run-to-run noise and
+        # the round-1 pool-monitor contention no longer reproduces. Env
+        # override kept for A/B re-measurement.
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "true"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -76,7 +80,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")  # see get_spark note
     try:
-        conf.set("spark.python.worker.reuse", "false")  # see get_spark note
+        conf.set("spark.python.worker.reuse", "true")  # see get_spark note
     except Exception:
         pass  # static in some deployments; the default then stands
     # Only replace the stock default (200): a caller who deliberately set a
