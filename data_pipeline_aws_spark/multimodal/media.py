@@ -273,25 +273,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_phash")  # numpy-hash sketch → deterministic rows-only
-def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate detection for binary media — the
-    image twin of SimHash text dedup. Each payload is 'decoded' to an 8×8
-    luminance grid (deterministic fake codec: byte sums over 64 equal
-    payload slices — a real build swaps in PIL resize + grayscale, nothing
-    else changes), pHash-style: bits are grid-cells-above-median, packed
-    to a 64-bit signature in numpy per Arrow batch. Pairs within hamming
-    distance ≤ 6 are found via the same byte-pigeonhole banding as
-    `q_dedup_simhash` (8 bands of 8 bits: distance ≤ 6 forces ≥ 1 equal
-    band — pigeonhole over 7 flipped bits in 8 bands), then exact hamming
-    verification.
-
-    Scale shape: signatures are computed map-only in `mapInPandas`
-    (payloads never shuffle); the band join shuffles 8 rows of 16 bytes
-    per image — constant per item regardless of payload size, which is
-    the entire point of sketch-first media dedup at 100 TB. Rows-only
-    check: the signature depends on numpy-side hashing DuckDB can't
-    replay, but the result is fully deterministic."""
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual-hash signature per document (doc_id, phash) — shared
+    by q_multimodal_phash and the banding-completeness property test, so the
+    test verifies the exact signatures the operator banded."""
     import numpy as np
 
     d = table(spark, sf_dir, "documents").select(
@@ -315,7 +300,29 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sigs[row] = np.int64((bits * weights).sum().astype(np.uint64).astype(np.int64))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": sigs})
 
-    sig = d.mapInPandas(sign, "doc_id long, phash long")
+    return d.mapInPandas(sign, "doc_id long, phash long")
+
+
+@query("q_multimodal_phash")  # numpy-hash sketch → deterministic rows-only
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary media — the
+    image twin of SimHash text dedup. Each payload is 'decoded' to an 8×8
+    luminance grid (deterministic fake codec: byte sums over 64 equal
+    payload slices — a real build swaps in PIL resize + grayscale, nothing
+    else changes), pHash-style: bits are grid-cells-above-median, packed
+    to a 64-bit signature in numpy per Arrow batch. Pairs within hamming
+    distance ≤ 6 are found via the same byte-pigeonhole banding as
+    `q_dedup_simhash` (8 bands of 8 bits: distance ≤ 6 forces ≥ 1 equal
+    band — pigeonhole over 7 flipped bits in 8 bands), then exact hamming
+    verification.
+
+    Scale shape: signatures are computed map-only in `mapInPandas`
+    (payloads never shuffle); the band join shuffles 8 rows of 16 bytes
+    per image — constant per item regardless of payload size, which is
+    the entire point of sketch-first media dedup at 100 TB. Rows-only
+    check: the signature depends on numpy-side hashing DuckDB can't
+    replay, but the result is fully deterministic."""
+    sig = phash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         "phash",

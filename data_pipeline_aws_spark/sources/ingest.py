@@ -704,3 +704,34 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("zval").alias("zsum"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+_CATALOG_SQL = """
+SELECT r.r_name AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("q_sql_catalog", oracle=_CATALOG_SQL)
+def q_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-addressed SQL: every fixture table registered as a named view
+    (`tables.load`), then ONE ANSI-SQL string — the exact text the DuckDB
+    oracle runs — executed via `spark.sql` against those names. This is the
+    Spark-native equivalent of the reference's declared-but-empty Glue Data
+    Catalog (`glue-stack.yml`): name-addressable tables decoupled from
+    storage paths, shared by the SQL and DataFrame surfaces. The revenue
+    stays DECIMAL-exact so one SQL text is hash-identical on both engines.
+
+    Plan: three catalog joins — nation/region broadcast (25/5 rows at any
+    SF), customer joined by AQE's strategy choice; the view layer adds
+    nothing over the direct parquet scan (same pushdown, same pruning)."""
+    from data_pipeline_aws_spark.tables import load
+
+    load(spark, sf_dir)
+    return spark.sql(_CATALOG_SQL)
