@@ -418,3 +418,81 @@ def test_topk_join_heap_then_broadcast_back(plans):
     p = plans("q_topk_join")
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew BENEFIT, not just skew equality: build a pathologically skewed
+    fact (one hot key carrying ~25% of rows), force a sort-merge join with
+    test-scaled skew thresholds, and assert AQE actually split the hot
+    partition — the `isSkew=true` / skew-split markers must appear in the
+    final adaptive plan. This is the mechanism q_join_salted exists to
+    hand-roll and AQE applies automatically at real thresholds."""
+    n_rows, n_keys = 200_000, 200
+    # key 7 takes every 2nd row -> half the fact lands on one reducer; the
+    # payload column gives the hot partition enough bytes to clear the
+    # (test-scaled) skew threshold after shuffle compression
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id") % n_keys)
+        .alias("k"),
+        F.repeat(F.concat(F.lit("x"), F.col("id").cast("string")), 8).alias("payload"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    old = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # scale AQE's skew detection down to fixture size: hot partition is
+        # several MB, others ~1 MB — threshold 64 KB / advisory 32 KB /
+        # factor 2 makes the hot one splittable. No aggregate on top: AQE
+        # skips skew-splitting when the join output must satisfy a further
+        # distribution requirement (the split breaks hash partitioning).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        joined = fact.join(dim, "k").select("name", "payload")
+        plan = _executed_plan(joined).split("== Initial Plan ==")[0]
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead ... skewed
+    finally:
+        for c, v in old.items():
+            spark.conf.set(c, v)
+
+
+def test_salted_join_bounds_hot_key_fanout(spark):
+    """The salted-join recipe must actually SPREAD a hot key: after salting,
+    no single (key, salt) reducer group may hold more than ~2/SALT of the
+    hot key's rows (perfect spread is 1/SALT)."""
+    from data_pipeline_aws_spark.operators.analytic import SALT
+
+    n_rows = 8_000
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 4 == 0, F.lit(7)).otherwise(F.col("id") % 50).alias("k")
+    )
+    # salt from a per-row-unique attribute, exactly like q_join_salted's
+    # pmod(hash(c_custkey), SALT) (c_custkey is unique per row there)
+    salted = fact.withColumn(
+        "salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(SALT))
+    )
+    sizes = (
+        salted.where(F.col("k") == 7)
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in sizes)
+    # every 4th row plus the natural id%50==7 stragglers land on key 7
+    assert hot_total >= n_rows // 4
+    assert len(sizes) == SALT, f"hot key must hit every salt bucket, got {len(sizes)}"
+    assert max(r["count"] for r in sizes) <= 2 * hot_total / SALT, sizes

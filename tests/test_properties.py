@@ -278,3 +278,281 @@ def test_winnow_fingerprints_cover_near_duplicates(spark, sf_dir):
     }
     for d1, d2 in pairs:
         assert fps[d1] & fps[d2], f"near-dup pair ({d1}, {d2}) shares no fingerprint"
+
+
+def test_simhash_banding_finds_all_pairs_within_radius(spark, sf_dir):
+    """Pigeonhole-banding completeness for q_dedup_simhash: EVERY pair of
+    documents whose 32-bit signatures are within hamming distance 3 must be
+    in the result — verified by brute-forcing all signature pairs of the
+    fixture (the signatures come from the operator's own shared helper, so
+    a banding bug can't hide behind a signature change)."""
+    import itertools
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.dedup import simhash_signatures
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(spark, sf_dir).collect()}
+    want = set()
+    for (d1, s1), (d2, s2) in itertools.combinations(sorted(sigs.items()), 2):
+        if bin((s1 ^ s2) & 0xFFFFFFFF).count("1") <= 3:
+            want.add((d1, d2))
+    got = {
+        (r.d1, r.d2)
+        for r in all_queries()["q_dedup_simhash"](spark, sf_dir).collect()
+    }
+    assert got == want, (
+        f"banding missed {want - got} / invented {got - want}"
+    )
+
+
+def test_phash_banding_finds_all_pairs_within_radius(spark, sf_dir):
+    """Pigeonhole-banding completeness for q_multimodal_phash: every
+    signature pair within hamming distance 6 appears in the result (8 bands
+    of 8 bits — 7 flipped bits can't touch all 8 bands)."""
+    import numpy as np
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import phash_signatures
+
+    rows = phash_signatures(spark, sf_dir).collect()
+    ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+    sigs = np.array([r.phash for r in rows], dtype=np.int64).astype(np.uint64)
+    x = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    while x.any():
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ia, ib = np.nonzero((ham <= 6) & (ids[:, None] < ids[None, :]))
+    want = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+    got = {
+        (r.d1, r.d2)
+        for r in all_queries()["q_multimodal_phash"](spark, sf_dir).collect()
+    }
+    assert got == want, (
+        f"banding missed {len(want - got)} pairs, invented {len(got - want)}"
+    )
+
+
+def test_lsh_pairs_equal_numpy_signature_replay(spark, sf_dir):
+    """q_sim_lsh self-consistency: numpy-replay the hyperplane signatures
+    (planes pulled from the same murmur3 construction the operator uses),
+    bucket exactly, and require the operator's pair set to match the replay
+    EXACTLY — catches both missed same-bucket pairs (completeness) and
+    phantom pairs (a bucket-join bug)."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    n_planes = 8
+    plane_rows = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "plane")
+        .join(spark.range(64).withColumnRenamed("id", "dim"))
+        .select(
+            "plane",
+            "dim",
+            SF.when(SF.hash("plane", "dim") % 2 == 0, SF.lit(1.0))
+            .otherwise(SF.lit(-1.0))
+            .alias("w"),
+        )
+        .collect()
+    )
+    planes = np.zeros((n_planes, 64))
+    for r in plane_rows:
+        planes[r.plane, r.dim] = r.w
+
+    def seq_dot(a, b):
+        # replicate the operator's F.aggregate(zip_with(...)) LEFT FOLD:
+        # sequential float64 summation, not numpy's pairwise dot — the two
+        # can differ in the last ulp, which matters under round(..., 6)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    e_rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in e_rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in e_rows])
+    sigs = np.array(
+        [
+            sum(
+                (1 << p) if seq_dot(v, planes[p]) >= 0 else 0
+                for p in range(n_planes)
+            )
+            for v in mat
+        ]
+    )
+    nrm = np.array([np.sqrt(seq_dot(v, v)) for v in mat])
+
+    want = set()
+    for bucket in np.unique(sigs):
+        members = np.nonzero(sigs == bucket)[0]
+        for i_pos, i in enumerate(members):
+            for j in members[i_pos + 1 :]:
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                if round(seq_dot(mat[a], mat[b]) / (nrm[a] * nrm[b]), 6) >= 0.2:
+                    want.add((int(ids[a]), int(ids[b])))
+    got = {
+        (r.v1, r.v2) for r in all_queries()["q_sim_lsh"](spark, sf_dir).collect()
+    }
+    assert got == want, (
+        f"LSH missed {len(want - got)} pairs, invented {len(got - want)}"
+    )
+
+
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
+    """q_approx_distinct (HLL++, rsd=5%) must land within 3σ of the exact
+    per-group cardinality. Deterministic for a fixed input, so this is a
+    hard bound, not a flaky statistic."""
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    exact = {
+        r.event_type: r.u
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(SF.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in all_queries()["q_approx_distinct"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for etype, u in exact.items():
+        rel_err = abs(approx[etype] - u) / u
+        assert rel_err <= 0.15, f"{etype}: {approx[etype]} vs exact {u} ({rel_err:.1%})"
+
+
+def test_incremental_band_candidates_cover_exact_cross_pairs(spark, sf_dir, duck):
+    """ADVICE r2: q_dedup_incremental's oracle demands the EXACT cross-side
+    near-dup set at J>=0.5, but its candidates come from 16x2 minhash
+    banding (~0.997 per-pair detection at the threshold). This pins the
+    recall assumption to the fixture: every exact cross-side pair at
+    J>=0.5 (computed independently in DuckDB) must collide in >=1 band. If
+    a fixture change ever plants a moderate-similarity pair the bands miss,
+    this fails loudly instead of the driver hash diverging silently."""
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_aws_spark.operators.dedup import (
+        _band_signatures,
+        shingle_fingerprints,
+    )
+
+    exact = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' '))                 AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT h.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM shd h JOIN shd b ON h.shingle = b.shingle
+      WHERE h.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY h.doc_id, b.doc_id
+    )
+    SELECT d1, d2 FROM inter
+    JOIN cnt ca ON d1 = ca.doc_id
+    JOIN cnt cb ON d2 = cb.doc_id
+    WHERE n_common * 2 >= (ca.n + cb.n - n_common)
+    """
+            ).fetchall(),
+        )
+    )
+    band = _band_signatures(shingle_fingerprints(spark, sf_dir))
+    hb = band.where(SF.col("doc_id") % 2 == 0).alias("hb")
+    bb = band.where(SF.col("doc_id") % 2 == 1).alias("bb")
+    cands = {
+        (r.d1, r.d2)
+        for r in hb.join(
+            bb,
+            (SF.col("hb.band") == SF.col("bb.band"))
+            & (SF.col("hb.band_sig") == SF.col("bb.band_sig")),
+        )
+        .select(SF.col("hb.doc_id").alias("d1"), SF.col("bb.doc_id").alias("d2"))
+        .distinct()
+        .collect()
+    }
+    assert exact, "fixture should contain cross-side near-dup pairs"
+    assert exact <= cands, f"bands missed exact pairs: {sorted(exact - cands)[:10]}"
+
+
+def test_multimodal_decode_matches_python_replay(spark, sf_dir, duck):
+    """q_multimodal_decode (rows-only key) replayed in pure Python: the fake
+    codec is deterministic, so every (width, height, channels, bytes) row
+    must equal the direct computation over the raw fixture text."""
+    from data_pipeline_aws_spark import all_queries
+
+    raw = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    want = {}
+    for doc_id, text in raw:
+        payload = text.encode("utf-8")
+        if payload:
+            meta = (payload[0] % 64 + 1, payload[-1] % 64 + 1, len(payload) % 3 + 1)
+        else:
+            meta = (0, 0, 0)
+        want[doc_id] = (*meta, len(payload))
+    got = {
+        r.doc_id: (r.width, r.height, r.n_channels, r.n_bytes)
+        for r in all_queries()["q_multimodal_decode"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_embed_lsh_finds_planted_duplicates_exactly(spark):
+    """q_dedup_embed_lsh core on a corpus with PLANTED near-duplicates:
+    every planted pair (cos >= 0.9 by construction) must be recovered and
+    nothing else may appear beyond the numpy brute-force >= 0.85 set —
+    recall evidence the empty-fixture oracle can't provide."""
+    import numpy as np
+
+    from data_pipeline_aws_spark.operators.dedup import (
+        EMBED_LSH_THRESHOLD,
+        embed_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    # 12 planted near-dups: small perturbations of the first 12 vectors
+    planted = base[:12] + 0.05 * rng.normal(size=(12, 64))
+    mat = np.vstack([base, planted])
+    ids = np.arange(len(mat))
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm = np.array([np.sqrt(seq_dot(v, v)) for v in mat])
+    want = set()
+    for i in range(len(mat)):
+        for j in range(i + 1, len(mat)):
+            if round(seq_dot(mat[i], mat[j]) / (nrm[i] * nrm[j]), 6) >= EMBED_LSH_THRESHOLD:
+                want.add((i, j))
+    assert len(want) >= 12, "fixture must contain the planted pairs"
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]], float(nrm[i])) for i in ids],
+        "vec_id long, e array<double>, nrm double",
+    )
+    got = {(r.v1, r.v2) for r in embed_near_dup_pairs(df).collect()}
+    missed = want - got
+    assert not missed, f"LSH missed planted pairs: {sorted(missed)}"
+    assert got <= want, f"invented pairs: {sorted(got - want)[:5]}"
