@@ -57,20 +57,33 @@ def main() -> None:
     # Warm the JVM + file metadata cache with the flagship once (uncounted).
     queries["q_agg_basic"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Two full passes, min per query: transient host stalls (multi-second
+    # Two passes, min per query: transient host stalls (multi-second
     # scheduler/IO hiccups on shared hardware) hit one pass or the other, and
-    # the min reflects the plan's actual cost. Passes are separated by the
-    # whole sweep, so a stall window can't cover both runs of one query.
+    # the min reflects the plan's actual cost. Pass 2 runs in DESCENDING
+    # pass-1 cost order under a wall budget (env override below): the min
+    # matters most where the absolute seconds are, so if the query count
+    # outgrows the budget, only the cheap tail loses its second sample.
+    pass2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", "120"))
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in sorted(queries):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
-            print(f"pass{_pass} {name} {elapsed}", file=sys.stderr, flush=True)
+
+    def run_once(name: str, tag: str) -> float:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        if name not in timings or elapsed < timings[name]:
+            timings[name] = elapsed
+        print(f"{tag} {name} {elapsed}", file=sys.stderr, flush=True)
+        return elapsed
+
+    for name in sorted(queries):
+        run_once(name, "pass0")
+    pass2_start = time.perf_counter()
+    for name in sorted(timings, key=timings.get, reverse=True):
+        if time.perf_counter() - pass2_start > pass2_budget:
+            print(f"pass1 budget exhausted before {name}", file=sys.stderr, flush=True)
+            break
+        run_once(name, "pass1")
 
     total = round(sum(timings.values()), 3)
     full = {

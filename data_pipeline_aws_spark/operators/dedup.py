@@ -20,7 +20,12 @@ The LLM-data-pipeline dedup ladder, cheapest-first:
 4. simhash      — 32-bit signatures, hamming ≤ 3 pairs found via 4-byte
                   pigeonhole banding (a pair within distance 3 must agree on
                   ≥1 of 4 bytes) — exact under banding, no full cross-join.
-5. embed_cos    — cosine near-dup over the embedding column.
+5. embed_cos    — cosine near-dup over the embedding column: exact blocked
+                  matmul at loose thresholds (q_dedup_embed, θ=0.4 — no
+                  sketch prunes that regime on an isotropic corpus; measured
+                  at EMBED_LSH_THRESHOLD below), multi-band hyperplane LSH +
+                  exact verify at true near-dup thresholds
+                  (q_dedup_embed_lsh, θ=0.85).
 
 Spark-native hash functions (murmur3/xxhash64) don't exist in DuckDB, so the
 sketch-internal queries are deterministic-rows-only; their *verified outputs*
@@ -760,14 +765,25 @@ EMBED_LSH_BAND_BITS = 4
 
 def embed_near_dup_pairs(e: DataFrame, threshold: float = EMBED_LSH_THRESHOLD) -> DataFrame:
     """Sketch-first embedding near-dup over a (vec_id, e, nrm) relation:
-    64 murmur3-derived hyperplane sign bits per vector (regenerable on any
-    executor — no broadcast state), banded 16x4; only band-colliding pairs
-    are exactly cosine-verified. The band join moves 16 rows of ~12 bytes
-    per vector — constant per item — and embeddings are re-joined only for
-    the candidate set, so the corpus never rides the candidate shuffle."""
+    64 murmur3-derived hyperplane sign bits per vector, banded 16x4; only
+    band-colliding pairs are cosine-verified. The band join moves 16 rows of
+    ~12 bytes per vector — constant per item — and embeddings are re-joined
+    only for the candidate set, so the corpus never rides the candidate
+    shuffle.
+
+    The vector math runs in numpy over Arrow batches (one matmul per batch
+    for signatures, one row-wise einsum for verification): the interpreted
+    zip_with/aggregate fold costs ~60 JVM lambda evaluations per dot and
+    measured 3.85 s at sf0.1 vs ~0.6 s vectorized. The 64x64 +/-1 plane
+    matrix is bounded model state, collected once from the same murmur3
+    construction q_sim_lsh uses and closed over like a broadcast variable."""
+    import numpy as np
+    import pandas as pd
+
     spark = e.sparkSession
     dims = EMBED_LSH_PLANES  # hyperplane count == fixture embedding dims
-    planes = (
+    n_bands = EMBED_LSH_PLANES // EMBED_LSH_BAND_BITS
+    plane_rows = (
         spark.range(EMBED_LSH_PLANES)
         .withColumnRenamed("id", "plane")
         .join(spark.range(dims).withColumnRenamed("id", "dim"))
@@ -778,53 +794,82 @@ def embed_near_dup_pairs(e: DataFrame, threshold: float = EMBED_LSH_THRESHOLD) -
             .otherwise(F.lit(-1.0))
             .alias("w"),
         )
-        .groupBy("plane")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("dw"))
-        .select("plane", F.transform("dw", lambda s: s.getField("w")).alias("pv"))
+        .collect()
     )
-    dot = F.aggregate(
-        F.zip_with("e", "pv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    bands = (
-        e.join(F.broadcast(planes))
-        .select(
-            "vec_id",
-            (F.col("plane") / EMBED_LSH_BAND_BITS).cast("int").alias("band"),
-            F.when(
-                dot >= 0,
-                F.expr(f"shiftleft(1, CAST(plane % {EMBED_LSH_BAND_BITS} AS INT))"),
+    planes = np.zeros((EMBED_LSH_PLANES, dims))
+    for r in plane_rows:
+        planes[r.plane, r.dim] = r.w
+    band_weights = 1 << np.arange(EMBED_LSH_BAND_BITS)
+
+    def sign_bands(batches):
+        full_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T >= 0).astype(np.int64)  # rows x 64
+            sigs = bits.reshape(len(pdf), n_bands, EMBED_LSH_BAND_BITS) @ band_weights
+            full = (bits.astype(np.uint64) * full_weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                    "band_sig": sigs.reshape(-1),
+                    "sig": full.repeat(n_bands),
+                }
             )
-            .otherwise(F.lit(0))
-            .alias("bit"),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bit").alias("band_sig"))
+
+    bands = e.select("vec_id", "e").mapInPandas(
+        sign_bands, "vec_id long, band int, band_sig long, sig long"
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # Hamming pre-filter on the FULL 64-plane signature before the wide
+    # embedding join: a cos>=0.85 pair differs on ~11 +/- 3 planes (binomial
+    # n=64, p~0.18), so <=24 is a >4-sigma keep; background pairs on an
+    # isotropic corpus differ on ~28-32 and mostly die here, shrinking the
+    # pair relation that must carry 2x64 doubles for exact verification.
     cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                <= F.lit(24)
+            ),
         )
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
         .distinct()
     )
     e1 = e.select(F.col("vec_id").alias("v1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
     e2 = e.select(F.col("vec_id").alias("v2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
-    cos = F.round(
-        F.aggregate(
-            F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        / (F.col("n1") * F.col("n2")),
-        6,
-    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m1 = np.stack(pdf["e1"].to_numpy()).astype(np.float64)
+            m2 = np.stack(pdf["e2"].to_numpy()).astype(np.float64)
+            cos = np.round(
+                np.einsum("ij,ij->i", m1, m2)
+                / (pdf["n1"].to_numpy() * pdf["n2"].to_numpy()),
+                6,
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "v1": pdf["v1"].to_numpy()[keep],
+                    "v2": pdf["v2"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
     return (
         cands.join(e1, "v1")
         .join(e2, "v2")
-        .select("v1", "v2", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+        .select("v1", "v2", "e1", "e2", "n1", "n2")
+        .mapInPandas(verify, "v1 long, v2 long, cos_sim double")
     )
 
 

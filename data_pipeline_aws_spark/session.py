@@ -72,6 +72,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     flags.
     """
     conf = spark.conf
+    # The driver wraps EVERY queries() call with tune_session; the settings
+    # are idempotent, so a sentinel skips ~10 py4j conf round-trips per query
+    # after the first call on a given session.
+    try:
+        if conf.get("spark.dpas.tuned", None) == "1":
+            return spark
+    except Exception:
+        pass
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -91,4 +99,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
             conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         conf.set("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.dpas.tuned", "1")
     return spark

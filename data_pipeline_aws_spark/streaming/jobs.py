@@ -261,6 +261,10 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The landed parquet is scratch: materialize the few-row aggregate so
         # the directory can be removed before returning (every bench/verify
         # invocation would otherwise leak a full parquet copy of events).
+        # Measured cost of this eager materialize + rmtree vs the leaky lazy
+        # form: ~0.3-0.4 s at sf0.1 (r3, min-of-3) — the read-back aggregate
+        # runs inside the call instead of at the caller's action. Accepted
+        # trade: a bench/verify sweep stays leak-free.
         rows = agg.collect()
         return spark.createDataFrame(rows, agg.schema)
     finally:
