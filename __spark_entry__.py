@@ -61,7 +61,7 @@ _PRIORITY = [
     "q_text_tfidf", "q_stream_tumbling", "q_pandas_udaf",
     "q_multimodal_audio",
     # new this round
-    "q_sql_catalog", "q_dedup_embed_lsh",
+    "q_sql_catalog", "q_dedup_embed_lsh", "q_semdedup",
     # TPC-H completions never driver-graded
     "q_order_priority", "q_min_cost_supplier", "q_product_profit",
     "q_important_stock", "q_ship_modes", "q_mkt_share", "q_returned_items",

@@ -501,3 +501,107 @@ def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+SEMDEDUP_K = 16
+SEMDEDUP_THRESHOLD = 0.4
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < {SEMDEDUP_K}),
+scored AS (
+  SELECT n.vec_id, c.cid,
+         ROUND(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) AS cos
+  FROM n CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster, cos AS cent_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+beaten AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6)
+          >= {SEMDEDUP_THRESHOLD}
+    AND (a.cent_cos > b.cent_cos
+         OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+)
+SELECT vec_id, cluster, cent_cos
+FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM beaten)
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then within each cluster drop every vector
+    that has a near-duplicate (cos >= 0.4) ranked stronger than it (closer
+    to the centroid; ties to the lower vec_id) — keeping one representative
+    per semantic neighborhood and returning the SURVIVING corpus, which is
+    what a curation pipeline actually feeds downstream.
+
+    Plan shape at scale: centroids are K x D bounded model state (the same
+    first-K stand-in as q_sim_ivf — k-means training swaps in without plan
+    changes); assignment is one map-only numpy argmax per Arrow batch
+    (corpus never shuffles for it); the near-dup screen shuffles ONCE on
+    cluster id and runs a per-cluster numpy matmul inside applyInPandas.
+    Within-cluster pairwise is quadratic in cluster size — the documented
+    SemDedup trade (clusters bound the candidate set; a production run
+    sub-blocks giant clusters exactly like q_dedup_embed's B x B blocks).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = _normed(spark, sf_dir).select("vec_id", "e", "nrm")
+    cent_rows = n.where(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").collect()
+    cents = np.stack([np.asarray(r.e, dtype=np.float64) for r in cent_rows])
+    cnrm = np.array([r.nrm for r in cent_rows])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            cos = np.round((mat @ cents.T) / (nrm[:, None] * cnrm[None, :]), 6)
+            best = cos.argmax(axis=1)  # first max -> lowest cid on ties
+            out = pdf.copy()
+            out["cluster"] = best.astype("int32")
+            out["cent_cos"] = cos[np.arange(len(pdf)), best]
+            yield out[["vec_id", "e", "nrm", "cluster", "cent_cos"]]
+
+    assigned = n.mapInPandas(
+        assign, "vec_id long, e array<double>, nrm double, cluster int, cent_cos double"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf[["vec_id", "cluster", "cent_cos"]]
+        # strength order: centroid-closest first, ties to lower vec_id
+        pdf = pdf.sort_values(
+            ["cent_cos", "vec_id"], ascending=[False, True], ignore_index=True
+        )
+        mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        cos = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        near = cos >= SEMDEDUP_THRESHOLD
+        # dropped iff any STRICTLY stronger member is a near-dup
+        beaten = np.array(
+            [near[row, :row].any() for row in range(len(pdf))]
+        )
+        return pdf.loc[~beaten, ["vec_id", "cluster", "cent_cos"]]
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, "vec_id long, cluster int, cent_cos double"
+    )
