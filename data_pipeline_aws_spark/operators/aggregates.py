@@ -246,6 +246,33 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_percentile")  # KLL/GK-family sketch ≠ DuckDB's → rows-only
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles (p50/p95/p99) via `approx_percentile`
+    with accuracy 1000 — the 100 TB quantile path q_percentile's docstring
+    points at: ONE pass, a fixed-size mergeable rank sketch per group
+    (partials combine associatively across executors), no sort, no expand.
+    Guarantee: rank error ≤ 1/accuracy; tests/test_properties.py asserts the
+    returned values sit within that rank envelope of the exact distribution.
+    Rows-only check: the sketch family differs from DuckDB's quantile
+    estimator, so values aren't cross-engine hashable."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 1000)"
+            ).alias("q")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
+        )
+    )
+
+
 @query(
     "q_stats_agg",
     oracle="""

@@ -556,3 +556,41 @@ def test_embed_lsh_finds_planted_duplicates_exactly(spark):
     missed = want - got
     assert not missed, f"LSH missed planted pairs: {sorted(missed)}"
     assert got <= want, f"invented pairs: {sorted(got - want)[:5]}"
+
+
+def test_approx_percentile_within_rank_envelope(spark, sf_dir, duck):
+    """q_approx_percentile's guarantee is on RANK, not value: each returned
+    quantile must be an element whose normalized rank lies within
+    1/accuracy (+1 element of slack) of the requested quantile, checked
+    against the exact sorted distribution per group."""
+    from data_pipeline_aws_spark import all_queries
+
+    groups = {}
+    for prio, price in duck.execute(
+        "SELECT o_orderpriority, o_totalprice FROM orders"
+    ).fetchall():
+        groups.setdefault(prio, []).append(price)
+    for prio in groups:
+        groups[prio].sort()
+
+    accuracy = 1000
+    rows = all_queries()["q_approx_percentile"](spark, sf_dir).collect()
+    assert {r.o_orderpriority for r in rows} == set(groups)
+    for r in rows:
+        xs = groups[r.o_orderpriority]
+        n = len(xs)
+        for q, v in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            import bisect
+
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v)
+            target = q * n
+            slack = n / accuracy + 1
+            assert lo - slack <= target <= hi + slack, (
+                r.o_orderpriority,
+                q,
+                v,
+                lo,
+                hi,
+                target,
+            )
