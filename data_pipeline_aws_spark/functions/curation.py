@@ -589,3 +589,49 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
     )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "q_shuffle_shard",
+    oracle=f"""
+SELECT doc_id,
+       CAST((doc_id * 2654435761) % {N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY (doc_id * 2654435761) % {N_SHARDS}
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+         AS pos
+FROM documents
+""",
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training data:
+    every document lands in one of 8 shards (Knuth multiplicative hash —
+    map-only, re-run-stable) at a position given by an independent md5
+    permutation within the shard. Together the two hashes give the
+    'globally shuffled, sharded, resumable' layout a training dataloader
+    wants, with no rand() anywhere — the same doc always lands in the same
+    shard at the same position.
+
+    Scale design: there is NO global sort — shard assignment is a map-side
+    expression, and the only shuffle is the per-shard window (each task
+    sorts one shard's slice; with many shards each slice is corpus/N).
+    Contrast with a naive ORDER BY rand() global sort, which serializes the
+    corpus through one range-partitioned total order and is not
+    re-run-stable. Writing the result as parquet partitioned by shard
+    (q_partitioned_sink's machinery) completes the layout."""
+    d = table(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") * F.lit(2654435761)) % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+        )
+    )

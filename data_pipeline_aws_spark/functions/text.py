@@ -878,3 +878,95 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("|", fps)).alias("fp_check"),
         )
     )
+
+
+@query(
+    "q_ppl_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c) AS total FROM freq),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         ROUND(AVG(LN(CAST(c AS DOUBLE) / (SELECT total FROM tot))), 4) AS lp
+  FROM tok JOIN freq USING (token) GROUP BY doc_id
+),
+bucketed AS (
+  SELECT d.lang, s.n_tok, s.lp,
+         NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.lp DESC, s.doc_id) AS t
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_lp
+FROM bucketed GROUP BY lang, t
+""",
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-trained unigram LM (q_unigram_logprob's model), then split each
+    language into head / middle / tail terciles by score — the curation
+    verb that lets a pipeline keep 'head' data, downsample 'middle', and
+    drop 'tail' (Wenzek et al., CCNet).
+
+    The tercile NTILE orders by the ROUNDED score with a doc_id tiebreak so
+    both engines cut the terciles identically even at float-ulp boundaries.
+    Per-bucket mean score sums DECIMAL(18,4)-cast rounded scores — exact,
+    order-independent — before one deterministic double division.
+
+    At 100 TB: scoring is the broadcast-model lookup (corpus never shuffles
+    for it); the NTILE is the only per-doc shuffle (one partition per
+    language — at extreme doc counts swap in approx_percentile cut points
+    per language, the q_approx_percentile machinery, and bucket by
+    comparison instead of a global sort)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("total"))
+    model = freq.crossJoin(F.broadcast(tot)).select(
+        "token", F.log(F.col("c") / F.col("total")).alias("lp1")
+    )
+    scored = (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg("lp1"), 4).alias("lp"),
+        )
+    )
+    bucketed = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tok",
+        "lp",
+        F.ntile(3)
+        .over(Window.partitionBy("lang").orderBy(F.desc("lp"), F.asc("doc_id")))
+        .alias("t"),
+    )
+    return (
+        bucketed.groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_lp"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "avg_lp",
+        )
+    )

@@ -562,3 +562,69 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS step2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS step3
+  FROM events
+),
+c AS (
+  SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM seq WHERE step3 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT step1, step2, step3, n_paths,
+         ROUND(n_paths * 1.0 / SUM(n_paths) OVER (), 6) AS share,
+         ROW_NUMBER() OVER (ORDER BY n_paths DESC, step1, step2, step3) AS rnk
+  FROM c
+)
+SELECT step1, step2, step3, n_paths, share, rnk
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-travelled 3-step event paths (path / clickstream
+    analysis): per-user ordered trigrams of event types, counted globally,
+    with each path's share of all trigrams.
+
+    Two `lead` taps ride ONE user_id window (same partitioning and order →
+    one Exchange, one sort), then the stream collapses to at most
+    |types|³ = 125 rows; the share window and top-10 rank run on that
+    bounded table, not on events. Share is a ratio of exact BIGINTs
+    rounded identically in both engines; rank tiebreaks on the full path
+    so equal-count paths order deterministically.
+
+    At 100 TB: the only event-scale work is the one windowed pass; longer
+    paths (k-step) add lead taps to the SAME window, not new shuffles.
+    Reference parity: would live in the declared-but-empty Glue ETL job
+    (`/root/reference/Hoth/FHIR/glue/etl_script.py`, 0 bytes)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    c = (
+        seq.where(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    share = F.round(
+        F.col("n_paths") / F.sum("n_paths").over(Window.partitionBy()), 6
+    ).alias("share")
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+    )
+    return (
+        c.select("step1", "step2", "step3", "n_paths", share)
+        .withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 10)
+    )

@@ -333,3 +333,98 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("imputed_sum"),
         )
     )
+
+
+# PSI fixed binning: 10 equi-width price bins; the last bin is open-ended.
+_PSI_BIN_WIDTH = 60_000
+_PSI_BINS = 10
+_PSI_CUT = "1998-01-01"
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / {_PSI_BIN_WIDTH}) AS INT), {_PSI_BINS - 1}) AS bin,
+         SUM(CASE WHEN o_orderdate <  TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT i::INT AS bin FROM generate_series(0, {_PSI_BINS - 1}) t(i)
+),
+filled AS (
+  SELECT s.bin, COALESCE(b.n_ref, 0) AS n_ref, COALESCE(b.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+),
+shares AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 1) * 1.0 / (SUM(n_ref) OVER () + {_PSI_BINS}) AS p_ref,
+         (n_cur + 1) * 1.0 / (SUM(n_cur) OVER () + {_PSI_BINS}) AS p_cur
+  FROM filled
+),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         ROUND(p_ref, 6) AS ref_share, ROUND(p_cur, 6) AS cur_share,
+         ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
+  FROM shares
+)
+SELECT bin, n_ref, n_cur, ref_share, cur_share, psi_term,
+       CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+FROM terms
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 and 1998+ order-price
+    distributions — the standard distribution-drift monitor a production
+    pipeline runs between snapshots / train-vs-serve populations.
+
+    One scan bins every order (conditional integer counts per side per
+    bin), then EVERYTHING downstream — the generated 10-row bin spine,
+    Laplace-smoothed shares (so empty bins never hit ln(0)), per-bin PSI
+    terms, and the total — runs on the bounded 10-row table. Shares are
+    exact-integer ratios (deterministic doubles), each per-bin ln() is a
+    deterministic function of them, and the total sums the ROUNDED terms
+    as DECIMAL(18,6) so it is order-independent and bit-equal across
+    engines.
+
+    At 100 TB: the event-scale work is one partial-aggregated scan emitting
+    ≤10 rows per task; drift over many columns = more conditional
+    expressions in the same pass, not more scans (q_dq_profile's rule)."""
+    b = F.least(
+        F.floor(F.col("o_totalprice") / _PSI_BIN_WIDTH).cast("int"),
+        F.lit(_PSI_BINS - 1),
+    )
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    binned = (
+        table(spark, sf_dir, "orders")
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") < cut, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("o_orderdate") >= cut, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    filled = (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    every = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 1) / (F.sum("n_ref").over(every) + _PSI_BINS)
+    p_cur = (F.col("n_cur") + 1) / (F.sum("n_cur").over(every) + _PSI_BINS)
+    terms = filled.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("ref_share"),
+        F.round(p_cur, 6).alias("cur_share"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+    return terms.withColumn(
+        "psi_total",
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).over(every).cast("double"),
+    )

@@ -605,3 +605,100 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").applyInPandas(
         prune, "vec_id long, cluster int, cent_cos double"
     )
+
+
+KNN_K = 5
+KNN_PROBES = 50  # vec_id < 50 are the labeled probe batch
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS cand_label,
+         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim,
+         c.vec_id AS neighbor_id
+  FROM n q JOIN n c ON q.vec_id < {KNN_PROBES} AND q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT query_id, true_label, cand_label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, cand_label AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label, pred_label, n_votes,
+       (pred_label = true_label) AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, pred_label) AS vr
+  FROM votes
+) WHERE vr = 1
+""",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding space: each of 50 probe
+    vectors is labeled by majority vote of its 5 cosine-nearest neighbors
+    (leave-one-out) — the standard embedding-quality / label-propagation
+    verb a curation pipeline runs to sanity-check an embedding model or
+    to pseudo-label unlabeled data.
+
+    Both the neighbor ranking (rounded cosine, neighbor_id tiebreak) and
+    the vote (count desc, label tiebreak) are fully deterministic, so the
+    driver hash matches the oracle exactly. The probe batch broadcasts;
+    the corpus side streams through local top-k heaps (WindowGroupLimit)
+    — the q_sim_topk plan — and everything after the top-k runs on
+    50·k rows. At 100 TB the brute-force scoring swaps for the IVF probe
+    path (q_sim_ivf) with the identical vote tail."""
+    n = _normed(spark, sf_dir)
+    q = n.where(F.col("vec_id") < KNN_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cand_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_label",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= KNN_K)
+    votes = topk.groupBy("query_id", "true_label", F.col("cand_label").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("pred_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )

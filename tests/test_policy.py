@@ -28,9 +28,17 @@ def test_no_unbounded_collect_in_operators():
     """`.collect()` in operator code must be bounded model state (IVF /
     k-means centroids; the streaming sentinel's 1-row max-ts aggregate;
     ingest's distinct-partition-value listing for targeted rewrites;
-    seq-pack's O(partitions) prefix-sum subtotals) — never a data-path
+    seq-pack's O(partitions) prefix-sum subtotals; dedup's 64x64 ±1
+    hyperplane matrix, collected once per query) — never a data-path
     verb."""
-    allowed = {"similarity.py", "inspect.py", "jobs.py", "ingest.py", "text.py"}
+    allowed = {
+        "similarity.py",
+        "inspect.py",
+        "jobs.py",
+        "ingest.py",
+        "text.py",
+        "dedup.py",
+    }
     offenders = [
         path
         for path, text in _sources().items()
