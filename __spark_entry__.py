@@ -63,6 +63,8 @@ _PRIORITY = [
     # new this round
     "q_sql_catalog", "q_dedup_embed_lsh", "q_semdedup", "q_event_paths",
     "q_psi_drift", "q_ppl_buckets", "q_shuffle_shard", "q_knn_classify",
+    "q_tfidf_cosine", "q_dedup_substring", "q_filter_cascade",
+    "q_sample_coordinated",
     # TPC-H completions never driver-graded
     "q_order_priority", "q_min_cost_supplier", "q_product_profit",
     "q_important_stock", "q_ship_modes", "q_mkt_share", "q_returned_items",
@@ -77,12 +79,10 @@ _PRIORITY = [
     "q_win_rank", "q_win_lag", "q_rolling_quantile", "q_ohlc",
     # scalar function surface
     "q_str_funcs", "q_date_funcs", "q_array_funcs", "q_map_funcs",
-    # text analysis
-    "q_text_langid", "q_text_quality", "q_text_bm25", "q_text_pmi",
-    # sources / streaming
-    "q_json_ingest", "q_stream_dedup",
     # --- ~50-entry grading cap lands here ---
     # round-4 rotation queue: still never driver-graded
+    "q_text_langid", "q_text_quality", "q_text_bm25", "q_text_pmi",
+    "q_json_ingest", "q_stream_dedup",
     "q_csv_ingest", "q_corrupt_ingest", "q_stream_availablenow",
     "q_dq_profile",
     "q_attribution", "q_active_users", "q_degree_dist", "q_vec_centroid",

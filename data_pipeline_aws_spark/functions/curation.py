@@ -635,3 +635,193 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
         )
     )
+
+
+@query(
+    "q_filter_cascade",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) >= 20 AS pass_len,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) >= 0.35 AS pass_div,
+         n_chars * 1.0 / len(string_split(text, ' ')) >= 5.0 AS pass_tok_len,
+         lang <> 'zh' AS pass_lang
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN NOT pass_len THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN pass_len AND NOT pass_div THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(CASE WHEN pass_len AND pass_div AND NOT pass_tok_len
+                       THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+         CAST(SUM(CASE WHEN pass_len AND pass_div AND pass_tok_len
+                        AND NOT pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS f4
+  FROM s
+)
+SELECT stage, n_in, n_dropped, n_in - n_dropped AS n_kept,
+       ROUND(n_dropped * 1.0 / n_in, 6) AS drop_rate
+FROM (
+  SELECT 1 AS ord, 'min_length'    AS stage, total AS n_in, f1 AS n_dropped FROM agg
+  UNION ALL SELECT 2, 'diversity',      total - f1,           f2 FROM agg
+  UNION ALL SELECT 3, 'mean_tok_len',   total - f1 - f2,      f3 FROM agg
+  UNION ALL SELECT 4, 'lang_whitelist', total - f1 - f2 - f3, f4 FROM agg
+)
+""",
+)
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Gopher-style quality filter cascade with per-stage attrition
+    accounting: min-length → token-diversity → mean-token-length →
+    language-whitelist, applied in order, each stage reporting how many
+    documents entered it, how many it dropped, and its drop rate — the
+    report a curation team reads before committing a filter chain.
+
+    Every stage predicate is a map-side in-row expression (token counts,
+    distinct-token ratio, chars-per-token — all JVM array lambdas, no
+    explode); 'first failing stage' attribution is four conditional
+    counts in ONE aggregation pass over ONE scan, so adding a stage adds
+    an expression, not a job. The 4-row report is built by in-row
+    unpivot; all rates are exact-integer ratios.
+
+    At 100 TB this shape is why cascade ORDER matters operationally:
+    cheap length checks run first and the report quantifies each stage's
+    marginal attrition (the data to reorder or retune stages on)."""
+    toks = F.split("text", " ")
+    s = table(spark, sf_dir, "documents").select(
+        (F.size(toks) >= 20).alias("pass_len"),
+        (
+            F.size(F.array_distinct(toks)) / F.size(toks) >= 0.35
+        ).alias("pass_div"),
+        (F.col("n_chars") / F.size(toks) >= 5.0).alias("pass_tok_len"),
+        (F.col("lang") != "zh").alias("pass_lang"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = s.agg(
+        F.count(F.lit(1)).alias("total"),
+        one(~F.col("pass_len")).alias("f1"),
+        one(F.col("pass_len") & ~F.col("pass_div")).alias("f2"),
+        one(
+            F.col("pass_len") & F.col("pass_div") & ~F.col("pass_tok_len")
+        ).alias("f3"),
+        one(
+            F.col("pass_len")
+            & F.col("pass_div")
+            & F.col("pass_tok_len")
+            & ~F.col("pass_lang")
+        ).alias("f4"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("min_length").alias("stage"),
+            F.col("total").alias("n_in"),
+            F.col("f1").alias("n_dropped"),
+        ),
+        F.struct(
+            F.lit("diversity").alias("stage"),
+            (F.col("total") - F.col("f1")).alias("n_in"),
+            F.col("f2").alias("n_dropped"),
+        ),
+        F.struct(
+            F.lit("mean_tok_len").alias("stage"),
+            (F.col("total") - F.col("f1") - F.col("f2")).alias("n_in"),
+            F.col("f3").alias("n_dropped"),
+        ),
+        F.struct(
+            F.lit("lang_whitelist").alias("stage"),
+            (F.col("total") - F.col("f1") - F.col("f2") - F.col("f3")).alias("n_in"),
+            F.col("f4").alias("n_dropped"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("r")).select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_in").alias("n_in"),
+        F.col("r.n_dropped").alias("n_dropped"),
+        (F.col("r.n_in") - F.col("r.n_dropped")).alias("n_kept"),
+        F.round(F.col("r.n_dropped") / F.col("r.n_in"), 6).alias("drop_rate"),
+    )
+
+
+@query(
+    "q_sample_coordinated",
+    oracle="""
+WITH so AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE (o_orderkey * 2654435761) % 10 = 0
+),
+sl AS (
+  SELECT l_orderkey, l_extendedprice FROM lineitem
+  WHERE (l_orderkey * 2654435761) % 10 = 0
+),
+oa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sample_order_value
+  FROM so
+),
+la AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sample_line_value
+  FROM sl
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_orders FROM orders)
+SELECT oa.n_orders, la.n_lineitems, oa.sample_order_value, la.sample_line_value,
+       ROUND(oa.n_orders * 1.0 / t.total_orders, 6) AS order_rate,
+       ROUND(la.n_lineitems * 1.0 / oa.n_orders, 6) AS lines_per_order
+FROM oa, la, t
+""",
+)
+def q_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated (consistent) sampling across joined tables: take ~10%
+    of orders by a deterministic hash of the ORDER KEY, and take lineitem
+    rows with the SAME hash predicate on their foreign key — both sides
+    are map-only filters, yet the sample is referentially closed (every
+    sampled lineitem's order is in the sample, no join required to make
+    it so). This is the standard trick for building a consistent dev-scale
+    copy of a star schema, or join-cardinality estimation from samples.
+
+    Why it matters at 100 TB: the naive 'sample orders then semi-join
+    lineitem' costs a full fact-table join; the coordinated hash costs
+    two pushable scans and nothing else. The hash is the same Knuth
+    multiplicative scheme as q_train_split — re-run-stable, no rand().
+    Both sums are DECIMAL-exact; rates are exact-integer ratios."""
+    sel_o = (F.col("o_orderkey") * F.lit(2654435761)) % 10 == 0
+    sel_l = (F.col("l_orderkey") * F.lit(2654435761)) % 10 == 0
+    oa = (
+        table(spark, sf_dir, "orders")
+        .where(sel_o)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sample_order_value"),
+        )
+    )
+    la = (
+        table(spark, sf_dir, "lineitem")
+        .where(sel_l)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sample_line_value"),
+        )
+    )
+    t = table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total_orders")
+    )
+    return (
+        oa.crossJoin(la)
+        .crossJoin(t)
+        .select(
+            "n_orders",
+            "n_lineitems",
+            "sample_order_value",
+            "sample_line_value",
+            F.round(F.col("n_orders") / F.col("total_orders"), 6).alias("order_rate"),
+            F.round(F.col("n_lineitems") / F.col("n_orders"), 6).alias(
+                "lines_per_order"
+            ),
+        )
+    )

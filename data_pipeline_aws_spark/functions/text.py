@@ -970,3 +970,141 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_lp",
         )
     )
+
+
+TFIDF_SIG_TERMS = 5  # per-doc signature width for the sparse-cosine join
+TFIDF_TOP_PAIRS = 20
+
+
+@query(
+    "q_tfidf_cosine",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(tf.tf * LN((SELECT n_docs FROM n) * 1.0 / df.df), 9)
+              AS DECIMAL(18,9)) AS w
+  FROM tf JOIN df USING (term)
+),
+sig AS (
+  SELECT doc_id, term, w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY w DESC, term) AS rn
+    FROM w
+  ) WHERE rn <= {TFIDF_SIG_TERMS}
+),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM sig GROUP BY 1
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w * b.w) AS DOUBLE) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sig a JOIN sig b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared,
+         ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM pairs p
+  JOIN nrm na ON p.doc_a = na.doc_id
+  JOIN nrm nb ON p.doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b, n_shared, cos_sim, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_a, doc_b) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP_PAIRS}
+""",
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity: cosine over each document's
+    top-5 TF-IDF term signature, candidate pairs generated by a term
+    inverted-index join — the sparse sibling of the dense-embedding
+    similarity family (q_sim_*), and the classic 'more-like-this' verb.
+
+    Why signatures: a full-vocabulary inverted index over this corpus is
+    near-quadratic (every doc shares the common terms). Truncating each
+    doc to its top-IDF-weighted terms is the standard sparse-ANN move —
+    high-IDF terms are RARE, so index buckets stay small and the join
+    output is sparse (the same rare-first insight as q_dedup_prefix's
+    PPJoin ordering). Weights are rounded to 9 dp and carried as
+    DECIMAL(18,9): pair dot products and norms become exact decimal sums
+    — order-independent, bit-equal across engines — with one
+    deterministic double division + sqrt at the end.
+
+    At 100 TB: map-only weighting (df/N broadcast), one shuffle on term
+    for the index join, everything after runs on the sparse pair set."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9)
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+    )
+    sig = (
+        w.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+            ),
+        )
+        .where(F.col("rn") <= TFIDF_SIG_TERMS)
+        .select("doc_id", "term", "w")
+    )
+    nrm = sig.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cos_sim"), "doc_a", "doc_b")),
+        )
+        .where(F.col("rnk") <= TFIDF_TOP_PAIRS)
+        .select("doc_a", "doc_b", "n_shared", "cos_sim", "rnk")
+    )

@@ -903,3 +903,101 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_aws_spark.operators.similarity import _normed
 
     return embed_near_dup_pairs(_normed(spark, sf_dir).select("vec_id", "e", "nrm"))
+
+
+SUBSTR_GRAM = 8  # token width of the repeated-span unit (Lee et al. 2022 style)
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+g AS (
+  SELECT d.doc_id, t.i AS pos,
+         md5(array_to_string(d.toks[t.i : t.i + {SUBSTR_GRAM - 1}], ' ')) AS gram
+  FROM d, LATERAL unnest(generate_series(1, greatest(d.n_tok - {SUBSTR_GRAM - 1}, 0))) t(i)
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+),
+cover AS (
+  SELECT DISTINCT g.doc_id, c.p
+  FROM g JOIN dup USING (gram),
+       LATERAL unnest(generate_series(g.pos, g.pos + {SUBSTR_GRAM - 1})) c(p)
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tok FROM cover GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.n_tok AS BIGINT) AS n_tok,
+       CAST(GREATEST(d.n_tok - {SUBSTR_GRAM - 1}, 0) AS BIGINT) AS n_grams,
+       COALESCE(p.covered_tok, 0) AS covered_tok,
+       ROUND(COALESCE(p.covered_tok, 0) * 1.0 / d.n_tok, 6) AS dup_frac
+FROM d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring accounting (the span-level sibling of
+    doc-level dedup, after Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better'): every 8-token span that occurs more
+    than once ANYWHERE in the corpus marks its tokens as duplicated;
+    each document reports how much of it is covered by repeated spans —
+    the signal a pipeline uses to cut boilerplate spans (not whole docs).
+
+    Plan: gram construction is map-only in-row JVM array work (slice +
+    md5 per start position — the corpus shuffles 16-byte digests, never
+    text); the duplicate-gram set comes from ONE partial-aggregated
+    groupBy on the digest; coverage explodes each duplicated gram into
+    its ≤8 positions and distinct-counts per doc — fan-out bounded by
+    8×|dup positions|, output by |docs|. A true suffix-array pass (exact
+    maximal repeats, not fixed grams) is the letter of the paper; the
+    fixed-gram form is the standard distributed approximation and is
+    exact for spans ≥ the gram width.
+
+    At 100 TB: all three shuffles carry digests or (doc, int) pairs;
+    nothing re-reads text after the first scan."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    gram_arr = F.when(
+        F.col("n_tok") >= SUBSTR_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - (SUBSTR_GRAM - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SUBSTR_GRAM))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    cover = (
+        g.join(dup.select("gram"), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SUBSTR_GRAM - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    per_doc = cover.groupBy("doc_id").agg(F.count(F.lit(1)).alias("covered_tok"))
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.greatest(F.col("n_tok") - (SUBSTR_GRAM - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.coalesce("covered_tok", F.lit(0)).alias("covered_tok"),
+            F.round(
+                F.coalesce("covered_tok", F.lit(0)) / F.col("n_tok"), 6
+            ).alias("dup_frac"),
+        )
+    )
