@@ -496,3 +496,40 @@ def test_salted_join_bounds_hot_key_fanout(spark):
     assert hot_total >= n_rows // 4
     assert len(sizes) == SALT, f"hot key must hit every salt bucket, got {len(sizes)}"
     assert max(r["count"] for r in sizes) <= 2 * hot_total / SALT, sizes
+
+
+def test_event_paths_one_user_exchange(plans):
+    """Both lead taps must ride ONE user_id window: a second
+    hashpartitioning(user_id) exchange would mean the window was split."""
+    p = plans("q_event_paths")
+    assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_shuffle_shard_has_no_global_sort(plans):
+    """The training-shard layout must NOT serialize through a global
+    range-partitioned sort — shard assignment is map-side, ordering is
+    per-shard."""
+    p = plans("q_shuffle_shard")
+    assert "rangepartitioning" not in p, p
+
+
+def test_psi_drift_single_orders_scan(plans):
+    """Both snapshot populations are conditional counts in ONE pass —
+    a second orders scan would mean the sides were computed separately."""
+    p = plans("q_psi_drift").split("== Initial Plan ==")[0]
+    assert p.count("orders.parquet") == 1, p
+
+
+def test_filter_cascade_single_scan_no_explode_of_tokens(plans):
+    """All four stage predicates are in-row expressions over one scan;
+    the only generator is the 4-element report unpivot."""
+    p = plans("q_filter_cascade").split("== Initial Plan ==")[0]
+    assert p.count("documents.parquet") == 1, p
+
+
+def test_tfidf_cosine_broadcasts_model_sides(plans):
+    """Doc-frequency and corpus-size relations broadcast into the
+    weighting — the corpus-scale token stream never shuffles for the
+    model lookup."""
+    p = plans("q_tfidf_cosine")
+    assert "BroadcastHashJoin" in p, p
