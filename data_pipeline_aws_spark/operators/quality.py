@@ -428,3 +428,67 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_total",
         F.sum(F.col("psi_term").cast("decimal(18,6)")).over(every).cast("double"),
     )
+
+
+@query(
+    "q_anomaly_iqr",
+    oracle="""
+WITH fences AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+),
+flagged AS (
+  SELECT d.lang, d.n_chars,
+         (d.n_chars < f.q1 - 1.5 * (f.q3 - f.q1)
+          OR d.n_chars > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
+  FROM documents d JOIN fences f USING (lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS outlier_rate,
+       CAST(MIN(CASE WHEN is_outlier THEN n_chars END) AS BIGINT) AS min_outlier,
+       CAST(MAX(CASE WHEN is_outlier THEN n_chars END) AS BIGINT) AS max_outlier
+FROM flagged GROUP BY lang
+""",
+)
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier detection per language over document
+    length — the robust complement to z-score anomaly detection
+    (q_dq_anomaly) and MAD dispersion (q_mad): quartile fences are
+    insensitive to the outliers they flag, so a few giant documents
+    can't drag the threshold the way a stddev fence lets them.
+
+    Exact interpolated quartiles per group (Spark `percentile` ≡ DuckDB
+    `quantile_cont` — same linear interpolation over two integers, so
+    the fences are bit-identical), broadcast back into a map-side flag,
+    then exact-integer counting. Two scans total, |langs| fence rows.
+
+    At 100 TB: fences swap to approx_percentile (the q_approx_percentile
+    sketch path) and the flag pass is unchanged — the report shape and
+    the second scan's map-only nature survive scale."""
+    d = table(spark, sf_dir, "documents")
+    fences = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    flagged = d.join(F.broadcast(fences), "lang").select(
+        "lang",
+        "n_chars",
+        (
+            (F.col("n_chars") < F.col("q1") - 1.5 * iqr)
+            | (F.col("n_chars") > F.col("q3") + 1.5 * iqr)
+        ).alias("is_outlier"),
+    )
+    flag1 = F.when(F.col("is_outlier"), 1).otherwise(0)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flag1).alias("n_outliers"),
+        F.round(F.sum(flag1) / F.count(F.lit(1)), 6).alias("outlier_rate"),
+        F.min(F.when(F.col("is_outlier"), F.col("n_chars"))).alias("min_outlier"),
+        F.max(F.when(F.col("is_outlier"), F.col("n_chars"))).alias("max_outlier"),
+    )

@@ -662,3 +662,74 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("vt").alias("valid_to_us"),
         F.col("vt").isNull().alias("is_current"),
     )
+
+
+ASOF_TOLERANCE = "INTERVAL 2 HOURS"
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+SELECT event_id, user_id, purchase_ts, click_event_id, staleness_us, matched
+FROM (
+  SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+         c.event_id AS click_event_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS staleness_us,
+         c.event_id IS NOT NULL AS matched,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+   AND c.ts > p.ts - INTERVAL 2 HOURS
+) WHERE rn = 1
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance, LEFT semantics: every
+    purchase keeps its row; the latest same-user click is attached only
+    if it happened within the preceding 2 hours, with the exact staleness
+    in integer microseconds and an explicit matched flag — the
+    feature-store lookup rule ('use the feature only if fresh enough')
+    that plain as-of (q_join_asof) can't express.
+
+    The tolerance is also the SCALE win: unbounded backward as-of must
+    consider a key's whole history, while the 2-hour band bounds the
+    join fan-in per probe row regardless of history depth (and makes the
+    binned-range-join rewrite of q_join_range_binned applicable when
+    both sides are large). Staleness subtracts integer epoch-µs — exact;
+    unmatched purchases carry NULLs and matched=false through the same
+    keep-latest rank, so the outer semantics stay deterministic."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts > p.purchase_ts - F.expr(ASOF_TOLERANCE)),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("click_ts"), F.desc("click_event_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            "click_event_id",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("staleness_us"),
+            F.col("click_event_id").isNotNull().alias("matched"),
+        )
+    )
