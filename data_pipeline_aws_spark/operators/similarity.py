@@ -702,3 +702,118 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8  # 64 dims / 8 subspaces
+PQ_CODEBOOK = 16  # 4-bit codes per subspace
+
+
+@query("q_pq_quantize")  # float k-means codebooks → deterministic rows-only
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (FAISS PQ8x4 shape): split each 64-d embedding
+    into 8 subvectors of 8 dims, train a 16-centroid codebook per subspace
+    (2 Lloyd iterations, deterministic init from the first 16 vectors), and
+    encode every vector as 8 four-bit codes — 4 bytes per vector, 64×
+    smaller than float32, the compression regime that makes 100 TB-scale
+    ANN indexes fit in memory (vs q_quantize's 4× SQ8).
+
+    Training reuses q_kmeans' model/data split with ALL 8 subspaces in one
+    pass: each Arrow batch combines its vectors into per-(subspace,
+    cluster) sum/count partials (≤ 8×16×8 cells per batch) — the shuffle
+    carries O(model·batches), never O(N·D). Codebooks are rounded to 6 dp
+    before encoding so Voronoi assignments don't flip on float
+    summation-order ulps (re-runs and the numpy replay in
+    tests/test_properties.py produce identical codes). Encoding is
+    map-only with the closure-broadcast codebook; output is an exact
+    integer code checksum per vector plus reconstruction error. Rows-only
+    driver check (iterative float training has no SQL twin); the property
+    test pins codes and requires PQ reconstruction to beat the
+    mean-vector baseline."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub, d_sub, k_cb = PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init_rows = e.filter(F.col("vec_id") < k_cb).orderBy("vec_id").collect()
+    init = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init_rows])
+    # codebooks[s] : (k_cb, d_sub)
+    books = np.stack(
+        [init[:, s * d_sub : (s + 1) * d_sub].copy() for s in range(m_sub)]
+    )
+
+    def make_update(bk):
+        def update(batches):
+            for pdf in batches:
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                sub = m.reshape(len(m), m_sub, d_sub)
+                out_s, out_c, out_d, out_v, out_n = [], [], [], [], []
+                for s in range(m_sub):
+                    d2 = ((sub[:, s, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                    cl = d2.argmin(axis=1)
+                    sums = np.zeros((k_cb, d_sub))
+                    cnts = np.zeros(k_cb, dtype=np.int64)
+                    np.add.at(sums, cl, sub[:, s, :])
+                    np.add.at(cnts, cl, 1)
+                    kk = np.nonzero(cnts > 0)[0]
+                    out_s.append(np.full(len(kk) * d_sub, s, dtype="int32"))
+                    out_c.append(kk.astype("int32").repeat(d_sub))
+                    out_d.append(np.tile(np.arange(d_sub, dtype="int32"), len(kk)))
+                    out_v.append(sums[kk].reshape(-1))
+                    out_n.append(cnts[kk].repeat(d_sub))
+                yield pd.DataFrame(
+                    {
+                        "sub": np.concatenate(out_s),
+                        "cluster": np.concatenate(out_c),
+                        "dim": np.concatenate(out_d),
+                        "s": np.concatenate(out_v),
+                        "cnt": np.concatenate(out_n),
+                    }
+                )
+
+        return update
+
+    for _ in range(2):
+        cells = e.mapInPandas(
+            make_update(books.copy()),
+            "sub int, cluster int, dim int, s double, cnt long",
+        )
+        new = (
+            cells.groupBy("sub", "cluster", "dim")
+            .agg((F.sum("s") / F.sum("cnt")).alias("c"))
+            .collect()
+        )
+        nxt = books.copy()  # empty clusters keep their previous centroid
+        for r in new:
+            nxt[r.sub, r.cluster, r.dim] = r.c
+        books = nxt
+    books = np.round(books, 6)  # ulp-stable Voronoi boundaries
+
+    def make_encode(bk):
+        weights = np.power(16, np.arange(m_sub), dtype=np.int64)
+
+        def enc(batches):
+            for pdf in batches:
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                sub = m.reshape(len(m), m_sub, d_sub)
+                codes = np.zeros((len(m), m_sub), dtype=np.int64)
+                recon = np.zeros_like(sub)
+                for s in range(m_sub):
+                    d2 = ((sub[:, s, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                    cl = d2.argmin(axis=1)
+                    codes[:, s] = cl
+                    recon[:, s, :] = bk[s][cl]
+                err = np.abs(sub - recon).mean(axis=(1, 2))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "code_key": (codes * weights).sum(axis=1),
+                        "recon_err": np.round(err, 6),
+                    }
+                )
+
+        return enc
+
+    return e.mapInPandas(
+        make_encode(books.copy()), "vec_id long, code_key long, recon_err double"
+    )

@@ -501,7 +501,7 @@ def test_salted_join_bounds_hot_key_fanout(spark):
 def test_event_paths_one_user_exchange(plans):
     """Both lead taps must ride ONE user_id window: a second
     hashpartitioning(user_id) exchange would mean the window was split."""
-    p = plans("q_event_paths")
+    p = plans("q_event_paths").split("== Initial Plan ==")[0]
     assert p.count("hashpartitioning(user_id") == 1, p
 
 

@@ -594,3 +594,70 @@ def test_approx_percentile_within_rank_envelope(spark, sf_dir, duck):
                 hi,
                 target,
             )
+
+
+def test_pq_quantize_matches_numpy_reference(spark, sf_dir):
+    """q_pq_quantize must replay against a pure-numpy reference on the same
+    data, init, and 2-iteration schedule: (a) codes identical for ~all
+    vectors (codebooks are rounded to 6 dp before encoding, so only a
+    centroid coordinate landing exactly on a rounding boundary could flip
+    an assignment), and (b) PQ reconstruction must beat the mean-vector
+    baseline — the compression is 64x, it still has to carry signal."""
+    import numpy as np
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.similarity import (
+        PQ_CODEBOOK,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+    from data_pipeline_aws_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    n, m_sub, d_sub, k_cb = len(m), PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK
+    sub = m.reshape(n, m_sub, d_sub)
+    books = np.stack(
+        [m[:k_cb, s * d_sub : (s + 1) * d_sub].copy() for s in range(m_sub)]
+    )
+    for _ in range(2):
+        nxt = books.copy()
+        for s in range(m_sub):
+            d2 = ((sub[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            for j in range(k_cb):
+                if (cl == j).any():
+                    nxt[s, j] = sub[cl == j, s, :].mean(axis=0)
+        books = nxt
+    books = np.round(books, 6)
+    weights = np.power(16, np.arange(m_sub), dtype=np.int64)
+    codes = np.zeros((n, m_sub), dtype=np.int64)
+    recon = np.zeros_like(sub)
+    for s in range(m_sub):
+        d2 = ((sub[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        codes[:, s] = cl
+        recon[:, s, :] = books[s][cl]
+    ref_key = dict(zip(ids.tolist(), (codes * weights).sum(axis=1).tolist()))
+    ref_err = dict(zip(ids.tolist(), np.abs(sub - recon).mean(axis=(1, 2)).tolist()))
+
+    got = {
+        r.vec_id: (r.code_key, r.recon_err)
+        for r in all_queries()["q_pq_quantize"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(ref_key)
+    agree = sum(1 for v in got if got[v][0] == ref_key[v])
+    assert agree >= 0.995 * len(got), f"{agree}/{len(got)} code agreement"
+    for v in got:
+        assert abs(got[v][1] - ref_err[v]) < 1e-4, (v, got[v][1], ref_err[v])
+
+    # PQ must beat the trivial mean-vector codec
+    mean_err = float(np.abs(m - m.mean(axis=0)[None, :]).mean())
+    pq_err = float(np.mean([got[v][1] for v in got]))
+    assert pq_err < mean_err, (pq_err, mean_err)
