@@ -38,6 +38,8 @@ HEADLINE = [
     "q_stream_tumbling", "q_stream_state", "q_stream_stream_join",
     "q_multimodal_decode", "q_seq_pack", "q_kmeans", "q_quantize",
     "q_compact", "q_zorder", "q_bucket_join", "q_dpp",
+    "q_semdedup", "q_dedup_embed_lsh", "q_tfidf_cosine", "q_dedup_substring",
+    "q_pq_quantize", "q_knn_classify", "q_event_paths", "q_ppl_buckets",
 ]
 # Keep safely under the driver's 2000-char stdout tail capture.
 MAX_LINE = 1800
