@@ -965,13 +965,18 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
+    # Digest choice is engine-local: the duplicated-gram set is derived
+    # independently on each side, so Spark can use xxhash64 (8-byte shuffle
+    # key, ~4x smaller than md5 hex and cheaper to compute) while the DuckDB
+    # oracle keeps md5 — the outputs agree as long as neither digest
+    # collides (~250k grams vs 2^64: negligible).
     gram_arr = F.when(
         F.col("n_tok") >= SUBSTR_GRAM,
         F.transform(
             F.sequence(F.lit(1), F.col("n_tok") - (SUBSTR_GRAM - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SUBSTR_GRAM))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, SUBSTR_GRAM))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     g = d.select("doc_id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "gram"
     )
