@@ -395,3 +395,75 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(F.broadcast(sky), ["p_size", "p_retailprice"]).select(
         "p_partkey", "p_size", "p_retailprice"
     )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         SUM(revenue) OVER () AS total_rev
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey,
+         CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+              WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         revenue
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(revenue) AS DOUBLE), 2) AS class_revenue,
+       ROUND(CAST(MIN(revenue) AS DOUBLE), 2) AS min_revenue
+FROM classed GROUP BY abc_class
+""",
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    DECIMAL-exact revenue, class A = parts inside the first 80% of
+    cumulative revenue, B = next 15%, C = tail — the inventory-analytics
+    staple ('which 20% of SKUs make 80% of revenue').
+
+    The event-scale work is ONE partial-aggregated groupBy to part grain;
+    the ranking/cumulative windows run on the |parts| table (orders of
+    magnitude smaller than lineitem). Class boundaries compare DECIMAL
+    cumulative sums by integer multiply-through (cum*10 <= total*8) — no
+    float division at the boundary, so classification is bit-stable. The
+    deliberate single-partition cumulative window over parts is bounded
+    model-grain state; at extreme |parts| the boundaries come from two
+    approx-percentile cut points over the revenue distribution instead."""
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w_ord = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.sum("revenue").over(Window.partitionBy()).alias("total_rev"),
+    )
+    classed = ranked.select(
+        "revenue",
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+        F.round(F.min("revenue").cast("double"), 2).alias("min_revenue"),
+    )

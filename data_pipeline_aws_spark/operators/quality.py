@@ -492,3 +492,68 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_outlier"), F.col("n_chars"))).alias("min_outlier"),
         F.max(F.when(F.col("is_outlier"), F.col("n_chars"))).alias("max_outlier"),
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+spine AS (SELECT i::INT AS d FROM generate_series(1, 9) t(i)),
+obs AS (
+  SELECT s.d, COALESCE(c.n, 0) AS n FROM spine s LEFT JOIN c ON s.d = c.d
+)
+SELECT d, n,
+       ROUND(n * 1.0 / SUM(n) OVER (), 6) AS obs_freq,
+       ROUND(LN((d + 1.0) / d) / LN(10.0), 6) AS benford_freq,
+       ROUND(n * 1.0 / SUM(n) OVER () - LN((d + 1.0) / d) / LN(10.0), 6)
+         AS deviation
+FROM obs
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening over order totals — the
+    forensic-accounting DQ verb: compare each leading digit's observed
+    frequency against log10(1 + 1/d) and report the deviation (a fabricated
+    or systematically-generated money column shows up as a flat or spiky
+    digit histogram; the deviation column IS the finding).
+
+    Digit extraction is a map-side integer/string expression; the count
+    collapses to ≤9 rows at the first partial aggregation, and all
+    frequency math (exact-integer ratios, per-digit logs of exact
+    rationals) runs on the 9-row spine — nothing after the one scan
+    scales with data. Same one-scan-to-bounded-grid shape as q_psi_drift;
+    at 100 TB multiple columns' digit screens ride one pass as extra
+    conditional counts."""
+    digits = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    c = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    obs = spine.join(c, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    every = Window.partitionBy()
+    obs_freq = F.col("n") / F.sum("n").over(every)
+    benford = F.log(( F.col("d") + 1.0) / F.col("d")) / F.log(F.lit(10.0))
+    return obs.select(
+        "d",
+        "n",
+        F.round(obs_freq, 6).alias("obs_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(obs_freq - benford, 6).alias("deviation"),
+    )

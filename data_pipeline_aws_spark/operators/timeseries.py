@@ -733,3 +733,66 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_event_id").isNotNull().alias("matched"),
         )
     )
+
+
+@query(
+    "q_period_growth",
+    oracle="""
+WITH m AS (
+  SELECT n_name AS nation, date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  GROUP BY 1, 2
+)
+SELECT nation, month,
+       ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(LAG(revenue) OVER w AS DOUBLE), 2) AS prev_revenue,
+       ROUND((CAST(revenue AS DOUBLE)
+              - CAST(LAG(revenue) OVER w AS DOUBLE))
+             / CAST(LAG(revenue) OVER w AS DOUBLE), 6) AS mom_growth
+FROM m
+WINDOW w AS (PARTITION BY nation ORDER BY month)
+""",
+)
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the period-over-period
+    reporting verb behind every KPI dashboard: monthly DECIMAL-exact
+    revenue, previous month via LAG, growth as one deterministic double
+    division of two exactly-rounded values.
+
+    The orders-scale work is one aggregation to (nation, month) grain
+    (the date filter is parquet-pushable); the LAG window runs on the
+    bounded ~25×20 grid. Growth divides the 2-dp ROUNDED revenues (not
+    raw decimal sums cast late) so both engines divide bit-identical
+    inputs. Missing prior months yield NULL growth rather than a fake
+    zero — the honest dashboard semantics.
+
+    At 100 TB nothing changes: the grid stays bounded by |nations|×
+    |months| however large orders grows, and the dim joins broadcast."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    rev = F.round(F.col("rev_d").cast("double"), 2)
+    prev = F.round(F.lag("rev_d").over(w).cast("double"), 2)
+    return m.select(
+        "nation",
+        "month",
+        rev.alias("revenue"),
+        prev.alias("prev_revenue"),
+        F.round((rev - prev) / prev, 6).alias("mom_growth"),
+    )
