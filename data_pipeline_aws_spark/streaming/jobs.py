@@ -515,3 +515,85 @@ def q_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+ALERT_THRESHOLD = 100.0
+
+
+@query(
+    "q_stream_alert",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         value > {ALERT_THRESHOLD} AS hot,
+         LAG(value > {ALERT_THRESHOLD}) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_hot
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS ts_us, value,
+       CASE WHEN hot THEN 'enter' ELSE 'exit' END AS transition
+FROM flagged
+WHERE (prev_hot IS NULL AND hot)
+   OR (prev_hot IS NOT NULL AND hot <> prev_hot)
+""",
+)
+def q_stream_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-triggered alerting with stateful suppression: per user, emit a
+    row ONLY when the value stream crosses the alert threshold — 'enter'
+    on the first hot event after a cool one (or ever), 'exit' on the first
+    cool event after a hot one. The monitoring verb where level-triggered
+    emission (every hot event) would page an on-call 10,000 times for one
+    incident; the GroupState carries exactly one boolean per user, so
+    suppression survives across micro-batches and restarts.
+
+    Batch twin / oracle: the same transitions via LAG over (ts, event_id)
+    per user. In the streaming form each user's arriving events are
+    ordered inside the state function (event-time order with event_id
+    tiebreak) and compared against the carried flag — state is O(users) ×
+    1 bool, the smallest possible; alerts shuffle nothing but the
+    transition rows themselves.
+
+    At 100 TB: alert streams are exactly where output volume matters —
+    edge-triggering makes the sink write O(transitions), not O(events);
+    the keyed state store shards per-user flags across executors."""
+    events = _stream_events(spark, sf_dir)
+    typed = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+    def alert(key, batches, state):  # noqa: ANN001 - pyspark callback shape
+        import pandas as pd  # local: executes on executors
+
+        (was_hot,) = state.get if state.exists else (False,)
+        frames = [pdf for pdf in batches if len(pdf)]
+        out_ts, out_val, out_tr = [], [], []
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+            for v, t in zip(pdf["value"].to_numpy(), pdf["ts_us"].to_numpy()):
+                hot = bool(v > ALERT_THRESHOLD)
+                if hot != was_hot:
+                    out_ts.append(int(t))
+                    out_val.append(float(v))
+                    out_tr.append("enter" if hot else "exit")
+                    was_hot = hot
+        state.update((was_hot,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ts),
+                "ts_us": out_ts,
+                "value": out_val,
+                "transition": out_tr,
+            }
+        )
+
+    transitions = typed.groupBy("user_id").applyInPandasWithState(
+        alert,
+        outputStructType="user_id long, ts_us long, value double, transition string",
+        stateStructType="hot boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return _run_to_completion(transitions, "append")
