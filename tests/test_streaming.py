@@ -179,3 +179,85 @@ def test_checkpoint_resume_is_exactly_once(spark, arrival_dir):
     back = spark.read.parquet(out)
     assert back.count() == 4  # every event exactly once
     assert sorted(r.event_id for r in back.select("event_id").collect()) == [1, 2, 3, 4]
+
+
+def test_alert_suppression_survives_micro_batches(spark, arrival_dir):
+    """q_stream_alert's edge-trigger must suppress ACROSS micro-batches: a
+    user hot at the end of batch 1 and still hot at the start of batch 2
+    must NOT re-emit 'enter' — the carried GroupState boolean is what makes
+    the stream edge- rather than level-triggered."""
+    from data_pipeline_aws_spark.streaming.jobs import ALERT_THRESHOLD
+
+    hot = ALERT_THRESHOLD + 50.0
+    cool = ALERT_THRESHOLD - 50.0
+    # user 1: cool -> hot | (batch break) hot -> cool  => enter@2, exit@4
+    # user 2: hot         | hot, hot                   => enter@5 only
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b1",
+        [
+            (1, 1, "2024-01-01 00:01:00", cool),
+            (2, 1, "2024-01-01 00:02:00", hot),
+            (5, 2, "2024-01-01 00:01:30", hot),
+        ],
+    )
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b2",
+        [
+            (3, 1, "2024-01-01 00:03:00", hot),
+            (4, 1, "2024-01-01 00:04:00", cool),
+            (6, 2, "2024-01-01 00:03:30", hot),
+            (7, 2, "2024-01-01 00:04:30", hot),
+        ],
+    )
+    import pandas as pd  # noqa: F811
+
+    schema = spark.read.parquet(os.path.join(arrival_dir, "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrival_dir + "/*")
+    )
+
+    def alert(key, pdfs, state):
+        (was_hot,) = state.get if state.exists else (False,)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out_ts, out_val, out_tr = [], [], []
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for v, t in zip(pdf["value"], pdf["ts"]):
+                is_hot = bool(v > ALERT_THRESHOLD)
+                if is_hot != was_hot:
+                    out_ts.append(t)
+                    out_val.append(float(v))
+                    out_tr.append("enter" if is_hot else "exit")
+                    was_hot = is_hot
+        state.update((was_hot,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ts),
+                "ts": out_ts,
+                "value": out_val,
+                "transition": out_tr,
+            }
+        )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        alert,
+        outputStructType="user_id long, ts timestamp, value double, transition string",
+        stateStructType="hot boolean",
+        outputMode="Append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain(result, "append", "dpas_alert_edges").toPandas()
+    got = sorted(
+        (int(r.user_id), str(r.ts), r.transition) for r in out.itertuples()
+    )
+    assert got == [
+        (1, "2024-01-01 00:02:00", "enter"),
+        (1, "2024-01-01 00:04:00", "exit"),
+        (2, "2024-01-01 00:01:30", "enter"),
+    ], got
