@@ -796,3 +796,216 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((rev - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('day', MIN(ts)) + INTERVAL 1 DAY AS d0,
+         date_trunc('day', MAX(ts)) AS d1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, epoch_us(g.d) AS ts_us,
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM bounds b, LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) g(d)
+  WHERE b.d0 <= b.d1
+),
+unioned AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value, 0 AS is_grid FROM events
+  UNION ALL SELECT * FROM grid
+),
+walked AS (
+  SELECT user_id, ts_us, is_grid,
+         LAST_VALUE(value IGNORE NULLS) OVER w AS prev_val,
+         LAST_VALUE(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+           OVER w AS prev_ts,
+         FIRST_VALUE(value IGNORE NULLS) OVER w2 AS next_val,
+         FIRST_VALUE(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+           OVER w2 AS next_ts
+  FROM unioned
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts_us,
+       ROUND(CASE WHEN next_ts = prev_ts THEN prev_val
+                  ELSE prev_val + (next_val - prev_val)
+                       * (ts_us - prev_ts) / (next_ts - prev_ts) END, 6)
+         AS interp_value,
+       next_ts - prev_ts AS gap_us
+FROM walked
+WHERE is_grid = 1 AND prev_val IS NOT NULL AND next_val IS NOT NULL
+""",
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling onto a daily grid — the hypertable
+    `interpolate()` verb, the continuous sibling of q_gap_fill's LOCF:
+    each user's irregular event stream is sampled at day boundaries, the
+    value at each grid instant linearly interpolated between the
+    surrounding observations (with the exact inter-observation gap in
+    integer µs as an audit column).
+
+    One union (events + generated grid instants) and ONE pass of two
+    frames over the same user_id ordering — the backward walk carries the
+    last real observation into each grid row, the forward walk the next
+    one; no self-join, no per-grid-point search. Interpolation is one
+    deterministic double expression per row (no sums — no float-order
+    exposure), and the (ts, is_grid) ordering tiebreak makes a grid
+    instant coinciding with an observation take THAT observation as its
+    left neighbor in both engines.
+
+    At 100 TB: the union shuffles once on user_id; grid size is
+    |users|×|days| regardless of event volume, and frames never
+    materialize more than the running carry — O(1) state per row."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 1 DAY")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        bounds.where(F.col("d0") <= F.col("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("d").alias("ts_us"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    unioned = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lit(0).alias("is_grid"),
+    ).unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_grid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ts_if_val = F.when(F.col("value").isNotNull(), F.col("ts_us"))
+    walked = unioned.select(
+        "user_id",
+        "ts_us",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w).alias("prev_val"),
+        F.last(ts_if_val, ignorenulls=True).over(w).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(w2).alias("next_val"),
+        F.first(ts_if_val, ignorenulls=True).over(w2).alias("next_ts"),
+    )
+    interp = F.when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_val")).otherwise(
+        F.col("prev_val")
+        + (F.col("next_val") - F.col("prev_val"))
+        * (F.col("ts_us") - F.col("prev_ts"))
+        / (F.col("next_ts") - F.col("prev_ts"))
+    )
+    return (
+        walked.where(
+            (F.col("is_grid") == 1)
+            & F.col("prev_val").isNotNull()
+            & F.col("next_val").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            F.round(interp, 6).alias("interp_value"),
+            (F.col("next_ts") - F.col("prev_ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "q_match_pattern",
+    oracle="""
+WITH m AS (
+  SELECT n_name AS nation, date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT nation, month, rev,
+         LAG(rev, 2)  OVER w AS r2, LAG(rev, 1)  OVER w AS r1,
+         LEAD(rev, 1) OVER w AS f1, LEAD(rev, 2) OVER w AS f2
+  FROM m WINDOW w AS (PARTITION BY nation ORDER BY month)
+)
+SELECT nation, month AS trough_month,
+       ROUND(CAST(rev AS DOUBLE), 2) AS trough_rev,
+       ROUND(CAST(r2 - rev AS DOUBLE), 2) AS depth,
+       ROUND(CAST(f2 - rev AS DOUBLE), 2) AS recovery
+FROM lagged
+WHERE r2 > r1 AND r1 > rev AND rev < f1 AND f1 < f2
+""",
+)
+def q_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (SQL MATCH_RECOGNIZE emulation): find
+    V-shaped troughs in each nation's monthly revenue — two strictly
+    declining months into a trough, two strictly rising months out —
+    reporting trough depth and recovery. The pattern verb behind
+    dip-detection / incident post-mortems that Spark has no native
+    MATCH_RECOGNIZE for.
+
+    The emulation: the pattern's row span becomes LAG/LEAD taps riding
+    ONE window (same partitioning + ordering → one exchange, one sort),
+    and the pattern predicate is a row-local conjunction over those taps
+    — for any fixed-span regex-style pattern this is the general recipe
+    (k-row span → k-1 taps). All comparisons are DECIMAL-exact, so match
+    boundaries can't flip on float noise.
+
+    At 100 TB: orders-scale work is one agg to the bounded nation×month
+    grid; pattern evaluation never touches event-scale data. Unanchored
+    variable-length patterns (A+B+ spans) instead compile to the
+    gap-and-island machinery q_scd2/q_win_session demonstrate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    lagged = m.select(
+        "nation",
+        "month",
+        "rev",
+        F.lag("rev", 2).over(w).alias("r2"),
+        F.lag("rev", 1).over(w).alias("r1"),
+        F.lead("rev", 1).over(w).alias("f1"),
+        F.lead("rev", 2).over(w).alias("f2"),
+    )
+    return (
+        lagged.where(
+            (F.col("r2") > F.col("r1"))
+            & (F.col("r1") > F.col("rev"))
+            & (F.col("rev") < F.col("f1"))
+            & (F.col("f1") < F.col("f2"))
+        )
+        .select(
+            "nation",
+            F.col("month").alias("trough_month"),
+            F.round(F.col("rev").cast("double"), 2).alias("trough_rev"),
+            F.round((F.col("r2") - F.col("rev")).cast("double"), 2).alias("depth"),
+            F.round((F.col("f2") - F.col("rev")).cast("double"), 2).alias("recovery"),
+        )
+    )
