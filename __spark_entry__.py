@@ -83,7 +83,7 @@ _PRIORITY = [
     # round-4 rotation queue: still never driver-graded
     "q_anomaly_iqr", "q_vocab_coverage", "q_join_asof_tolerance",
     "q_abc_analysis", "q_period_growth", "q_benford", "q_stream_alert",
-    "q_resample_interp", "q_match_pattern",
+    "q_resample_interp", "q_match_pattern", "q_rfm", "q_cohort_ltv",
     "q_text_langid", "q_text_quality", "q_text_bm25", "q_text_pmi",
     "q_json_ingest", "q_stream_dedup",
     "q_csv_ingest", "q_corrupt_ingest", "q_stream_availablenow",

@@ -628,3 +628,190 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", rnk)
         .where(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT ref_date FROM ref))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency ASC,  o_custkey) AS INT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary  ASC,  o_custkey) AS INT) AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the marketing-analytics staple: score
+    every customer 1-5 on Recency / Frequency / Monetary quintiles and
+    report the 125-cell grid with named segments (champions, loyal,
+    at-risk, hibernating).
+
+    The orders-scale work is one aggregation to customer grain; the three
+    quintile NTILEs order by exact values (integer days, BIGINT count,
+    DECIMAL revenue) with a custkey tiebreak, so both engines cut
+    identical quintiles — ordering by anything float here would make cell
+    membership flip on ulps. Output collapses to ≤125 cells.
+
+    At 100 TB: customer-grain is already 'small' next to orders, but at
+    extreme customer counts the three global NTILEs (single-partition
+    windows) swap for approx_percentile quintile cut points + a map-side
+    bucket compare — the q_ppl_buckets note, applied three times."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            segment.alias("segment"),
+            "n_customers",
+            "total_monetary",
+        )
+    )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+cohort_size AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_day GROUP BY cohort_day
+),
+purchases AS (
+  SELECT e.user_id, f.cohort_day,
+         CAST(FLOOR(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) / 7)
+              AS INT) AS offset_week,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN first_day f USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+wk AS (
+  SELECT cohort_day, offset_week,
+         CAST(SUM(cents) AS BIGINT) AS week_cents
+  FROM purchases GROUP BY 1, 2
+)
+SELECT w.cohort_day, w.offset_week, s.n_users,
+       ROUND(SUM(w.week_cents) OVER (PARTITION BY w.cohort_day
+              ORDER BY w.offset_week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0 / s.n_users, 4) AS cum_ltv_per_user
+FROM wk w JOIN cohort_size s USING (cohort_day)
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users cohorted by first-active day, purchase
+    revenue accumulated per week-offset, reported as cumulative LTV per
+    cohort user — the revenue sibling of q_retention's activity matrix
+    (the curve a growth team reads payback periods off).
+
+    Money converts to integer cents BEFORE any aggregation (the q_abtest
+    rule), so week sums and the cumulative window are exact BIGINT math;
+    the single float division per output row divides two exact integers.
+    Event-scale work: one first-touch agg and one join-back + one
+    (cohort, week) agg — the cumulative window runs on the bounded
+    cohort×offset grid.
+
+    At 100 TB: the join-back broadcasts the first-touch side when users
+    fit, else hash-shuffles on user_id once; the grid stays |days|×|weeks|
+    regardless of event volume."""
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    cohort_size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")) / 7
+            )
+            .cast("int")
+            .alias("offset_week"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wk = purchases.groupBy("cohort_day", "offset_week").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    cum = Window.partitionBy("cohort_day").orderBy("offset_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        wk.join(cohort_size, "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_week",
+            "n_users",
+            F.round(
+                F.sum("week_cents").over(cum) / 100.0 / F.col("n_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )
