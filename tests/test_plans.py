@@ -533,3 +533,29 @@ def test_tfidf_cosine_broadcasts_model_sides(plans):
     model lookup."""
     p = plans("q_tfidf_cosine")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_match_pattern_broadcasts_nation_single_window(plans):
+    """The pattern's four taps must ride one nation window (one exchange on
+    nation) and the dim joins must broadcast."""
+    p = plans("q_match_pattern").split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("hashpartitioning(nation") == 1, p
+
+
+def test_resample_interp_single_user_exchange_no_join_back(plans):
+    """Backward and forward walks share one user_id ordering; interpolation
+    must not plan a grid-to-events self-join."""
+    p = plans("q_resample_interp").split("== Initial Plan ==")[0]
+    # exactly two user_id exchanges: the bounds aggregate (grid generation)
+    # and ONE shared by both walk frames — a third would mean the forward
+    # walk re-shuffled; a join-back design would add joins instead.
+    assert p.count("Exchange hashpartitioning(user_id") == 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_abc_windows_run_on_part_grain(plans):
+    """The cumulative/total windows must consume the part-grain aggregate,
+    not lineitem — the plan shows the agg below the windows."""
+    p = plans("q_abc_analysis").split("== Initial Plan ==")[0]
+    assert p.count("lineitem.parquet") == 1, p
