@@ -725,3 +725,56 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_mktsegment", "n_customers", "seg_median", "mad")
     )
+
+
+@query("q_sketch_overlap")  # sketch estimates have no SQL twin → rows-only
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation by HLL set algebra: distinct clickers,
+    distinct purchasers, their union via `hll_union_agg`, and the overlap
+    by inclusion-exclusion (|A∩B| ≈ |A| + |B| − |A∪B|) — the segment-
+    overlap verb behind reach/frequency planning and campaign dedup, done
+    the way it scales: each segment is a fixed-size sketch, the overlap is
+    sketch arithmetic, and NO key set is ever shuffled or joined.
+
+    Contrast with the exact plan (distinct per segment + a join to
+    intersect): at 100 TB that joins two billion-key sets; the sketch form
+    ships kilobytes per segment and merges associatively — which is also
+    why the same sketches can roll up overlap per campaign/region without
+    rescans (q_hll_merge's mergeability argument, applied to set algebra).
+    Estimates are deterministic (register updates are order-insensitive);
+    tests/test_properties.py pins each segment estimate within 5% of exact
+    and the derived overlap within 15% (inclusion-exclusion compounds the
+    per-sketch error).
+    lgConfigK=12 → 4 KB registers, ~1.6% standard error."""
+    e = table(spark, sf_dir, "events")
+    seg = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "user_id"
+    )
+    sketches = seg.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    est = sketches.agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.hll_sketch_estimate("sk"),
+            )
+        ).alias("est_clickers"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.hll_sketch_estimate("sk"),
+            )
+        ).alias("est_purchasers"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    overlap = (
+        F.col("est_clickers") + F.col("est_purchasers") - F.col("est_union")
+    )
+    return est.select(
+        "est_clickers",
+        "est_purchasers",
+        "est_union",
+        overlap.alias("est_overlap"),
+        F.round(overlap / F.col("est_union"), 4).alias("est_jaccard"),
+    )

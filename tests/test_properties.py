@@ -661,3 +661,31 @@ def test_pq_quantize_matches_numpy_reference(spark, sf_dir):
     mean_err = float(np.abs(m - m.mean(axis=0)[None, :]).mean())
     pq_err = float(np.mean([got[v][1] for v in got]))
     assert pq_err < mean_err, (pq_err, mean_err)
+
+
+def test_sketch_overlap_error_envelope(spark, sf_dir, duck):
+    """q_sketch_overlap's HLL estimates must sit inside their error
+    envelopes vs exact DuckDB set counts: ≤5% per segment/union, ≤15% for
+    the inclusion-exclusion overlap (per-sketch errors compound)."""
+    exact = duck.execute(
+        """
+        SELECT
+          (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS c,
+          (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS p,
+          (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type IN ('click', 'purchase')) AS u
+        """
+    ).fetchone()
+    c, p, u = exact
+    overlap = c + p - u
+
+    from data_pipeline_aws_spark import all_queries
+
+    row = all_queries()["q_sketch_overlap"](spark, sf_dir).collect()[0]
+    assert abs(row.est_clickers - c) <= 0.05 * c, (row.est_clickers, c)
+    assert abs(row.est_purchasers - p) <= 0.05 * p, (row.est_purchasers, p)
+    assert abs(row.est_union - u) <= 0.05 * u, (row.est_union, u)
+    assert abs(row.est_overlap - overlap) <= max(0.15 * overlap, 5), (
+        row.est_overlap,
+        overlap,
+    )
