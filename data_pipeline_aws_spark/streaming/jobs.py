@@ -597,3 +597,81 @@ def q_stream_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf="NoTimeout",
     )
     return _run_to_completion(transitions, "append")
+
+
+@query(
+    "q_stream_pipeline",
+    oracle="""
+WITH profile AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   >= 500 THEN 'high'
+              WHEN SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   > 0 THEN 'low'
+              ELSE 'none' END AS spend_tier
+  FROM events GROUP BY user_id
+)
+SELECT
+  date_trunc('hour', e.ts)                   AS win_start,
+  date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS win_end,
+  p.spend_tier,
+  COUNT(*)                                   AS n_events,
+  ROUND(SUM(e.value), 4)                     AS total_value
+FROM events e JOIN profile p USING (user_id)
+GROUP BY win_start, win_end, p.spend_tier
+""",
+)
+def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming pipeline — the streaming sibling of
+    q_pipeline_e2e: replay-protected dedup (watermarked dropDuplicates on
+    event_id) → enrichment against a broadcast static dimension (per-user
+    spend tier, batch-derived) → watermarked tumbling aggregation per
+    tier, all ONE streaming query drained to a batch-equal result.
+
+    This is the canonical production topology (ingest-dedup-enrich-
+    aggregate) and exercises the operator interactions the single-op
+    streaming keys can't: state from dedup AND windowed agg in one
+    pipeline, plus a stream-static broadcast join between them. The
+    static side is bounded (one row per user), computed batch-side the
+    way a feature store would serve it; the oracle replays the whole
+    chain as batch SQL.
+
+    At 100 TB/day: dedup state is bounded by the watermark horizon,
+    the dim broadcast refreshes per micro-batch read, and window state
+    is O(active windows × tiers)."""
+    events = _stream_events(spark, sf_dir)
+    spend = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    profile = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(spend).alias("spent"))
+        .select(
+            "user_id",
+            F.when(F.col("spent") >= 500, "high")
+            .when(F.col("spent") > 0, "low")
+            .otherwise("none")
+            .alias("spend_tier"),
+        )
+    )
+    enriched = (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .join(F.broadcast(profile), "user_id")
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour"), "spend_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "spend_tier",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(agg, "complete")
