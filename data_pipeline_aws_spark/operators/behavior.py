@@ -815,3 +815,94 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@query(
+    "q_item_item_recs",
+    oracle="""
+WITH bought AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM bought GROUP BY 1
+),
+cooc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_cooc
+  FROM bought a JOIN bought b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.part_a, c.part_b, c.n_cooc,
+         ROUND(c.n_cooc / sqrt(na.n_orders * nb.n_orders), 6) AS cos_sim
+  FROM cooc c
+  JOIN part_n na ON c.part_a = na.l_partkey
+  JOIN part_n nb ON c.part_b = nb.l_partkey
+)
+SELECT part_a, part_b, n_cooc, cos_sim, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part_a
+                               ORDER BY cos_sim DESC, part_b) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ('customers who bought X also
+    bought Y'): co-purchase counts over orders, cosine-normalized by each
+    part's order count, top-5 recommendations per part — the co-occurrence
+    recommender that needs no model training and is the standard first
+    recommender at any scale.
+
+    The pair join is self-join on ORDER (the basket key): fan-out per
+    order is lines² — bounded by basket size (~4-7 lines), NOT by catalog
+    or order count, which is what makes basket-keyed co-occurrence linear
+    in orders where a part-keyed join would be quadratic in popularity.
+    Cosine divides exact integers inside sqrt — deterministic; ranking
+    ties break on part id. Top-5 per part runs as WindowGroupLimit heaps.
+
+    At 100 TB: one distinct pass, one basket self-join (shuffle on
+    orderkey — AQE splits skewed giant baskets), count tables broadcast
+    back; for giant baskets cap lines per basket first (the standard
+    guard, same spirit as q_market_basket's session cap)."""
+    bought = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    part_n = bought.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = bought.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = bought.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    cooc = (
+        a.join(b, "ok")
+        .where(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
+    )
+    scored = (
+        cooc.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_cooc",
+            F.round(
+                F.col("n_cooc") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("cos_sim"), F.asc("part_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("part_a", "part_b", "n_cooc", "cos_sim", "rnk")
+    )
