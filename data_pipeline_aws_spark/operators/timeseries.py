@@ -1009,3 +1009,111 @@ def q_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("f2") - F.col("rev")).cast("double"), 2).alias("recovery"),
         )
     )
+
+
+@query(
+    "q_seasonal_index",
+    oracle="""
+WITH m AS (
+  SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month_of_year,
+         EXTRACT(year FROM o_orderdate) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+moy AS (
+  SELECT month_of_year,
+         CAST(COUNT(*) AS BIGINT) AS n_years,
+         SUM(rev) AS moy_rev
+  FROM m GROUP BY 1
+)
+SELECT month_of_year, n_years,
+       ROUND(CAST(moy_rev AS DOUBLE) / n_years, 2) AS avg_month_rev,
+       ROUND((CAST(moy_rev AS DOUBLE) / n_years)
+             / (CAST(SUM(moy_rev) OVER () AS DOUBLE)
+                / CAST(SUM(n_years) OVER () AS DOUBLE)), 6) AS seasonal_index
+FROM moy
+""",
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    revenue (across years) relative to the overall monthly average —
+    index > 1 marks high season. The demand-planning verb behind
+    deseasonalized forecasting and inventory staging.
+
+    One scan aggregates to (month-of-year, year) grain with DECIMAL-exact
+    revenue; the month-of-year rollup and the normalizing windows run on
+    ≤12×|years| then ≤12 rows. The index is a ratio of two
+    exactly-derived doubles (decimal sums cast once, integer year
+    counts) — deterministic in both engines.
+
+    At 100 TB: unchanged — the calendar grid is fixed-size however large
+    orders grows, and the scan's month/year extraction is map-side."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.month("o_orderdate").alias("month_of_year"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    moy = m.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("rev").alias("moy_rev"),
+    )
+    every = Window.partitionBy()
+    avg_month = F.col("moy_rev").cast("double") / F.col("n_years")
+    overall = F.sum("moy_rev").over(every).cast("double") / F.sum("n_years").over(
+        every
+    ).cast("double")
+    return moy.select(
+        "month_of_year",
+        "n_years",
+        F.round(avg_month, 2).alias("avg_month_rev"),
+        F.round(avg_month / overall, 6).alias("seasonal_index"),
+    )
+
+
+@query(
+    "q_fulfillment_latency",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS days_to_ship
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(days_to_ship, 0.5), 4) AS p50_days,
+       ROUND(quantile_cont(days_to_ship, 0.95), 4) AS p95_days,
+       CAST(MAX(days_to_ship) AS BIGINT) AS max_days,
+       ROUND(AVG(days_to_ship), 4) AS avg_days
+FROM lat GROUP BY o_orderpriority
+""",
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    fulfillment SLA report: exact p50/p95/max/mean of integer day lags
+    between order placement and each line's ship date. The operational
+    sibling of q_ship_modes' late-line census: not 'how many were late'
+    but the whole latency distribution an SLA is negotiated against.
+
+    Latency is an exact integer day diff computed map-side after the one
+    orderkey equi-join (the only shuffle beyond the 5-group rollup);
+    percentiles interpolate over integers identically in both engines
+    (the q_percentile rule), and the mean is an exact-integer-sum ratio.
+
+    At 100 TB: the join hash-partitions on orderkey (AQE-skew-safe); the
+    percentile path swaps to approx_percentile per the q_approx_percentile
+    machinery while the report shape is unchanged."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days_to_ship"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(days_to_ship, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days_to_ship, 0.95)"), 4).alias("p95_days"),
+        F.max("days_to_ship").cast("bigint").alias("max_days"),
+        F.round(F.avg("days_to_ship"), 4).alias("avg_days"),
+    )
