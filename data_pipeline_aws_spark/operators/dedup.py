@@ -642,9 +642,10 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
+# Shared by q_dedup_clusters and q_cc_doubling: both compute the same
+# components (min-doc_id representative over the exact Jaccard>=0.5 pair
+# graph) by different distributed algorithms, so they share one oracle.
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE tok AS (
   SELECT doc_id,
          unnest(string_split(text, ' '))                   AS token,
@@ -683,8 +684,62 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN (SELECT node, MIN(r) AS rep FROM reach GROUP BY node) comp
        ON comp.node = d.doc_id
-""",
-)
+"""
+
+
+def propagate_min_labels(edges: DataFrame, jump: bool) -> tuple[DataFrame, int]:
+    """Min-label propagation to fixpoint over an (src, dst) edge relation,
+    returning (labels, rounds). With ``jump=False`` each round takes the min
+    over neighbors only (O(diameter) rounds); with ``jump=True`` it also
+    takes P(P(v)) — pointer jumping — doubling label travel per round
+    (O(log diameter)). tests/test_properties.py pins the round counts on a
+    synthetic chain; both operators below share this loop."""
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    rounds = 0
+    while True:
+        rounds += 1
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        cur = labels.join(nbr, "node", "left")
+        if jump:
+            jmp = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(
+                    F.col("x.node").alias("node"), F.col("y.label").alias("jlabel")
+                )
+            )
+            cur = cur.join(jmp, "node", "left")
+            new_label = F.least(
+                F.col("label"),
+                F.coalesce("nlabel", "label"),
+                F.coalesce("jlabel", "label"),
+            )
+        else:
+            new_label = F.least(F.col("label"), F.coalesce("nlabel", "label"))
+        new_labels = cur.select("node", new_label.alias("label")).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels, rounds
+
+
+@query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: connected components over the near-dup
     pair graph (exact Jaccard ≥ 0.5), keep-lowest-doc_id representative per
@@ -709,33 +764,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst")
-    edges = edges.localCheckpoint()  # pair graph is tiny; reused every round
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    while True:
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels, _ = propagate_min_labels(edges, jump=False)
     d = table(spark, sf_dir, "documents").select("doc_id")
     rep = F.coalesce(F.col("label"), F.col("doc_id"))
     # no broadcast hint: the labeled-node set scales with the dup-pair graph,
@@ -1005,4 +1034,41 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("covered_tok", F.lit(0)) / F.col("n_tok"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+@query("q_cc_doubling", oracle=_CLUSTERS_ORACLE)
+def q_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer jumping —
+    the O(log diameter) alternative to q_dedup_clusters' plain propagation
+    (O(diameter)). Same pair graph, same min-doc_id representatives, same
+    oracle; different convergence mechanics:
+
+    each round computes P(v) ← min( P(v), P(P(v)), min_{u∈N(v)} P(u) ):
+    the neighbor term walks labels one hop like plain propagation, while
+    the P(P(v)) pointer-jump DOUBLES the distance already-walked labels
+    travel — so a chain of length d converges in ~log₂(d) rounds instead
+    of d. On shallow near-dup clusters both run 2-3 rounds; on
+    pathological chains (linked crawls, quote threads) the difference is
+    30 rounds vs ~5 at d=10⁹... this is why production CC (GraphX,
+    Kiveris et al.'s large-star/small-star) is built on the jump.
+
+    Monotone + component-closed: labels only decrease and only to labels
+    from the same component, so the fixpoint is the component minimum —
+    the oracle's recursive-CTE closure checks exactly that. Per round:
+    one self-join on the label table (the jump), one edge join (the
+    neighbor min), `localCheckpoint` to cut lineage; convergence is a
+    bounded changed-count scalar."""
+    shh = shingle_fingerprints(spark, sf_dir)
+    pairs = _exact_jaccard_pairs(shh, _lsh_candidates(shh)).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("src", "dst")
+    labels, _ = propagate_min_labels(edges, jump=True)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce(F.col("label"), F.col("doc_id"))
+    return d.join(labels, d.doc_id == labels.node, "left").select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        (F.col("doc_id") != rep).alias("is_dup"),
     )

@@ -689,3 +689,27 @@ def test_sketch_overlap_error_envelope(spark, sf_dir, duck):
         row.est_overlap,
         overlap,
     )
+
+
+def test_pointer_jumping_converges_logarithmically_on_chains(spark):
+    """The q_cc_doubling claim, measured: on a 17-node chain (diameter 16),
+    plain min-label propagation needs ~diameter rounds while the
+    pointer-jumping variant needs ~log2(diameter) — and both reach the
+    same fixpoint (every node labeled 0)."""
+    from data_pipeline_aws_spark.operators.dedup import propagate_min_labels
+
+    n = 17
+    rows = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(rows, "src long, dst long")
+    edges = pairs.union(pairs.selectExpr("dst AS src", "src AS dst"))
+
+    plain_labels, plain_rounds = propagate_min_labels(edges, jump=False)
+    jump_labels, jump_rounds = propagate_min_labels(edges, jump=True)
+
+    assert {r.label for r in plain_labels.collect()} == {0}
+    assert {r.label for r in jump_labels.collect()} == {0}
+    # plain walks one hop per round: >= diameter rounds to fixpoint
+    assert plain_rounds >= n - 2, plain_rounds
+    # jumping doubles travel: a handful of rounds, strictly fewer
+    assert jump_rounds <= 8, jump_rounds
+    assert jump_rounds < plain_rounds
