@@ -159,3 +159,43 @@ def q_fhir_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v",
         )
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT)   AS sum_k,
+       CAST(MIN(k) AS BIGINT)   AS min_k,
+       CAST(MAX(k) AS BIGINT)   AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type
+""",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via Spark 4's VARIANT type: `parse_json` the
+    raw props payload ONCE into a binary variant column, then
+    `variant_get` typed paths out of it — the modern replacement for
+    repeated `get_json_object` string re-parsing (VARIANT parses once
+    into a binary form; each extraction is a cheap binary traversal, and
+    at 100 TB 'parse once, extract many' is the difference between one
+    and N full JSON parses per row). The shredded aggregate per event
+    type hash-checks against DuckDB's native JSON extraction.
+
+    This is the Glue-DynamicFrame choice-type story (SURVEY §1.2) done
+    the Spark-4 way: keep the payload semi-structured in ONE column,
+    extract typed views lazily, let nulls mark absent paths."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -126,3 +126,57 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy(
         "c_mktsegment"
     ).applyInPandas(zscore, "c_custkey long, c_mktsegment string, bal_zscore double")
+
+
+UDTF_CHUNK = 20
+
+
+@query(
+    "q_python_udtf",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT d.doc_id, c.i AS chunk_idx,
+       CAST(LEAST({UDTF_CHUNK}, d.n_tok - c.i * {UDTF_CHUNK}) AS INT) AS n_tokens,
+       d.toks[c.i * {UDTF_CHUNK} + 1] AS head_token
+FROM d, LATERAL unnest(generate_series(0,
+         CAST(CEIL(d.n_tok * 1.0 / {UDTF_CHUNK}) AS INT) - 1)) c(i)
+""",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-valued function): one input document row
+    → N chunk rows (disjoint 20-token chunks with index, size, and head
+    token), consumed via LATERAL join — the user-defined generator shape
+    (parsers, splitters, API fan-outs) that scalar and aggregate UDFs
+    can't express. Completes the §2.10 UDF surface: pandas UDF (scalar),
+    GROUPED_AGG (UDAF), applyInPandas (grouped map), and now a true UDTF.
+
+    The chunking itself is deliberately SQL-expressible so the oracle
+    hash-checks the UDTF row-fan-out exactly. Arrow-optimized UDTF
+    evaluation (`spark.sql.execution.pythonUDTF.arrow.enabled`) batches
+    rows through the Python worker; JVM-side `q_text_chunks` remains the
+    hot-path form — this key exists to pin the extension point, priced
+    honestly as the Python boundary it is."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, head_token string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 - pyspark callback shape
+            toks = text.split(" ")
+            for i in range(0, (len(toks) + UDTF_CHUNK - 1) // UDTF_CHUNK):
+                chunk = toks[i * UDTF_CHUNK : (i + 1) * UDTF_CHUNK]
+                yield (doc_id, i, len(chunk), chunk[0])
+
+    prev = spark.conf.get("spark.sql.execution.pythonUDTF.arrow.enabled", "false")
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    try:
+        spark.udtf.register("dpas_chunk_doc", ChunkDoc)
+        table(spark, sf_dir, "documents").createOrReplaceTempView("dpas_udtf_docs")
+        return spark.sql(
+            "SELECT c.* FROM dpas_udtf_docs, LATERAL dpas_chunk_doc(doc_id, text) c"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", prev)
