@@ -735,3 +735,109 @@ def q_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return spark.sql(_CATALOG_SQL)
+
+
+@query(
+    "q_text_ingest",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def q_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text-line ingest (`spark.read.text`) — the landing format of log
+    files and web-crawl dumps: documents round-trip through a
+    one-record-per-line text file (tab-delimited doc_id, lang, text), are
+    re-parsed with in-row split expressions, and re-aggregated; the result
+    must equal the parquet-derived oracle exactly, proving the round trip
+    lossless.
+
+    Parsing stays JVM-side (`split(value, '\\t', 3)` — bounded split so
+    document text may contain anything but tab/newline) and the line
+    format carries its own key, because `spark.read.text` gives no line
+    numbers and no ordering guarantee — at 100 TB lines arrive from
+    thousands of splits in arbitrary order, so any parse that depends on
+    position is wrong by construction. Schema-on-read costs one map-side
+    projection; no shuffle is added over scanning parquet."""
+    out = _cache_dir("txt_documents", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "documents").select(
+            F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
+                "value"
+            )
+        ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.split("value", "\t", 3).alias("parts")
+    ).select(
+        F.col("parts").getItem(1).alias("lang"),
+        F.col("parts").getItem(2).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+N_BINARY_FILES = 100
+
+
+@query(
+    "q_binary_ingest",
+    oracle=f"""
+SELECT vec_id,
+       CAST(length(payload) AS BIGINT) AS payload_len,
+       md5(payload)                     AS payload_md5
+FROM (
+  SELECT vec_id,
+         'payload-' || vec_id || '-' || repeat('x', CAST(vec_id % 50 AS INT))
+           AS payload
+  FROM embeddings WHERE vec_id < {N_BINARY_FILES}
+)
+""",
+)
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-file ingest (`spark.read.format("binaryFile")`) — the
+    landing path for multimodal payloads (images/audio dumped as object
+    files): one file per item, read distributed as (path, length, content)
+    rows, identity parsed from the FILENAME (there is nothing else), and
+    content checksummed. The oracle reconstructs the deterministic payload
+    bytes relationally and must agree on (id, length, md5) — any byte the
+    reader dropped or reordered fails the hash.
+
+    binaryFile is read-only and schema-fixed; at 100 TB the pattern holds
+    (each file is one task input; `pathGlobFilter` prunes at listing time;
+    tiny-file overhead is the q_compact story) and the decoded bytes flow
+    straight into the mapInPandas codec plumbing of multimodal/media.py.
+    The 100-file fixture is written once per sf_dir+code-version by the
+    driver process (bounded ingest fixture, not a data-path collect)."""
+    out = _cache_dir("binfiles", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        os.makedirs(out, exist_ok=True)
+        ids = [
+            r.vec_id
+            for r in table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") < N_BINARY_FILES)
+            .select("vec_id")
+            .collect()
+        ]
+        for i in ids:
+            payload = f"payload-{i}-" + "x" * (i % 50)
+            with open(os.path.join(out, f"{i}.bin"), "wb") as fh:
+                fh.write(payload.encode("utf-8"))
+        with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+            fh.write("")
+    b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return b.select(
+        F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("bigint").alias("vec_id"),
+        F.col("length").alias("payload_len"),
+        F.md5("content").alias("payload_md5"),
+    )
