@@ -1174,3 +1174,57 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_coverage"),
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+pts AS (
+  SELECT LN(ROW_NUMBER() OVER (ORDER BY freq DESC, term)) AS x,
+         LN(freq) AS y
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 4) AS zipf_slope,
+       ROUND((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
+             / COUNT(*), 4) AS log_intercept
+FROM pts
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency on log-rank (natural Zipf text has slope ≈ −1) — the
+    corpus-health diagnostic that flags template spam (slope flattens)
+    and tokenizer mismatch (slope steepens) before they poison training.
+
+    Corpus-scale work is the one term count; ranking and the regression
+    sums run on the vocab-bounded table (31 terms here, ~10⁵-10⁶ on real
+    corpora — q_vocab_coverage's bound argument). The regression uses the
+    q_grouped_regression identities over per-row deterministic log
+    points; sums of ~vocab doubles are rounded to 4 dp, far above any
+    summation-order noise at this cardinality."""
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    pts = freq.select(
+        F.log(
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
+        ).alias("x"),
+        F.log("freq").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        n.alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 4).alias("log_intercept"),
+    )

@@ -467,3 +467,133 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
         F.round(F.min("revenue").cast("double"), 2).alias("min_revenue"),
     )
+
+
+@query(
+    "q_chi2_assoc",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT seg, prio, n,
+         SUM(n) OVER (PARTITION BY seg)  AS row_n,
+         SUM(n) OVER (PARTITION BY prio) AS col_n,
+         SUM(n) OVER ()                  AS grand_n
+  FROM obs
+)
+SELECT seg, prio, n,
+       ROUND(row_n * col_n * 1.0 / grand_n, 6) AS expected,
+       ROUND((n - row_n * col_n * 1.0 / grand_n)
+             * (n - row_n * col_n * 1.0 / grand_n)
+             / (row_n * col_n * 1.0 / grand_n), 6) AS chi2_term
+FROM tot
+""",
+)
+def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association test between customer market segment and
+    order priority: observed vs expected cell counts of the 5×5
+    contingency table with per-cell chi-square contributions — the
+    categorical-dependence screen (a big chi2_term flags WHICH cell
+    deviates, not just that the table does).
+
+    One fact-dim join and one aggregation collapse orders to the ≤25-cell
+    contingency table; the three marginal windows and all the test math
+    run on those cells. Expected counts are exact-integer products over
+    one integer division — deterministic doubles both engines round
+    identically. At 100 TB: the cell table is |segments|×|priorities|
+    whatever the row count; wider categoricals follow q_dq_profile's
+    one-pass rule."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.select(
+        "seg",
+        "prio",
+        "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("prio")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("grand_n"),
+    )
+    expected = F.col("row_n") * F.col("col_n") / F.col("grand_n")
+    return tot.select(
+        "seg",
+        "prio",
+        "n",
+        F.round(expected, 6).alias("expected"),
+        F.round((F.col("n") - expected) * (F.col("n") - expected) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(spend) OVER () AS total
+  FROM cust
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(CAST(MAX(total) AS DOUBLE), 2) AS total_spend,
+       ROUND((2.0 * CAST(SUM(i * spend) AS DOUBLE)
+              / (MAX(n) * CAST(MAX(total) AS DOUBLE)))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked
+""",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — revenue-concentration in one
+    number (0 = equal, →1 = one whale), the continuous companion to
+    q_abc_analysis' discrete A/B/C classes, via the rank identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted spend.
+
+    Orders collapse to customer grain first (DECIMAL-exact spend); the
+    rank window runs at customer grain with a custkey tiebreak so equal
+    spends rank identically in both engines, and Σ i·xᵢ sums
+    DECIMAL·integer products exactly — the only floats are two final
+    divisions. The single-partition rank is customer-grain model state;
+    at extreme customer counts the Gini comes from the binned Lorenz
+    curve (equi-depth histogram machinery, q_equidepth_hist) instead of
+    a total order."""
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    ranked = cust.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("spend").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.max("total").cast("double"), 2).alias("total_spend"),
+        F.round(
+            (
+                2.0
+                * F.sum(F.col("i") * F.col("spend")).cast("double")
+                / (F.max("n") * F.max("total").cast("double"))
+            )
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
