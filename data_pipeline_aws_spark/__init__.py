@@ -39,6 +39,7 @@ def load_all() -> None:
         relational,
         setops,
         similarity,
+        stats,
         timeseries,
         tpch_suite,
         windows,

@@ -1,0 +1,291 @@
+"""Distribution-comparison statistics — two-sample hypothesis tests and
+changepoint detection (SURVEY §2.6 analytics extensions).
+
+The reference's declared job shape (Glue ETL over order data,
+``Hoth/FHIR/cloudformations/lambda-stack.yml:11-21``) feeds downstream
+monitoring; these operators are the standard screens a pipeline runs on its
+own output: "did segment A's spend distribution shift vs segment B's?"
+(KS / Mann-Whitney) and "when did the daily revenue level change?" (CUSUM).
+They complement q_abtest (parametric t-test), q_psi_drift (binned divergence)
+and q_chi2_assoc (categorical association) with the non-parametric rungs.
+
+Scale notes (100 TB):
+- All three tests collapse the fact table to a bounded-grain model table
+  FIRST (distinct-value grain for KS/MW, day grain for CUSUM) with one
+  map-side-combinable aggregation; the single-partition windows that follow
+  run on that bounded table, never on raw rows — same pattern as q_gini.
+- At extreme value cardinality the KS/MW distinct-value table is replaced by
+  a fixed-width binned ECDF (the q_equidepth_hist / q_psi_drift machinery);
+  the statistic's error is then bounded by bin width. Documented, not needed
+  at any realistic totalprice cardinality (~cents resolution caps it).
+- Decision values are exact integers (cross-multiplied counts) or exact
+  DECIMAL sums, so argmax/compare never sits on float noise; floats appear
+  only in the final reported statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_aws_spark.registry import query
+from data_pipeline_aws_spark.tables import table
+
+# Two-sample fixtures for KS / Mann-Whitney: compare the order-value
+# distributions of two customer market segments.
+_SEG_A = "BUILDING"
+_SEG_B = "MACHINERY"
+
+
+def _segment_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, is_a) per order for the two compared segments: DECIMAL-exact
+    order value, 1/0 sample membership. The segment filter reaches the
+    customer scan; the join's small side is the filtered customer keys."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select("c_custkey", "c_mktsegment")
+    )
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.when(F.col("c_mktsegment") == _SEG_A, 1).otherwise(0).alias("is_a"),
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN c.c_mktsegment = '{_SEG_A}' THEN 1 ELSE 0 END AS is_a
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+),
+pv AS (
+  SELECT v,
+         CAST(SUM(is_a) AS BIGINT)     AS ca,
+         CAST(SUM(1 - is_a) AS BIGINT) AS cb
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+         CAST(SUM(ca) OVER ()           AS BIGINT) AS na,
+         CAST(SUM(cb) OVER ()           AS BIGINT) AS nb
+  FROM pv
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(ABS(cum_a * nb - cum_b * na) * 1.0 / (na * nb), 6) AS ks_d,
+       ROUND(CAST(v AS DOUBLE), 2) AS at_value
+FROM cum
+ORDER BY ABS(cum_a * nb - cum_b * na) DESC, v
+LIMIT 1
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: the max ECDF gap between two
+    segments' order-value distributions, plus the value where it occurs —
+    the non-parametric "did the whole distribution shift?" screen (where
+    q_abtest only compares means).
+
+    Orders collapse to distinct-value grain with both samples' counts in
+    one aggregation pass; the ECDFs are cumulative windows over that
+    bounded table. The supremum is selected on the exact INTEGER
+    cross-product |cum_a·n_b − cum_b·n_a| (one float division only in the
+    reported D), with the value itself as tiebreak, so both engines pick
+    the identical row."""
+    pv = (
+        _segment_samples(spark, sf_dir)
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v")
+    cum = pv.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(Window.partitionBy()).alias("na"),
+        F.sum("cb").over(Window.partitionBy()).alias("nb"),
+    )
+    dnum = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+    return (
+        cum.orderBy(dnum.desc(), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(dnum / (F.col("na") * F.col("nb")), 6).alias("ks_d"),
+            F.round(F.col("v").cast("double"), 2).alias("at_value"),
+        )
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN c.c_mktsegment = '{_SEG_A}' THEN 1 ELSE 0 END AS is_a
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+),
+pv AS (
+  SELECT v,
+         CAST(SUM(is_a) AS BIGINT)     AS ca,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS cb,
+         CAST(COUNT(*) AS BIGINT)      AS cnt
+  FROM s GROUP BY v
+),
+r AS (
+  SELECT ca, cb, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS cum_before
+  FROM pv
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca * (2 * cum_before + cnt + 1)) AS BIGINT) AS two_ra,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+  FROM r
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND((two_ra - na * (na + 1)) / 2.0, 2) AS u_stat,
+       ROUND(((two_ra - na * (na + 1)) / 2.0 - na * nb / 2.0)
+             / SQRT(na * nb / 12.0
+                    * ((na + nb + 1.0)
+                       - tie_term / ((na + nb) * (na + nb - 1.0)))), 6)
+         AS z_score
+FROM agg
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the two segments' order
+    values: U statistic and tie-corrected normal-approximation z-score —
+    the outlier-robust companion to q_abtest's t-test.
+
+    Average ranks for ties are carried as exact integers via the doubled
+    identity 2·avgrank = 2·cum_before + cnt + 1, so the rank sum
+    2·R_a = Σ ca·(2·cum_before+cnt+1) is an exact BIGINT sum at
+    distinct-value grain (no float ranks to diverge between engines);
+    doubles appear only in the final U/z arithmetic, rounded for
+    display."""
+    pv = (
+        _segment_samples(spark, sf_dir)
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("is_a")).alias("cb"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    w = Window.orderBy("v")
+    r = pv.select(
+        "ca",
+        "cb",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    agg = r.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("two_ra"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_term"
+        ),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u_a = (F.col("two_ra") - na * (na + 1)) / 2.0
+    n = na + nb
+    sigma2 = (
+        na * nb / 12.0 * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u_a, 2).alias("u_stat"),
+        F.round((u_a - na * nb / 2.0) / F.sqrt(sigma2), 6).alias("z_score"),
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT d, rev,
+         CAST(SUM(rev) OVER (ORDER BY d) AS DECIMAL(28,2)) AS cum_rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT)    AS i,
+         CAST(COUNT(*) OVER () AS BIGINT)                  AS n,
+         CAST(SUM(rev) OVER () AS DECIMAL(28,2))           AS total
+  FROM daily
+),
+s AS (
+  SELECT d, i, n, total,
+         CAST(n AS DECIMAL(10,0)) * cum_rev
+           - CAST(i AS DECIMAL(10,0)) * total AS dev_scaled
+  FROM cum
+)
+SELECT d AS changepoint_day,
+       n AS n_days,
+       ROUND(CAST(dev_scaled AS DOUBLE) / n, 2)        AS cusum_dev,
+       ROUND(CAST(total AS DOUBLE) / n, 2)             AS mean_daily
+FROM s
+ORDER BY ABS(dev_scaled) DESC, d
+LIMIT 1
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily order revenue: the day where
+    the cumulative deviation from the global daily mean peaks — the
+    classic "when did the level shift?" screen for pipeline-output
+    monitoring (a revenue regression shows up as the argmax day).
+
+    Orders collapse to day grain first (map-side combinable DECIMAL sum);
+    the CUSUM S_i = Σ(x−mean) is carried scaled by n as the exact DECIMAL
+    n·cum_i − i·total (no float mean subtraction), so the argmax row is
+    bit-identical in both engines; the reported deviation divides back by
+    n only for display. At 100 TB the day-grain table is ~3 k rows per
+    decade — model state, same as q_gini's rank window."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.sum("rev").over(w).cast("decimal(28,2)").alias("cum_rev"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).cast("decimal(28,2)").alias("total"),
+    )
+    dev = (
+        F.col("n").cast("decimal(10,0)") * F.col("cum_rev")
+        - F.col("i").cast("decimal(10,0)") * F.col("total")
+    )
+    return (
+        cum.select("d", "n", "total", dev.alias("dev_scaled"))
+        .orderBy(F.abs(F.col("dev_scaled")).desc(), F.asc("d"))
+        .limit(1)
+        .select(
+            F.col("d").alias("changepoint_day"),
+            F.col("n").alias("n_days"),
+            F.round(F.col("dev_scaled").cast("double") / F.col("n"), 2).alias(
+                "cusum_dev"
+            ),
+            F.round(F.col("total").cast("double") / F.col("n"), 2).alias(
+                "mean_daily"
+            ),
+        )
+    )

@@ -559,3 +559,21 @@ def test_abc_windows_run_on_part_grain(plans):
     not lineitem — the plan shows the agg below the windows."""
     p = plans("q_abc_analysis").split("== Initial Plan ==")[0]
     assert p.count("lineitem.parquet") == 1, p
+
+
+def test_ks_test_pushes_segment_filter_single_scan(plans):
+    """The two-segment membership filter must reach the customer parquet
+    scan (In(c_mktsegment)), and both ECDF windows plus the argmax limit
+    must consume the one distinct-value aggregate — one scan per table."""
+    p = plans("q_ks_test")
+    assert "In(c_mktsegment" in p, p
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("customer.parquet") == 1, final
+    assert final.count("orders.parquet") == 1, final
+
+
+def test_cusum_windows_run_on_day_grain(plans):
+    """CUSUM's rank/cumsum windows must consume the day-grain aggregate,
+    not raw orders — one orders scan feeding one partial+final agg."""
+    p = plans("q_cusum_changepoint").split("== Initial Plan ==")[0]
+    assert p.count("orders.parquet") == 1, p
