@@ -557,3 +557,146 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_freq"),
         F.round(obs_freq - benford, 6).alias("deviation"),
     )
+
+
+@query(
+    "q_fd_discovery",
+    oracle="""
+WITH o AS (
+  SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)                    AS key_d,
+         CAST(COUNT(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)       AS key_pair_d,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT)                     AS cust_d,
+         CAST(COUNT(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)  AS cust_pair_d
+  FROM orders
+),
+c AS (
+  SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)                   AS nat_d,
+         CAST(COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT)   AS nat_pair_d
+  FROM customer
+),
+ind1 AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS lhs_d,
+         CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END) AS BIGINT) AS orphans
+  FROM (SELECT DISTINCT o_custkey FROM orders) o
+  LEFT JOIN customer ON o_custkey = c_custkey
+),
+ind2 AS (
+  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS lhs_d,
+         CAST(COUNT(DISTINCT CASE WHEN p_partkey IS NULL THEN l_partkey END) AS BIGINT) AS orphans
+  FROM (SELECT DISTINCT l_partkey FROM lineitem) l
+  LEFT JOIN part ON l_partkey = p_partkey
+),
+ind3 AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS lhs_d,
+         CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN user_id END) AS BIGINT) AS orphans
+  FROM (SELECT DISTINCT user_id FROM events) e
+  LEFT JOIN customer ON user_id = c_custkey
+)
+SELECT 'fd: o_orderkey -> o_custkey' AS check_name, 'FD' AS kind,
+       key_d AS lhs_distinct, key_pair_d - key_d AS violations,
+       key_pair_d = key_d AS holds FROM o
+UNION ALL
+SELECT 'fd: o_custkey -> o_orderpriority', 'FD',
+       cust_d, cust_pair_d - cust_d, cust_pair_d = cust_d FROM o
+UNION ALL
+SELECT 'fd: c_nationkey -> c_mktsegment', 'FD',
+       nat_d, nat_pair_d - nat_d, nat_pair_d = nat_d FROM c
+UNION ALL
+SELECT 'ind: orders.o_custkey in customer.c_custkey', 'IND',
+       lhs_d, orphans, orphans = 0 FROM ind1
+UNION ALL
+SELECT 'ind: lineitem.l_partkey in part.p_partkey', 'IND',
+       lhs_d, orphans, orphans = 0 FROM ind2
+UNION ALL
+SELECT 'ind: events.user_id in customer.c_custkey', 'IND',
+       lhs_d, orphans, orphans = 0 FROM ind3
+""",
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency profiling, Metanome-style: test candidate functional
+    dependencies (does X determine Y within a table?) and inclusion
+    dependencies / FK candidates (is every child key present in the
+    parent?), reporting distinct-count evidence and violation counts —
+    the schema-discovery screen a pipeline runs before trusting joins.
+
+    FD checks ride the identity FD holds ⇔ |distinct(X)| = |distinct(X,Y)|:
+    both counts for all FD candidates on a table come from ONE aggregation
+    pass over one scan. IND checks pre-aggregate the child side to
+    DISTINCT keys before a left join against the parent — the join input
+    is key-cardinality, not row-cardinality, and only counts ship out.
+    At 100 TB exact distincts swap for approx_count_distinct (the
+    q_dq_profile rule) with the same single-pass shape."""
+    o = table(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_orderkey").alias("key_d"),
+        F.count_distinct("o_orderkey", "o_custkey").alias("key_pair_d"),
+        F.count_distinct("o_custkey").alias("cust_d"),
+        F.count_distinct("o_custkey", "o_orderpriority").alias("cust_pair_d"),
+    )
+    c = table(spark, sf_dir, "customer").agg(
+        F.count_distinct("c_nationkey").alias("nat_d"),
+        F.count_distinct("c_nationkey", "c_mktsegment").alias("nat_pair_d"),
+    )
+
+    def ind(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+        keys = child.select(child_key).distinct()
+        joined = keys.join(parent.select(parent_key), keys[child_key] == parent[parent_key], "left")
+        return joined.agg(
+            F.count_distinct(child_key).alias("lhs_d"),
+            F.count_distinct(
+                F.when(F.col(parent_key).isNull(), F.col(child_key))
+            ).alias("orphans"),
+        )
+
+    ind1 = ind(table(spark, sf_dir, "orders"), "o_custkey",
+               table(spark, sf_dir, "customer"), "c_custkey")
+    ind2 = ind(table(spark, sf_dir, "lineitem"), "l_partkey",
+               table(spark, sf_dir, "part"), "p_partkey")
+    ind3 = ind(table(spark, sf_dir, "events"), "user_id",
+               table(spark, sf_dir, "customer"), "c_custkey")
+
+    def fd_rows(src: DataFrame, checks: list[tuple[str, str, str]]) -> DataFrame:
+        # All FD rows for a table come off its ONE agg row via a single
+        # explode — selecting per-row branches would duplicate the agg
+        # subtree and re-scan the table once per FD (plan-asserted).
+        return (
+            src.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("check_name"),
+                                F.lit("FD").alias("kind"),
+                                F.col(lhs).alias("lhs_distinct"),
+                                (F.col(pair) - F.col(lhs)).alias("violations"),
+                                (F.col(pair) == F.col(lhs)).alias("holds"),
+                            )
+                            for name, lhs, pair in checks
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+
+    def ind_row(src: DataFrame, name: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.lit("IND").alias("kind"),
+            F.col("lhs_d").alias("lhs_distinct"),
+            F.col("orphans").alias("violations"),
+            (F.col("orphans") == 0).alias("holds"),
+        )
+
+    return (
+        fd_rows(
+            o,
+            [
+                ("fd: o_orderkey -> o_custkey", "key_d", "key_pair_d"),
+                ("fd: o_custkey -> o_orderpriority", "cust_d", "cust_pair_d"),
+            ],
+        )
+        .unionAll(fd_rows(c, [("fd: c_nationkey -> c_mktsegment", "nat_d", "nat_pair_d")]))
+        .unionAll(ind_row(ind1, "ind: orders.o_custkey in customer.c_custkey"))
+        .unionAll(ind_row(ind2, "ind: lineitem.l_partkey in part.p_partkey"))
+        .unionAll(ind_row(ind3, "ind: events.user_id in customer.c_custkey"))
+    )

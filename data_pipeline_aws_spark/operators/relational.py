@@ -158,3 +158,52 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT n.n_name,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, 'n_open' AS status_metric, n_open AS cnt FROM wide
+UNION ALL SELECT n_name, 'n_fulfilled', n_fulfilled FROM wide
+UNION ALL SELECT n_name, 'n_pending',   n_pending   FROM wide
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): a per-nation status-count matrix unpivoted
+    to (nation, metric, count) rows — the inverse verb of q_pivot, using
+    Spark's native ``DataFrame.unpivot`` (SQL UNPIVOT / pandas melt).
+
+    The wide matrix is one join+agg at nation grain (≤25 rows); unpivot is
+    a zero-shuffle in-row expansion (Catalyst ``Expand``), so the reshape
+    adds no exchange regardless of table size — at 100 TB the cost is the
+    upstream aggregation, never the reshape. The dims stay broadcast
+    (nation is ALWAYS_BROADCAST)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_fulfilled"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_open", "n_fulfilled", "n_pending"],
+        variableColumnName="status_metric",
+        valueColumnName="cnt",
+    )

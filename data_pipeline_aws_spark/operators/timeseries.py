@@ -1117,3 +1117,78 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days_to_ship").cast("bigint").alias("max_days"),
         F.round(F.avg("days_to_ship"), 4).alias("avg_days"),
     )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+WITH intervals AS (
+  SELECT o.o_orderkey,
+         date_trunc('day', o.o_orderdate) AS start_d,
+         date_trunc('day', MAX(l.l_shipdate)) AS end_d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, date_trunc('day', o.o_orderdate)
+),
+deltas AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM (
+    SELECT start_d AS d, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT end_d + INTERVAL 1 DAY AS d, -1 AS delta FROM intervals
+  ) GROUP BY d
+),
+sweep AS (
+  SELECT d, CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS in_flight
+  FROM deltas
+)
+SELECT d AS peak_day, in_flight AS peak_in_flight
+FROM sweep
+ORDER BY in_flight DESC, d
+LIMIT 1
+""",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap sweep line: each order is "in flight" from its order
+    day until its last line ships; find the peak number of concurrently
+    open orders and the first day it occurs — the classic max-concurrency
+    query (sessions online, rooms booked, jobs running).
+
+    The scale-correct shape: intervals collapse to a ±1 delta PER DAY
+    first (one map-combinable agg), so the running-sum sweep runs on the
+    bounded day spine (~3 k rows/decade), never on raw intervals — a naive
+    per-interval global sort would be the 100 TB bottleneck. End bounds
+    are inclusive (+1 day on the close delta); peak selection is an exact
+    BIGINT compare with the day as tiebreak."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    intervals = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", F.date_trunc("day", "o_orderdate").alias("start_d"))
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("end_d"))
+    )
+    # Emit both interval endpoints in ONE pass (explode of a 2-element
+    # array), not a union of two branches — a union would recompute the
+    # join+agg subtree and scan lineitem twice (plan-asserted).
+    deltas = (
+        intervals.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("start_d").alias("d"), F.lit(1).alias("delta")),
+                    F.struct(
+                        (F.col("end_d") + F.expr("INTERVAL 1 DAY")).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ev")
+        )
+        .select("ev.d", "ev.delta")
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    sweep = deltas.select(
+        "d", F.sum("net").over(Window.orderBy("d")).alias("in_flight")
+    )
+    return (
+        sweep.orderBy(F.desc("in_flight"), F.asc("d"))
+        .limit(1)
+        .select(F.col("d").alias("peak_day"), F.col("in_flight").alias("peak_in_flight"))
+    )

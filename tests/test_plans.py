@@ -577,3 +577,30 @@ def test_cusum_windows_run_on_day_grain(plans):
     not raw orders — one orders scan feeding one partial+final agg."""
     p = plans("q_cusum_changepoint").split("== Initial Plan ==")[0]
     assert p.count("orders.parquet") == 1, p
+
+
+def test_unpivot_is_expand_no_extra_shuffle(plans):
+    """The melt must compile to an in-row Expand over the nation-grain
+    aggregate — no exchange introduced by the reshape itself, and the
+    always-broadcast nation dim joined broadcast."""
+    p = plans("q_unpivot")
+    assert "Expand" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_interval_overlap_sweep_on_day_grain(plans):
+    """The sweep's running-sum window must consume the day-grain delta
+    aggregate: exactly one orders scan and one lineitem scan in the final
+    plan, with partial aggregation below the exchange."""
+    p = plans("q_interval_overlap").split("== Initial Plan ==")[0]
+    assert p.count("orders.parquet") == 1, p
+    assert p.count("lineitem.parquet") == 1, p
+
+
+def test_fd_discovery_one_agg_pass_per_fd_table(plans):
+    """All FD distinct-counts for a table come from one pass: the final
+    plan scans orders once for both orders FDs (the IND branch adds its
+    own distinct-key scan), and IND joins consume DISTINCT child keys."""
+    p = plans("q_fd_discovery").split("== Initial Plan ==")[0]
+    # orders appears in: FD agg pass (1) + IND child distinct (1) = 2
+    assert p.count("orders.parquet") == 2, p
