@@ -266,3 +266,82 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_BFS_HOPS = 4
+
+
+@query(
+    "q_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 45
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+s AS (SELECT MIN(src) AS node FROM e WHERE src LIKE 'c%'),
+walk(node, hops) AS (
+  SELECT node, 0 FROM s
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {_BFS_HOPS}
+),
+dist AS (SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node)
+SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes, MIN(node) AS min_node
+FROM dist GROUP BY hops
+""",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path hop distance from the lexicographically-first
+    customer node over the same undirected trade graph as q_pagerank,
+    bounded to 4 hops — the traversal member of the graph family
+    (components = q_cc_doubling / q_dedup_clusters, ranking = q_pagerank,
+    counting = q_triangles). Reports nodes reached per hop level.
+
+    Frontier BFS: each round expands ONLY the newly-reached frontier
+    (join on the edge list), dedups, and anti-joins the visited set — the
+    standard distributed traversal where per-round shuffle is
+    O(frontier·degree), not O(nodes). The edge list is localCheckpoint'ed
+    once and re-read from executor storage each round; each frontier is
+    localCheckpoint'ed to keep the unrolled lineage bounded (the
+    q_dedup_clusters rule). Rounds = distance bound, O(graph diameter)
+    worst case; the source is a 1-row aggregate kept as a broadcast
+    relation, never a driver round-trip. The DuckDB twin is the same BFS
+    as a recursive CTE with UNION-dedup."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    e0 = (
+        li.where(F.col("l_quantity") >= 45)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    source = (
+        edges.where(F.col("src").startswith("c"))
+        .agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).alias("hops"))
+    )
+    dist = source.localCheckpoint()
+    frontier = dist
+    for h in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint()
+        )
+        dist = dist.union(nxt)
+        frontier = nxt
+    return dist.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
