@@ -825,3 +825,134 @@ def q_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# DSIR hashed-feature space: bigrams → B buckets. The bucket function uses
+# only LENGTH/ASCII integer arithmetic so Spark and DuckDB compute the
+# identical bucket (both engines lack a shared cryptographic hash); the
+# production swap is xxhash64(bigram) % B on the Spark side — same bounded
+# bucket-table shape, documented below.
+_DSIR_BUCKETS = 64
+_DSIR_BUCKET_SQL = (
+    "(31 * length(a) + 17 * length(b) + 7 * ascii(a) + 3 * ascii(b)) % 64"
+)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id, lang,
+         unnest(ss[1:len(ss) - 1]) AS a, unnest(ss[2:len(ss)]) AS b
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ss FROM documents)
+  WHERE len(ss) >= 2
+),
+f AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM bg
+),
+bc AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM f GROUP BY bucket
+),
+lam AS (
+  SELECT bucket,
+         CAST(ROUND(LN((ct + 1.0) / (SUM(ct) OVER () + {_DSIR_BUCKETS}.0))
+                    - LN((cr + 1.0) / (SUM(cr) OVER () + {_DSIR_BUCKETS}.0)), 6)
+              AS DECIMAL(12,6)) AS lam
+  FROM bc
+),
+df AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM f GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(SUM(n_b) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(n_b * lam) AS DOUBLE), 6) AS dsir_logweight
+FROM df JOIN lam USING (bucket)
+GROUP BY doc_id
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): score every raw document by how much its
+    hashed-bigram feature distribution looks like the target domain
+    (here: the 'en' slice) vs the raw corpus — the principled upgrade
+    over hand-rule filters for steering a pretraining mix.
+
+    Per-doc log-weight = Σ_b n_b(doc)·λ_b with
+    λ_b = ln p̂_target(b) − ln p̂_raw(b) (add-1 smoothing over B=64
+    buckets). Bigrams are built map-side (zip-on-slices, the q_text_pmi
+    shape); BOTH bucket count columns (target + raw) come from ONE pass
+    over the bigram stream via a conditional sum. λ lives in a B-row
+    table broadcast into the per-(doc,bucket) counts, so the corpus
+    never shuffles for the model join; per-doc sums multiply exact
+    BIGINT counts by 6-dp DECIMAL λ so the weight is summation-order
+    free. At 100 TB the bucket hash swaps for xxhash64 % B (more
+    buckets, same bounded model table); buckets stay O(B) regardless of
+    corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (x, y) -> struct(x AS a, y AS b))"
+    )
+    f = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (
+                    31 * F.length("p.a")
+                    + 17 * F.length("p.b")
+                    + 7 * F.ascii("p.a")
+                    + 3 * F.ascii("p.b")
+                )
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    # Collapse the bigram stream ONCE to (doc, lang, bucket) grain and pin it
+    # with localCheckpoint (the q_pagerank edge-list rule): the bucket model
+    # and the per-doc features both consume it from executor storage, so the
+    # corpus explode+aggregate — the dominant stage at scale — runs exactly
+    # once instead of once per consumer (exchange reuse across a broadcast
+    # boundary is not guaranteed; plan-asserted zero re-scans).
+    dlb = (
+        f.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .localCheckpoint()
+    )
+    bc = dlb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n_b")).otherwise(0)).alias("ct"),
+        F.sum("n_b").alias("cr"),
+    )
+    # Totals come from a window over the 64-row bucket table, not a separate
+    # aggregate relation — a second relation would carry its own copy of the
+    # dlb subtree past Spark's exchange-reuse rule and re-scan the corpus
+    # (plan-asserted single documents scan).
+    wall = Window.partitionBy()
+    lam = bc.select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.sum("ct").over(wall) + float(_DSIR_BUCKETS)))
+            - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(wall) + float(_DSIR_BUCKETS))),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("lam"),
+    )
+    return (
+        dlb.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").alias("n_bigrams"),
+            F.round(F.sum(F.col("n_b") * F.col("lam")).cast("double"), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )

@@ -604,3 +604,12 @@ def test_fd_discovery_one_agg_pass_per_fd_table(plans):
     p = plans("q_fd_discovery").split("== Initial Plan ==")[0]
     # orders appears in: FD agg pass (1) + IND child distinct (1) = 2
     assert p.count("orders.parquet") == 2, p
+
+
+def test_dsir_single_corpus_pass_broadcast_model(plans):
+    """The (doc,lang,bucket) aggregate is localCheckpoint'ed and shared:
+    the final plan re-scans documents ZERO times (both consumers read the
+    checkpointed relation) and the 64-row λ model joins broadcast."""
+    p = plans("q_dsir_weights").split("== Initial Plan ==")[0]
+    assert p.count("documents.parquet") == 0, p
+    assert "BroadcastHashJoin" in p, p
