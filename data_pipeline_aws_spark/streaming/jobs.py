@@ -675,3 +675,87 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q_stream_late_data",
+    oracle="""
+WITH m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts)                   AS win_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS win_end,
+       CAST(COUNT(*) AS BIGINT)                             AS n_events,
+       ROUND(SUM(value), 4)                                 AS total_value
+FROM events, m
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+      <= mx - INTERVAL 10 MINUTES
+GROUP BY 1, 2
+""",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, end to end: the stream arrives as
+    three micro-batches — everything before Jan 16, then the rest, then a
+    full replay of day 1 (now hopelessly late). The watermark advanced by
+    batch 2 must DROP the replayed day-1 rows in batch 3 before they
+    reach the window state, and append mode must emit each closed window
+    exactly once — so the drained sink equals the hourly aggregate over
+    the ORIGINAL events whose window closed before the final watermark.
+    A failing watermark shows up as doubled day-1 counts or duplicate
+    window rows; a failing append contract as missing/extra windows.
+
+    The replay rides its own third batch because Spark's late-row filter
+    uses the watermark committed with the PREVIOUS batch (eviction uses
+    the current one): late data arriving in the same micro-batch that
+    first advances the watermark past its window still merges into
+    not-yet-evicted state — verified empirically; the one-batch lag is
+    the documented two-phase watermark contract.
+
+    This is the guarantee that makes streaming state BOUNDED at 100 TB/day:
+    without the drop, replayed/straggler data reopens arbitrarily old
+    windows and state grows with history. Batch splits are fixture-calendar
+    constants (the events tables span Jan 2024 at every SF); the last
+    open window (end > final watermark) is correctly withheld by append
+    mode and excluded by the oracle the same way."""
+    import shutil
+    import tempfile
+
+    arrival = tempfile.mkdtemp(prefix="dpas_stream_late_")
+    try:
+        ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+        early = ev.where(F.col("ts") < "2024-01-16")
+        rest = ev.where(F.col("ts") >= "2024-01-16")
+        replay = ev.where(F.col("ts") < "2024-01-02")
+        # Three arrival files, mtime-ordered: the file source with
+        # maxFilesPerTrigger=1 processes them as separate micro-batches in
+        # write order, so the watermark committed after b1 (max event time
+        # − 10 min) governs b2's late filter.
+        early.coalesce(1).write.parquet(os.path.join(arrival, "b0"))
+        rest.coalesce(1).write.parquet(os.path.join(arrival, "b1"))
+        replay.coalesce(1).write.parquet(os.path.join(arrival, "b2"))
+        schema = spark.read.parquet(os.path.join(arrival, "b0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrival + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+        res = _run_to_completion(agg, "append")
+        # The arrival dir is scratch: materialize the bounded window-grain
+        # result so the directory can be removed before returning (the
+        # q_stream_sink leak rule).
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)

@@ -261,3 +261,48 @@ def test_alert_suppression_survives_micro_batches(spark, arrival_dir):
         (1, "2024-01-01 00:04:00", "exit"),
         (2, "2024-01-01 00:01:30", "enter"),
     ], got
+
+
+def test_late_rows_dropped_one_batch_after_watermark(spark, arrival_dir):
+    """The late-row filter uses the watermark committed with the PREVIOUS
+    batch (q_stream_late_data's one-batch-lag contract): a replay arriving
+    two batches after the watermark passed its window must be counted in
+    numRowsDroppedByWatermark and must NOT reopen the already-emitted
+    window (no duplicate window row, no count inflation)."""
+    _write_batch(
+        spark,
+        arrival_dir,
+        "b0",
+        [(1, 1, "2024-01-01 10:00:00", 1.0), (2, 1, "2024-01-01 10:20:00", 1.0)],
+    )
+    _write_batch(spark, arrival_dir, "b1", [(3, 1, "2024-01-01 12:00:00", 1.0)])
+    _write_batch(spark, arrival_dir, "b2", [(4, 1, "2024-01-01 14:00:00", 1.0)])
+    _write_batch(spark, arrival_dir, "b3", [(5, 1, "2024-01-01 10:30:00", 1.0)])
+    schema = spark.read.parquet(os.path.join(arrival_dir, "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrival_dir + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    name = "dpas_late_drop"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert dropped == 1, f"late replay not dropped: {dropped}"
+    rows = {(str(r.win_start), r.n) for r in spark.table(name).collect()}
+    assert ("2024-01-01 10:00:00", 2) in rows, rows
+    assert all(n == 2 for s, n in rows if s == "2024-01-01 10:00:00"), rows
+    assert len([s for s, _ in rows if s == "2024-01-01 10:00:00"]) == 1, rows
