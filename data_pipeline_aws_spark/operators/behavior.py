@@ -906,3 +906,133 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("part_a", "part_b", "n_cooc", "cos_sim", "rnk")
     )
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         MIN(CASE WHEN rn = 1 THEN d END) AS first_d,
+         MIN(CASE WHEN rn = 2 THEN d END) AS second_d
+  FROM ranked GROUP BY o_custkey
+),
+g AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+obs AS (
+  SELECT CASE WHEN second_d IS NOT NULL
+              THEN date_diff('day', first_d, second_d)
+              ELSE date_diff('day', first_d, gmax) END AS t,
+         (second_d IS NOT NULL) AS is_event
+  FROM per CROSS JOIN g
+),
+grain AS (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM obs GROUP BY t
+),
+cum AS (
+  SELECT t, d,
+         CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS gone,
+         CAST(SUM(leaving) OVER () AS BIGINT) AS total
+  FROM grain
+),
+km AS (
+  SELECT t, d, total - gone AS n_risk,
+         CASE WHEN total - gone > d
+              THEN LN((total - gone - d) * 1.0 / (total - gone))
+              ELSE 0.0 END AS lnterm
+  FROM cum WHERE d > 0
+)
+SELECT t AS t_days,
+       n_risk AS n_at_risk,
+       d AS n_events,
+       CASE WHEN MIN(n_risk - d) OVER (ORDER BY t) <= 0 THEN 0.0
+            ELSE ROUND(EXP(SUM(lnterm) OVER (ORDER BY t)), 6) END AS survival
+FROM km
+""",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-repeat-purchase: per
+    customer, the event is the gap (days) between first and second order;
+    single-order customers are right-censored at the end of the observed
+    calendar — the textbook e-commerce survival analysis, with real
+    censoring handled the way q_retention's naive cohort rates cannot
+    (a censored customer leaves the risk set without counting as churn).
+
+    Orders collapse to customer grain (one window + agg), then to
+    event-time grain (bounded by distinct gap days — model state); the
+    risk set n_t = total − everyone who left strictly before t comes from
+    one cumulative window, and the KM product Π(1 − d_i/n_i) rides
+    exp(Σ ln·) with an exact-integer zero guard (if any factor hits 0 the
+    curve is exactly 0.0 from there on, no ln(0)). Censored ties stay at
+    risk at their own t (deaths-first convention). All decisions are
+    integer compares; ln/exp of identical doubles is the accepted
+    cross-engine surface (the q_text_pmi rule)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    per = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("first_d"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("second_d"),
+    )
+    g = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    obs = per.crossJoin(F.broadcast(g)).select(
+        F.when(
+            F.col("second_d").isNotNull(),
+            F.datediff("second_d", "first_d"),
+        )
+        .otherwise(F.datediff("gmax", "first_d"))
+        .cast("long")
+        .alias("t"),
+        F.col("second_d").isNotNull().alias("is_event"),
+    )
+    grain = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grain.select(
+        "t",
+        "d",
+        F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)).alias("gone"),
+        F.sum("leaving").over(Window.partitionBy()).alias("total"),
+    )
+    km = cum.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        (F.col("total") - F.col("gone")).alias("n_risk"),
+        F.when(
+            F.col("total") - F.col("gone") > F.col("d"),
+            F.log(
+                (F.col("total") - F.col("gone") - F.col("d"))
+                * 1.0
+                / (F.col("total") - F.col("gone"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lnterm"),
+    )
+    w_cum = Window.orderBy("t")
+    return km.select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(
+            F.min(F.col("n_risk") - F.col("d")).over(w_cum) <= 0, F.lit(0.0)
+        )
+        .otherwise(F.round(F.exp(F.sum("lnterm").over(w_cum)), 6))
+        .alias("survival"),
+    )

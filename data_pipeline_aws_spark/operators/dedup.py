@@ -1072,3 +1072,73 @@ def q_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("cluster_rep"),
         (F.col("doc_id") != rep).alias("is_dup"),
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+WITH names AS (
+  SELECT p_name,
+         string_split(p_name, ' ')[-1]    AS block_key,
+         CAST(COUNT(*) AS BIGINT)         AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name   AS name_a,
+       b.p_name   AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts  AS n_parts_a,
+       b.n_parts  AS n_parts_b
+FROM names a
+JOIN names b
+  ON a.block_key = b.block_key AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (edit-distance similarity join): pairs of
+    part names within Levenshtein distance ≤ 3, candidate-generated by
+    BLOCKING on the head noun (last word) — the entity-resolution verb
+    for catalog/vendor-name reconciliation, and the string-grain sibling
+    of the dedup family (shingles→MinHash for documents, blocking→edit
+    distance for short entity strings).
+
+    The scale shape is the blocking: names collapse to DISTINCT-name
+    grain first (name-cardinality, not row-cardinality — 64 names for
+    2000 parts here), and the quadratic Levenshtein verify runs only
+    INSIDE blocks, never all-pairs; at extreme name counts the block key
+    graduates to phonetic/q-gram keys with a length filter (|len_a −
+    len_b| ≤ 3 prunes before the O(len²) distance), exactly like
+    q_dedup_prefix's length filter. Distances are exact integers — no
+    float boundary anywhere."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+            "n_parts",
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("block_key").alias("bk"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("block_key").alias("bk"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(b, "bk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )
