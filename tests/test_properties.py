@@ -713,3 +713,86 @@ def test_pointer_jumping_converges_logarithmically_on_chains(spark):
     # jumping doubles travel: a handful of rounds, strictly fewer
     assert jump_rounds <= 8, jump_rounds
     assert jump_rounds < plain_rounds
+
+
+def test_km_survival_curve_is_monotone_unit_interval(spark, sf_dir):
+    """Kaplan-Meier invariants: survival starts ≤1, never increases over
+    event time, stays in [0,1]; the at-risk count strictly decreases and
+    always covers that time's deaths."""
+    from data_pipeline_aws_spark import all_queries
+
+    rows = (
+        all_queries()["q_survival_km"](spark, sf_dir)
+        .orderBy("t_days")
+        .collect()
+    )
+    assert rows, "empty curve"
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0, r
+        assert r.survival <= prev_s + 1e-9, f"survival increased at t={r.t_days}"
+        assert r.n_events >= 1 and r.n_at_risk >= r.n_events, r
+        if prev_risk is not None:
+            assert r.n_at_risk < prev_risk, f"risk set grew at t={r.t_days}"
+        prev_s, prev_risk = r.survival, r.n_at_risk
+
+
+def test_bfs_levels_respect_bipartite_parity(spark, sf_dir):
+    """The trade graph is customer↔supplier bipartite: every even BFS level
+    holds only 'c' nodes and every odd level only 's' nodes (a wrong
+    frontier/anti-join would leak a node into the wrong parity)."""
+    from data_pipeline_aws_spark import all_queries
+
+    for r in all_queries()["q_bfs_hops"](spark, sf_dir).collect():
+        expected = "c" if r.hops % 2 == 0 else "s"
+        assert r.min_node.startswith(expected), (r.hops, r.min_node)
+
+
+def test_interval_overlap_peak_bounds(spark, sf_dir):
+    """The sweep's peak concurrency is sandwiched: at least the busiest
+    single start-day's order count (all those orders overlap on that day),
+    at most the total number of orders."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    peak = all_queries()["q_interval_overlap"](spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders")
+    busiest_day = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]
+        .m
+    )
+    total = o.count()
+    assert busiest_day <= peak.peak_in_flight <= total, (
+        busiest_day,
+        peak.peak_in_flight,
+        total,
+    )
+
+
+def test_dsir_weights_enrich_target_language(spark, sf_dir):
+    """DSIR sanity: documents from the target domain ('en') must average a
+    HIGHER importance log-weight than non-target documents — the whole
+    point of the estimator — and per-doc weights must be finite."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    w = all_queries()["q_dsir_weights"](spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rows = (
+        w.join(d, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("dsir_logweight") / F.col("n_bigrams")).alias("avg_w"))
+        .collect()
+    )
+    by_target = {r[0]: r.avg_w for r in rows}
+    assert all(math.isfinite(v) for v in by_target.values()), by_target
+    assert by_target[True] > by_target[False], by_target
