@@ -778,3 +778,50 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap.alias("est_overlap"),
         F.round(overlap / F.col("est_union"), 4).alias("est_jaccard"),
     )
+
+
+@query(
+    "q_group_mode",
+    oracle="""
+WITH counts AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT seg, prio, n,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY n DESC, prio) AS rnk
+  FROM counts
+)
+SELECT seg, prio AS mode_priority, n AS n_orders
+FROM ranked WHERE rnk = 1
+""",
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: the most common order priority within
+    each market segment, with a deterministic lexicographic tiebreak —
+    the portable mode (engines disagree on native MODE()'s tie choice,
+    so the count→rank formulation is the cross-engine-stable one and the
+    shape that generalizes to top-k modes).
+
+    One join+agg collapses to the ≤25-cell (segment, priority) grid; the
+    rank window runs on that bounded grid. At 100 TB the cell table stays
+    |segments|×|priorities| regardless of row count — the q_chi2_assoc
+    rule."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("seg").orderBy(F.desc("n"), F.asc("prio"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("seg", F.col("prio").alias("mode_priority"), F.col("n").alias("n_orders"))
+    )
