@@ -700,3 +700,67 @@ def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ind_row(ind2, "ind: lineitem.l_partkey in part.p_partkey"))
         .unionAll(ind_row(ind3, "ind: events.user_id in customer.c_custkey"))
     )
+
+
+# Demo pepper for deterministic tests; production injects this as a secret
+# (never a literal) and rotates it per data-sharing agreement.
+_PSEUDO_PEPPER = "pepper:"
+
+
+@query(
+    "q_pseudonymize",
+    oracle=f"""
+WITH c AS (
+  SELECT sha256('{_PSEUDO_PEPPER}' || CAST(c_custkey AS VARCHAR)) AS pid,
+         c_mktsegment
+  FROM customer
+),
+o AS (
+  SELECT sha256('{_PSEUDO_PEPPER}' || CAST(o_custkey AS VARCHAR)) AS pid,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT c.pid,
+       c.c_mktsegment,
+       CAST(COUNT(o.pid) AS BIGINT)              AS n_orders,
+       ROUND(CAST(SUM(o.price) AS DOUBLE), 2)    AS total_spend
+FROM c LEFT JOIN o ON c.pid = o.pid
+GROUP BY c.pid, c.c_mktsegment
+""",
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization: replace the customer key with a
+    peppered SHA-256 on BOTH tables at ingest, then prove joinability is
+    preserved by aggregating orders per pseudonymous id — the
+    privacy-engineering verb (GDPR art. 4(5)) that q_gdpr_delete (erasure)
+    and q_text_redact (masking) don't cover: analysts keep referential
+    integrity without ever seeing a raw key.
+
+    Hashing is a map-side expression on each side BEFORE the join — the
+    production flow, where raw keys never leave the ingest boundary — and
+    the join/agg shuffles on the 64-hex digest exactly as it would on the
+    raw key (hash keys distribute uniformly by construction, a free
+    skew-flattener). DECIMAL-exact spend, count/left-join keeps
+    zero-order customers. At 100 TB the pepper comes from a secret store
+    and the digest column is written once at ingest, not recomputed per
+    query."""
+    c = table(spark, sf_dir, "customer").select(
+        F.sha2(
+            F.concat(F.lit(_PSEUDO_PEPPER), F.col("c_custkey").cast("string")), 256
+        ).alias("pid"),
+        "c_mktsegment",
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.sha2(
+            F.concat(F.lit(_PSEUDO_PEPPER), F.col("o_custkey").cast("string")), 256
+        ).alias("pid"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        c.join(o, "pid", "left")
+        .groupBy("pid", "c_mktsegment")
+        .agg(
+            F.count(o.pid).alias("n_orders"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_spend"),
+        )
+    )
