@@ -613,3 +613,44 @@ def test_dsir_single_corpus_pass_broadcast_model(plans):
     p = plans("q_dsir_weights").split("== Initial Plan ==")[0]
     assert p.count("documents.parquet") == 0, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_survival_second_orders_scan_is_date_pruned(plans):
+    """q_survival_km's global-max branch may re-scan orders but must read
+    ONLY o_orderdate there (column-pruned one-column scan feeding a 1-row
+    broadcast); the main branch carries the customer window."""
+    p = plans("q_survival_km").split("== Initial Plan ==")[0]
+    assert p.count("orders.parquet") <= 2, p
+    scans = [seg.splitlines()[0] for seg in p.split("ReadSchema: ")[1:]]
+    date_only = [s for s in scans if "o_orderdate" in s and "o_custkey" not in s]
+    assert date_only, scans
+
+
+def test_fuzzy_match_blocks_before_distance(plans):
+    """Blocking must bound the candidate join: name-grain aggregate feeds
+    an equi-join on block_key (hash/broadcast join, never a cartesian) and
+    part is scanned once per side at distinct-name grain."""
+    p = plans("q_fuzzy_match").split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "levenshtein" in p, p
+
+
+def test_pseudonymize_hashes_map_side_before_join(plans):
+    """The digest must be computed below the join (map-side projection on
+    each scan) so the shuffle/broadcast keys are already pseudonymous —
+    the plan joins on pid, not on the raw custkey."""
+    p = plans("q_pseudonymize").split("== Initial Plan ==")[0]
+    assert "sha2" in p, p
+    import re
+    join_lines = [l for l in p.splitlines() if "Join" in l and "pid" in l]
+    assert join_lines, p
+    assert not any("custkey" in l for l in join_lines), join_lines
+
+
+def test_group_mode_rank_runs_on_cell_grid(plans):
+    """The mode's rank window must consume the ≤25-cell aggregate, not raw
+    orders: one orders scan, one customer scan in the final plan."""
+    p = plans("q_group_mode").split("== Initial Plan ==")[0]
+    assert p.count("orders.parquet") == 1, p
+    assert p.count("customer.parquet") == 1, p
+    assert "WindowGroupLimit" in p or "Window" in p, p
