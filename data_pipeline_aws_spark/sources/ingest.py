@@ -841,3 +841,87 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("payload_len"),
         F.md5("content").alias("payload_md5"),
     )
+
+
+# --- Python DataSource API (Spark 4): a deterministic synthetic source ----
+
+_SYNTH_ROWS_PER_PART = 2500
+_SYNTH_PARTS = 4
+_SYNTH_MULT = 2654435761  # Knuth multiplicative-hash constant
+_SYNTH_MOD = 1000003
+
+
+def _synth_datasource_cls():
+    """Build the DataSource class lazily: the pyspark.sql.datasource import
+    is Spark-4-only and the class must be picklable to executors."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows_per_partition", _SYNTH_ROWS_PER_PART))
+            self.parts = int(options.get("partitions", _SYNTH_PARTS))
+
+        def partitions(self):
+            # one InputPartition per slice → Spark schedules them in parallel
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for i in range(base, base + self.rows):
+                yield (i, i % 8, (i * _SYNTH_MULT) % _SYNTH_MOD)
+
+    class SynthDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dpas_synth"
+
+        def schema(self):
+            return "id BIGINT, bucket INT, x BIGINT"
+
+        def reader(self, schema):
+            return _SynthReader(self.options)
+
+    return SynthDataSource
+
+
+@query(
+    "q_python_datasource",
+    oracle=f"""
+SELECT CAST(range % 8 AS INT)                          AS bucket,
+       CAST(COUNT(*) AS BIGINT)                        AS n,
+       ROUND(CAST(SUM((range * {_SYNTH_MULT}) % {_SYNTH_MOD}) AS DOUBLE)
+             / 1000.0, 6)                              AS value_sum
+FROM range({_SYNTH_PARTS * _SYNTH_ROWS_PER_PART})
+GROUP BY 1
+""",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource API (Spark 4): a custom `dpas_synth` source whose
+    reader fans out over InputPartitions — the pure-Python connector
+    surface (REST endpoints, queues, bespoke formats) made a first-class
+    parallel scan. The source generates a deterministic multiplicative-
+    hash sequence, so the same table is reproducible from SQL (the
+    oracle's range()) — proving the partitioned reader loses and
+    duplicates nothing across its slices.
+
+    Per-partition generators stream Arrow batches executor-side (the
+    driver never sees rows); the aggregation keeps the raw hash as exact
+    BIGINT and divides once at the end, so the cross-engine sum is
+    order-free. At scale the partition count comes from the remote
+    system's natural sharding (one InputPartition per shard/file/page),
+    and pushFilters can prune shards before read — this is the escape
+    hatch for sources Spark has no native connector for, priced honestly
+    as a Python-boundary scan."""
+    cls = _synth_datasource_cls()
+    try:
+        spark.dataSource.register(cls)
+    except Exception:
+        pass  # already registered in this session — same class, same name
+    df = spark.read.format("dpas_synth").load()
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x").cast("double") / 1000.0, 6).alias("value_sum"),
+        )
+    )

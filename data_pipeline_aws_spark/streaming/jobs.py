@@ -759,3 +759,4 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(arrival, ignore_errors=True)
+

@@ -180,3 +180,57 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", prev)
+
+
+@query(
+    "q_arrow_map",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)  AS dim,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` surface (Spark 4 Arrow-native map): per-vector L2 norm
+    and dimensionality computed directly on pyarrow RecordBatches — no
+    pandas materialization at all, the lowest-overhead Python boundary
+    Spark offers (one layer below mapInPandas: no Block→DataFrame
+    conversion, columns stay Arrow buffers end to end).
+
+    numpy reads the Arrow list buffers zero-copy (values + offsets),
+    squares in float64 and reduces per row; the fixed 64-dim layout makes
+    it one reshape + one einsum per batch. Python sees only
+    (vec_id, embedding); the label column is pruned at the scan. This is
+    the template for custom vector kernels (norms, PQ distance tables,
+    quantizer encode) where even pandas overhead is measurable at 100 TB."""
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.values, dtype=np.float64)
+            offsets = np.asarray(emb.offsets)
+            dims = np.diff(offsets).astype(np.int32)
+            # fixture vectors are fixed-dim; reshape + einsum does all rows
+            # in one BLAS-shaped pass (ragged fallback: np.add.reduceat)
+            if len(dims) and (dims == dims[0]).all():
+                sq = np.einsum(
+                    "ij,ij->i", flat.reshape(len(dims), dims[0]),
+                    flat.reshape(len(dims), dims[0]),
+                )
+            else:
+                sq = np.add.reduceat(flat * flat, offsets[:-1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(np.round(np.sqrt(sq), 6), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(norms, "vec_id long, dim int, l2_norm double")
