@@ -1228,3 +1228,64 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round((F.sum("y") - slope * F.sum("x")) / n, 4).alias("log_intercept"),
     )
+
+
+# Demo lexicon over the fixture vocabulary (AFINN-style signed weights);
+# production swaps a real lexicon broadcast, same map-only plan.
+_SENTIMENT_CASE = (
+    "CASE WHEN t = 'fast' THEN 2 WHEN t = 'big' THEN 1 "
+    "WHEN t = 'small' THEN -1 WHEN t = 'slow' THEN -2 "
+    "WHEN t = 'dup' THEN -3 ELSE 0 END"
+)
+
+
+@query(
+    "q_sentiment",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> {_SENTIMENT_CASE})) AS BIGINT) AS sentiment_score,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> CASE WHEN t IN ('fast','big','small','slow','dup')
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_hits
+  FROM documents
+)
+SELECT doc_id, lang, n_hits, sentiment_score,
+       CASE WHEN sentiment_score > 0 THEN 'positive'
+            WHEN sentiment_score < 0 THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM scored
+""",
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the Spark-at-scale text-mining
+    staple — cf. 'Large Scale Sentiment Analysis on Twitter with Spark',
+    EDBT 2016): per-document signed lexicon sum + hit count + ternary
+    label, over an AFINN-style weight table expressed as an in-row CASE.
+
+    Map-only: transform+aggregate over the token array inside the row —
+    no explode, no shuffle, whole-stage-codegen'd; a 10k-word production
+    lexicon becomes a broadcast map lookup in the same shape. Scores are
+    exact integer sums, so the label boundary (>0/<0) never sits on float
+    noise."""
+    d = table(spark, sf_dir, "documents")
+    score = F.expr(
+        f"aggregate(transform(split(text, ' '), t -> {_SENTIMENT_CASE}),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    hits = F.expr(
+        "aggregate(transform(split(text, ' '), t -> CASE WHEN t IN "
+        "('fast','big','small','slow','dup') THEN 1 ELSE 0 END),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        hits.alias("n_hits"),
+        score.alias("sentiment_score"),
+        F.when(score > 0, "positive")
+        .when(score < 0, "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )

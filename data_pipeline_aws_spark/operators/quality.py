@@ -764,3 +764,63 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price").cast("double"), 2).alias("total_spend"),
         )
     )
+
+
+# Demo policy grant: the session principal may read only EUROPE customers,
+# with names masked. Production resolves the grant set from a policy store
+# per principal (Lakeguard-style fine-grained access control); the enforced
+# plan shape is identical.
+_RLS_REGION = "EUROPE"
+
+
+@query(
+    "q_row_level_security",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN('Customer#xxxxx' || substr(c.c_name, -4)) AS sample_masked_name,
+       CAST(COUNT(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_RLS_REGION}'
+GROUP BY n.n_name
+""",
+)
+def q_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained access control as plan rewriting (the Databricks
+    Lakeguard / row-filter + column-mask model, SIGMOD 2025): the
+    session's policy becomes (a) a ROW FILTER — only customers in the
+    granted region survive — and (b) a COLUMN MASK — names truncated to
+    a suffix — composed UNDER the user's query (here: per-nation customer
+    census), not bolted on after.
+
+    Enforcement-by-construction: the filter is a plain predicate through
+    the nation→region broadcast dims, so Catalyst pushes the region
+    restriction into partition/file pruning exactly like a user WHERE —
+    policy enforcement costs a broadcast join, not a post-scan pass, and
+    masked columns never leave the projection masked-free. At 100 TB with
+    region-partitioned layout the row filter prunes whole partitions
+    (the q_dpp machinery)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    # --- policy layer: row filter + column mask applied to the base scan
+    permitted = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == _RLS_REGION)
+        .select(
+            F.concat(F.lit("Customer#xxxxx"), F.substring("c_name", -4, 4)).alias(
+                "masked_name"
+            ),
+            "c_mktsegment",
+            "n_name",
+        )
+    )
+    # --- user query runs over the policy-wrapped relation
+    return permitted.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("masked_name").alias("sample_masked_name"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )

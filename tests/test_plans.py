@@ -654,3 +654,20 @@ def test_group_mode_rank_runs_on_cell_grid(plans):
     assert p.count("orders.parquet") == 1, p
     assert p.count("customer.parquet") == 1, p
     assert "WindowGroupLimit" in p or "Window" in p, p
+
+
+def test_sentiment_is_map_only(plans):
+    """Lexicon scoring never leaves the row: no Exchange in the final plan
+    and no Python evaluation node (pure JVM array lambdas)."""
+    p = plans("q_sentiment").split("== Initial Plan ==")[0]
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_row_level_security_policy_prunes_at_scan(plans):
+    """The policy's region restriction must reach the dims as a pushed
+    filter (EqualTo on r_name) and join broadcast — enforcement costs a
+    broadcast join, not a post-scan pass."""
+    p = plans("q_row_level_security")
+    assert "EqualTo(r_name,EUROPE)" in p, p
+    assert "BroadcastHashJoin" in p, p
