@@ -796,3 +796,45 @@ def test_dsir_weights_enrich_target_language(spark, sf_dir):
     by_target = {r[0]: r.avg_w for r in rows}
     assert all(math.isfinite(v) for v in by_target.values()), by_target
     assert by_target[True] > by_target[False], by_target
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefg ", min_size=0, max_size=12),
+            st.text(alphabet="abcdefg ", min_size=0, max_size=12),
+        ),
+        min_size=40,
+        max_size=40,
+    )
+)
+def test_levenshtein_matches_reference_and_duckdb(spark, pairs):
+    """q_fuzzy_match's verify predicate rides F.levenshtein; Spark and
+    DuckDB implement edit distance independently, so pin BOTH against a
+    pure-Python Wagner-Fischer reference on random strings."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "id long, a string, b string"
+    )
+    got = {
+        r.id: r.d
+        for r in df.select("id", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    want = {i: _lev_ref(a, b) for i, (a, b) in enumerate(pairs)}
+    assert got == want
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(pairs):
+        (dd,) = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()
+        assert dd == want[i], (a, b, dd, want[i])
