@@ -597,3 +597,61 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT n.n_name, date_trunc('day', o.o_orderdate) AS d
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+),
+grouped AS (
+  SELECT n_name, d,
+         d - INTERVAL (ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d)) DAY
+           AS island_key
+  FROM days
+)
+SELECT n_name,
+       MIN(d)                    AS island_start,
+       MAX(d)                    AS island_end,
+       CAST(COUNT(*) AS BIGINT)  AS n_days
+FROM grouped
+GROUP BY n_name, island_key
+""",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive order-activity days
+    per nation — the canonical SQL islands problem (sensor uptime runs,
+    subscription streaks, inventory stockout spans), solved with the
+    date-minus-row_number grouping key: consecutive days share a constant
+    (day − rank), any gap shifts it.
+
+    Activity collapses to distinct (nation, day) FIRST — the window and
+    island aggregation run at calendar grain (≤ |nations|×|days| rows =
+    model state), never on raw orders. One shuffle keyed on nation for
+    the rank window, reused by the island groupBy; no self-join, no
+    expanding frame — the O(n log n) islands shape instead of the
+    O(n²) neighbor-join formulation."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    days = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.date_trunc("day", "o_orderdate").alias("d"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("n_name").orderBy("d"))
+    grouped = days.select(
+        "n_name",
+        "d",
+        (F.col("d") - F.make_interval(days=rn)).alias("island_key"),
+    )
+    return grouped.groupBy("n_name", "island_key").agg(
+        F.min("d").alias("island_start"),
+        F.max("d").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select("n_name", "island_start", "island_end", "n_days")

@@ -207,3 +207,109 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status_metric",
         valueColumnName="cnt",
     )
+
+
+@query(
+    "q_allocation",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders
+),
+w AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.total_cents, l.q,
+         CAST(SUM(l.q) OVER (PARTITION BY l.l_orderkey) AS BIGINT) AS qsum
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+),
+base AS (
+  SELECT *,
+         (total_cents * q) // qsum AS base_cents,
+         (total_cents * q) % qsum  AS remainder,
+         CAST(SUM((total_cents * q) // qsum)
+              OVER (PARTITION BY l_orderkey) AS BIGINT) AS base_sum
+  FROM w
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY remainder DESC, l_linenumber) AS rr
+  FROM base
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND((base_cents
+              + CASE WHEN rr <= total_cents - base_sum THEN 1 ELSE 0 END)
+             / 100.0, 2) AS allocated
+FROM ranked
+""",
+)
+def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-to-line proportional allocation with largest-remainder penny
+    distribution: spread each order's total price across its line items
+    proportional to quantity so that the per-line allocations SUM EXACTLY
+    back to the header total — the classic ETL allocation verb (cost/
+    revenue disaggregation) where naive rounding leaks pennies.
+
+    Everything is integer arithmetic: header totals become exact cents,
+    base shares are integer floor-division, and the leftover
+    total − Σ base cents go one each to the lines with the largest
+    integer remainders (linenumber tiebreak). No float enters any
+    decision, so both engines allocate identically and conservation is
+    exact by construction (property-tested). One join + per-order windows
+    — all partitioned on the order key, one shuffle at 100 TB."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    w = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        "q",
+        F.sum("q").over(wo).alias("qsum"),
+    )
+    share = F.col("total_cents") * F.col("q")
+    base = w.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        # `div` is exact LONG integer division — floor(a/b) on doubles
+        # would silently mis-floor once the numerator passes 2^53
+        F.expr("(total_cents * q) div qsum").alias("base_cents"),
+        (share % F.col("qsum")).alias("remainder"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        "base_cents",
+        "remainder",
+        F.sum("base_cents").over(wo).alias("base_sum"),
+    )
+    rr = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.desc("remainder"), F.asc("l_linenumber")
+        )
+    )
+    return base.withColumn("rr", rr).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            (
+                F.col("base_cents")
+                + F.when(
+                    F.col("rr") <= F.col("total_cents") - F.col("base_sum"), 1
+                ).otherwise(0)
+            )
+            / 100.0,
+            2,
+        ).alias("allocated"),
+    )

@@ -1192,3 +1192,46 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("d").alias("peak_day"), F.col("in_flight").alias("peak_in_flight"))
     )
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM per_day
+""",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-dashboard staple
+    ('total unique users to date') that a naive per-day COUNT(DISTINCT)
+    over expanding windows computes in O(days × users). The scalable
+    identity: a user contributes exactly once, on their FIRST day, so
+    cumulative-distinct = running sum of first-appearance counts.
+
+    One user-grain aggregate (min day), one day-grain count, one running
+    sum on the bounded day spine — two shuffles total, none of them over
+    an expanding frame. At 100 TB this is THE pattern for cumulative
+    uniques; the approximate alternative (mergeable HLL per day, union
+    prefix) is q_hll_merge's machinery."""
+    firsts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("first_day"))
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(Window.orderBy("day")).alias("cum_users"),
+    )

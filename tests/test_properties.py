@@ -838,3 +838,27 @@ def test_levenshtein_matches_reference_and_duckdb(spark, pairs):
     for i, (a, b) in enumerate(pairs):
         (dd,) = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()
         assert dd == want[i], (a, b, dd, want[i])
+
+
+def test_allocation_conserves_header_totals_exactly(spark, sf_dir):
+    """Largest-remainder allocation must conserve pennies: per order, the
+    line allocations sum EXACTLY to the rounded header total — zero drift
+    on every order, not just in aggregate."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    alloc = (
+        all_queries()["q_allocation"](spark, sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("allocated"), 2).alias("line_sum"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice"), 2).alias("header"),
+    )
+    bad = alloc.join(o, "l_orderkey").where(
+        F.abs(F.col("line_sum") - F.col("header")) > 1e-9
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
