@@ -1198,40 +1198,42 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_distinct",
     oracle="""
 WITH firsts AS (
-  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
-  FROM events GROUP BY user_id
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS first_month
+  FROM orders GROUP BY o_custkey
 ),
-per_day AS (
-  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
-  FROM firsts GROUP BY first_day
+per_month AS (
+  SELECT first_month AS month, CAST(COUNT(*) AS BIGINT) AS new_customers
+  FROM firsts GROUP BY first_month
 )
-SELECT day, new_users,
-       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
-FROM per_day
+SELECT month, new_customers,
+       CAST(SUM(new_customers) OVER (ORDER BY month) AS BIGINT) AS cum_customers
+FROM per_month
 """,
 )
 def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative distinct users by day — the growth-dashboard staple
-    ('total unique users to date') that a naive per-day COUNT(DISTINCT)
-    over expanding windows computes in O(days × users). The scalable
-    identity: a user contributes exactly once, on their FIRST day, so
-    cumulative-distinct = running sum of first-appearance counts.
+    """Cumulative distinct customers by month — the growth-dashboard
+    staple ('total unique customers to date') that a naive per-period
+    COUNT(DISTINCT) over expanding windows computes in O(periods ×
+    customers). The scalable identity: a customer contributes exactly
+    once, in their FIRST month, so cumulative-distinct = running sum of
+    first-appearance counts.
 
-    One user-grain aggregate (min day), one day-grain count, one running
-    sum on the bounded day spine — two shuffles total, none of them over
-    an expanding frame. At 100 TB this is THE pattern for cumulative
-    uniques; the approximate alternative (mergeable HLL per day, union
-    prefix) is q_hll_merge's machinery."""
+    One customer-grain aggregate (min month), one month-grain count, one
+    running sum on the bounded month spine — two shuffles total, none of
+    them over an expanding frame. At 100 TB this is THE pattern for
+    cumulative uniques; the approximate alternative (mergeable HLL per
+    period, union prefix) is q_hll_merge's machinery."""
     firsts = (
-        table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.min(F.date_trunc("day", "ts")).alias("first_day"))
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min(F.date_trunc("month", "o_orderdate")).alias("first_month"))
     )
-    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("new_users")
+    per_month = firsts.groupBy(F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).alias("new_customers")
     )
-    return per_day.select(
-        "day",
-        "new_users",
-        F.sum("new_users").over(Window.orderBy("day")).alias("cum_users"),
+    return per_month.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(Window.orderBy("month")).alias("cum_customers"),
     )
+
