@@ -825,3 +825,73 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") == 1)
         .select("seg", F.col("prio").alias("mode_priority"), F.col("n").alias("n_orders"))
     )
+
+
+@query(
+    "q_weighted_percentile",
+    oracle="""
+WITH w AS (
+  SELECT p.p_brand,
+         CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(18,6)) AS unit_price,
+         CAST(l.l_quantity AS BIGINT) AS wt
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT p_brand, unit_price, CAST(SUM(wt) AS BIGINT) AS wt
+  FROM w GROUP BY p_brand, unit_price
+),
+cum AS (
+  SELECT p_brand, unit_price, wt,
+         CAST(SUM(wt) OVER (PARTITION BY p_brand ORDER BY unit_price) AS BIGINT) AS cw,
+         CAST(SUM(wt) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+  FROM g
+)
+SELECT p_brand,
+       CAST(MIN(tw) AS BIGINT) AS total_weight,
+       ROUND(CAST(MIN(CASE WHEN 2 * cw >= tw THEN unit_price END) AS DOUBLE), 4)
+         AS weighted_median
+FROM cum
+GROUP BY p_brand
+""",
+)
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median unit price per brand, weighted by quantity sold —
+    the weighted-percentile verb (every unit sold votes, not every line
+    item): the smallest price whose cumulative weight reaches half the
+    total, decided on the exact integer inequality 2·cw ≥ tw.
+
+    Lines collapse to (brand, price) grain first, so the cumulative
+    window runs per brand over distinct prices (bounded), not raw lines;
+    the median pick is a conditional MIN over that grain — no sort of
+    the fact table, no per-group collect. DECIMAL unit prices make the
+    window order identical across engines. At extreme price cardinality
+    the grain swaps for the mergeable rank sketch (q_approx_percentile's
+    machinery) with the same weighted-rank inequality."""
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast("decimal(18,6)")
+        .alias("unit_price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    g = w.groupBy("p_brand", "unit_price").agg(F.sum("wt").alias("wt"))
+    cum = g.select(
+        "p_brand",
+        "unit_price",
+        "wt",
+        F.sum("wt")
+        .over(Window.partitionBy("p_brand").orderBy("unit_price"))
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("p_brand")).alias("tw"),
+    )
+    return cum.groupBy("p_brand").agg(
+        F.min("tw").alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("unit_price"))
+            ).cast("double"),
+            4,
+        ).alias("weighted_median"),
+    )

@@ -1142,3 +1142,99 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts_b",
         )
     )
+
+
+@query(
+    "q_survivorship",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT p_name,
+         string_split(p_name, ' ')[-1] AS block_key,
+         CAST(COUNT(*) AS BIGINT)      AS n_parts
+  FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.p_name AS d1, b.p_name AS d2
+  FROM names a JOIN names b
+    ON a.block_key = b.block_key AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+comp AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+members AS (
+  SELECT COALESCE(c.rep, n.p_name) AS cluster_rep, n.p_name, n.n_parts
+  FROM names n LEFT JOIN comp c ON c.node = n.p_name
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                            ORDER BY n_parts DESC, p_name) AS rn
+  FROM members
+)
+SELECT cluster_rep,
+       MIN(CASE WHEN rn = 1 THEN p_name END)        AS survivor_name,
+       CAST(COUNT(*) AS BIGINT)                     AS n_members,
+       CAST(SUM(n_parts) AS BIGINT)                 AS total_parts
+FROM ranked
+GROUP BY cluster_rep
+""",
+)
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — entity resolution's second half: take
+    q_fuzzy_match's edit-distance pair graph, close it into entity
+    clusters (min-label propagation, the q_dedup_clusters machinery),
+    then elect one survivor per cluster by rule (most parts, then
+    lexicographic) and report cluster size/coverage — the MDM verb that
+    turns "these names look alike" into "this is the canonical record".
+
+    Same scale shape as its parents: blocking bounds pair generation at
+    distinct-name grain, propagation is O(cluster diameter) rounds over
+    a name-grain edge list, survivor election is one rank window on the
+    member table. Rules compare exact integers with a string tiebreak —
+    no float in any election."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+            "n_parts",
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("d1"), F.col("block_key").alias("bk")
+    )
+    b = names.select(
+        F.col("p_name").alias("d2"), F.col("block_key").alias("bk")
+    )
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("d1") < F.col("d2"))
+        .where(F.levenshtein("d1", "d2") <= 3)
+        .select("d1", "d2")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("src", "dst")
+    labels, _ = propagate_min_labels(edges, jump=False)
+    members = names.join(labels, names.p_name == labels.node, "left").select(
+        F.coalesce(F.col("label"), F.col("p_name")).alias("cluster_rep"),
+        "p_name",
+        "n_parts",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_rep").orderBy(F.desc("n_parts"), F.asc("p_name"))
+    )
+    ranked = members.withColumn("rn", rn)
+    return ranked.groupBy("cluster_rep").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("p_name"))).alias("survivor_name"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_parts").alias("total_parts"),
+    )
