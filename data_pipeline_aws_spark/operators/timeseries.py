@@ -1237,3 +1237,140 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_customers").over(Window.orderBy("month")).alias("cum_customers"),
     )
 
+
+
+_FC_HOLDOUT = 6  # test months held out at the end of the series
+
+
+@query(
+    "q_forecast_eval",
+    oracle=f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT m, rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM monthly
+),
+train AS (SELECT * FROM idx WHERE i <= n - {_FC_HOLDOUT}),
+test  AS (SELECT * FROM idx WHERE i >  n - {_FC_HOLDOUT}),
+tstat AS (
+  SELECT arg_max(rev, i)                        AS last_rev,
+         arg_min(rev, i)                        AS first_rev,
+         CAST(MAX(i) AS BIGINT)                 AS last_i,
+         CAST(MIN(i) AS BIGINT)                 AS first_i,
+         AVG(ABS(CAST(d AS DOUBLE)))            AS insample_mae
+  FROM (SELECT i, rev,
+               rev - LAG(rev) OVER (ORDER BY i) AS d
+        FROM train)
+),
+season AS (
+  SELECT t.i, t.rev AS actual, s.rev AS fc
+  FROM test t JOIN idx s ON s.i = t.i - 12
+),
+fc AS (
+  SELECT 'naive' AS method, t.i,
+         CAST(t.rev AS DOUBLE) AS actual,
+         CAST(ts.last_rev AS DOUBLE) AS fc
+  FROM test t CROSS JOIN tstat ts
+  UNION ALL
+  SELECT 'seasonal_naive', i, CAST(actual AS DOUBLE), CAST(fc AS DOUBLE)
+  FROM season
+  UNION ALL
+  SELECT 'drift', t.i,
+         CAST(t.rev AS DOUBLE),
+         CAST(ts.last_rev AS DOUBLE)
+           + (t.i - ts.last_i)
+             * (CAST(ts.last_rev AS DOUBLE) - CAST(ts.first_rev AS DOUBLE))
+             / (ts.last_i - ts.first_i)
+  FROM test t CROSS JOIN tstat ts
+)
+SELECT method,
+       CAST(COUNT(*) AS BIGINT)                       AS n_points,
+       ROUND(AVG(ABS(fc - actual)), 2)                AS mae,
+       ROUND(AVG(ABS(fc - actual) / actual), 6)       AS mape,
+       ROUND(AVG(ABS(fc - actual))
+             / MIN((SELECT insample_mae FROM tstat)), 6) AS mase
+FROM fc
+GROUP BY method
+""",
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: hold out the last 6 months of monthly
+    revenue, score three standard baselines (naive last-value,
+    seasonal-naive t−12, drift line) with MAE / MAPE / MASE — the
+    evaluation harness every forecasting pipeline needs before any model
+    earns its keep (MASE < 1 beats the in-sample naive; a fancy model
+    that can't should ship the baseline).
+
+    Orders collapse to the month spine (bounded model state) and every
+    window/join runs on those ~80 rows. `last/first` train values ride
+    arg_max/arg_min (DuckDB) and max_by/min_by (Spark) on the exact
+    index — deterministic; error math is double division of
+    DECIMAL-exact levels in a fixed op order, rounded for display. At
+    100 TB only the first aggregation touches the fact table."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    idx = monthly.select(
+        "m",
+        "rev",
+        F.row_number().over(Window.orderBy("m")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    train = idx.where(F.col("i") <= F.col("n") - _FC_HOLDOUT)
+    test = idx.where(F.col("i") > F.col("n") - _FC_HOLDOUT)
+    diffed = train.select(
+        "i",
+        "rev",
+        (F.col("rev") - F.lag("rev").over(Window.orderBy("i"))).alias("d"),
+    )
+    tstat = diffed.agg(
+        F.max_by("rev", "i").alias("last_rev"),
+        F.min_by("rev", "i").alias("first_rev"),
+        F.max("i").alias("last_i"),
+        F.min("i").alias("first_i"),
+        F.avg(F.abs(F.col("d").cast("double"))).alias("insample_mae"),
+    )
+    season = test.alias("t").join(
+        idx.alias("s"), F.col("s.i") == F.col("t.i") - 12
+    ).select(
+        F.col("t.i").alias("i"),
+        F.col("t.rev").cast("double").alias("actual"),
+        F.col("s.rev").cast("double").alias("fc"),
+    )
+    tb = F.broadcast(tstat)
+    naive = test.crossJoin(tb).select(
+        F.lit("naive").alias("method"),
+        "i",
+        F.col("rev").cast("double").alias("actual"),
+        F.col("last_rev").cast("double").alias("fc"),
+    )
+    seasonal = season.select(
+        F.lit("seasonal_naive").alias("method"), "i", "actual", "fc"
+    )
+    drift = test.crossJoin(tb).select(
+        F.lit("drift").alias("method"),
+        "i",
+        F.col("rev").cast("double").alias("actual"),
+        (
+            F.col("last_rev").cast("double")
+            + (F.col("i") - F.col("last_i"))
+            * (F.col("last_rev").cast("double") - F.col("first_rev").cast("double"))
+            / (F.col("last_i") - F.col("first_i"))
+        ).alias("fc"),
+    )
+    fc = naive.unionByName(seasonal).unionByName(drift)
+    err = F.abs(F.col("fc") - F.col("actual"))
+    return fc.crossJoin(tb.select("insample_mae")).groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(err), 2).alias("mae"),
+        F.round(F.avg(err / F.col("actual")), 6).alias("mape"),
+        F.round(F.avg(err) / F.min("insample_mae"), 6).alias("mase"),
+    )
