@@ -1374,3 +1374,82 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err / F.col("actual")), 6).alias("mape"),
         F.round(F.avg(err) / F.min("insample_mae"), 6).alias("mase"),
     )
+
+
+# SRE error-budget policy: 5% error SLO, alert when BOTH the fast (1 h)
+# and slow (6 h) burn rates exceed their multi-window thresholds
+# (Google SRE workbook ch. 5 shape, thresholds scaled to the fixture).
+_SLO_TARGET_PCT = 5
+_BURN_FAST, _BURN_SLOW = 2.0, 1.5
+
+
+@query(
+    "q_slo_burn",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT h, n, errs,
+         CAST(SUM(n)    OVER w6 AS BIGINT) AS n6,
+         CAST(SUM(errs) OVER w6 AS BIGINT) AS errs6
+  FROM hourly
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT h AS window_hour,
+       ROUND(errs * 100.0 / n, 4)    AS fast_error_pct,
+       ROUND(errs6 * 100.0 / n6, 4)  AS slow_error_pct,
+       ROUND(errs * 100.0 / n / {_SLO_TARGET_PCT}, 4)   AS fast_burn,
+       ROUND(errs6 * 100.0 / n6 / {_SLO_TARGET_PCT}, 4) AS slow_burn,
+       (errs * 100 * 10 >= n * {_SLO_TARGET_PCT} * 20
+        AND errs6 * 100 * 10 >= n6 * {_SLO_TARGET_PCT} * 15) AS page
+FROM win
+""",
+)
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): per hour, the fast (1 h) and slow (6 h) error-rate burn
+    against a 5% error SLO, paging only when BOTH windows burn hot —
+    fast-only ignores blips, slow-only pages an hour late; the AND is
+    what makes burn alerts precise AND responsive.
+
+    Events collapse to the hour spine in one conditional-count pass; the
+    6-hour window is a rows-frame running sum on that bounded spine. The
+    page decision is an exact integer cross-multiplication
+    (errs·100·10 ≥ n·SLO·threshold·10) — no float on the alert boundary,
+    so both engines page on identical hours. At 100 TB this evaluates on
+    O(hours) rows whatever the event volume; the streaming twin is the
+    same spine via q_stream_tumbling's machinery."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "errs"
+            ),
+        )
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("errs6"),
+    )
+    slo = _SLO_TARGET_PCT
+    return win.select(
+        F.col("h").alias("window_hour"),
+        F.round(F.col("errs") * 100.0 / F.col("n"), 4).alias("fast_error_pct"),
+        F.round(F.col("errs6") * 100.0 / F.col("n6"), 4).alias("slow_error_pct"),
+        F.round(F.col("errs") * 100.0 / F.col("n") / slo, 4).alias("fast_burn"),
+        F.round(F.col("errs6") * 100.0 / F.col("n6") / slo, 4).alias("slow_burn"),
+        (
+            (F.col("errs") * 100 * 10 >= F.col("n") * slo * 20)
+            & (F.col("errs6") * 100 * 10 >= F.col("n6") * slo * 15)
+        ).alias("page"),
+    )
