@@ -862,3 +862,85 @@ def test_allocation_conserves_header_totals_exactly(spark, sf_dir):
         F.abs(F.col("line_sum") - F.col("header")) > 1e-9
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_weighted_median_covers_half_the_weight(spark, sf_dir):
+    """Per brand, at least half of all quantity-weight must sit at or
+    below the reported weighted median, and strictly less than half
+    below it — the defining inequality, checked against raw lineitem."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    med = all_queries()["q_weighted_percentile"](spark, sf_dir)
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)").alias("up"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    j = w.join(med, "p_brand")
+    agg = j.groupBy("p_brand").agg(
+        F.sum("wt").alias("tw"),
+        # weighted_median is display-rounded to 4dp, so the true median
+        # price sits within 5e-5 of it: widen both bands by the rounding
+        # half-ulp — each relaxes the inequality only in the safe direction
+        F.sum(F.when(F.col("up").cast("double") <= F.col("weighted_median") + 6e-5, F.col("wt")).otherwise(0)).alias("le"),
+        F.sum(F.when(F.col("up").cast("double") < F.col("weighted_median") - 6e-5, F.col("wt")).otherwise(0)).alias("lt"),
+    )
+    bad = agg.where((2 * F.col("le") < F.col("tw")) | (2 * F.col("lt") >= F.col("tw")))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_survivorship_covers_all_names_and_elects_members(spark, sf_dir):
+    """Every distinct part name lands in exactly one cluster (member counts
+    sum to the name count) and each survivor is the member with the most
+    parts in its own cluster (at least as many as the cluster average)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    s = all_queries()["q_survivorship"](spark, sf_dir)
+    rows = s.collect()
+    n_names = (
+        table(spark, sf_dir, "part").select("p_name").distinct().count()
+    )
+    assert sum(r.n_members for r in rows) == n_names
+    name_counts = {
+        r.p_name: r.cnt
+        for r in table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert name_counts[r.survivor_name] * r.n_members >= r.total_parts, r
+
+
+def test_forecast_eval_scores_full_holdout(spark, sf_dir):
+    """Each baseline scores exactly the 6 holdout months with positive
+    errors, and the seasonal-naive must appear (the series has >18
+    months so t−12 always resolves)."""
+    from data_pipeline_aws_spark import all_queries
+
+    rows = {r.method: r for r in all_queries()["q_forecast_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive", "drift"}, rows
+    for r in rows.values():
+        assert r.n_points == 6, r
+        assert r.mae > 0 and r.mape > 0 and r.mase > 0, r
+
+
+def test_slo_burn_page_consistent_with_burn_columns(spark, sf_dir):
+    """The page flag must equal (fast_burn ≥ 2) AND (slow_burn ≥ 1.5)
+    recomputed from the reported burn columns (tolerating the display
+    rounding at the boundary)."""
+    from data_pipeline_aws_spark import all_queries
+
+    for r in all_queries()["q_slo_burn"](spark, sf_dir).collect():
+        expect = (r.fast_burn >= 2.0 - 1e-4) and (r.slow_burn >= 1.5 - 1e-4)
+        lenient = (r.fast_burn >= 2.0 + 1e-4) and (r.slow_burn >= 1.5 + 1e-4)
+        # page must match except within rounding distance of the boundary
+        assert r.page == expect or (expect and not lenient), r
