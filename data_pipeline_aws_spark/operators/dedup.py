@@ -1074,24 +1074,74 @@ def q_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Fuzzy entity matching + survivorship (shared blocking pipeline) ------
+# One definition of the candidate pair graph: q_survivorship's clusters are
+# the closure of EXACTLY q_fuzzy_match's pairs, so threshold/block-key tuning
+# cannot desynchronize them (Spark helpers and SQL fragments both shared).
+
+_FUZZY_MAX_DIST = 3
+
+_FUZZY_NAMES_SQL = """
+  SELECT p_name,
+         string_split(p_name, ' ')[-1] AS block_key,
+         CAST(COUNT(*) AS BIGINT)      AS n_parts
+  FROM part GROUP BY p_name
+"""
+
+_FUZZY_PAIRS_SQL = f"""
+  SELECT a.p_name AS d1, b.p_name AS d2,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+  FROM names a JOIN names b
+    ON a.block_key = b.block_key AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
+def _fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-name grain with block key and part count — the blocking
+    universe for the fuzzy-match family."""
+    return (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+            "n_parts",
+        )
+    )
+
+
+def _fuzzy_pairs(names: DataFrame) -> DataFrame:
+    """(d1, d2, edit_dist) candidate pairs: block equi-join, then the
+    Levenshtein verify ONLY inside blocks — never all-pairs."""
+    a = names.select(F.col("p_name").alias("d1"), F.col("block_key").alias("bk"))
+    b = names.select(F.col("p_name").alias("d2"), F.col("block_key").alias("bk"))
+    return (
+        a.join(b, "bk")
+        .where(F.col("d1") < F.col("d2"))
+        .where(F.levenshtein("d1", "d2") <= _FUZZY_MAX_DIST)
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("d1", "d2").cast("long").alias("edit_dist"),
+        )
+    )
+
+
 @query(
     "q_fuzzy_match",
-    oracle="""
-WITH names AS (
-  SELECT p_name,
-         string_split(p_name, ' ')[-1]    AS block_key,
-         CAST(COUNT(*) AS BIGINT)         AS n_parts
-  FROM part GROUP BY p_name
-)
-SELECT a.p_name   AS name_a,
-       b.p_name   AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
-       a.n_parts  AS n_parts_a,
-       b.n_parts  AS n_parts_b
-FROM names a
-JOIN names b
-  ON a.block_key = b.block_key AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 3
+    oracle=f"""
+WITH names AS ({_FUZZY_NAMES_SQL}),
+pairs AS ({_FUZZY_PAIRS_SQL})
+SELECT p.d1 AS name_a,
+       p.d2 AS name_b,
+       p.edit_dist,
+       na.n_parts AS n_parts_a,
+       nb.n_parts AS n_parts_b
+FROM pairs p
+JOIN names na ON p.d1 = na.p_name
+JOIN names nb ON p.d2 = nb.p_name
 """,
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,35 +1159,19 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     graduates to phonetic/q-gram keys with a length filter (|len_a −
     len_b| ≤ 3 prunes before the O(len²) distance), exactly like
     q_dedup_prefix's length filter. Distances are exact integers — no
-    float boundary anywhere."""
-    names = (
-        table(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .select(
-            "p_name",
-            F.element_at(F.split("p_name", " "), -1).alias("block_key"),
-            "n_parts",
-        )
-    )
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("block_key").alias("bk"),
-        F.col("n_parts").alias("n_parts_a"),
-    )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("block_key").alias("bk"),
-        F.col("n_parts").alias("n_parts_b"),
-    )
+    float boundary anywhere. The pair pipeline is shared verbatim with
+    q_survivorship (one definition, no drift)."""
+    names = _fuzzy_names(spark, sf_dir)
+    pairs = _fuzzy_pairs(names)
+    na = names.select(F.col("p_name").alias("d1"), F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("p_name").alias("d2"), F.col("n_parts").alias("n_parts_b"))
     return (
-        a.join(b, "bk")
-        .where(F.col("name_a") < F.col("name_b"))
-        .where(F.levenshtein("name_a", "name_b") <= 3)
+        pairs.join(na, "d1")
+        .join(nb, "d2")
         .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            F.col("d1").alias("name_a"),
+            F.col("d2").alias("name_b"),
+            "edit_dist",
             "n_parts_a",
             "n_parts_b",
         )
@@ -1146,19 +1180,9 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_survivorship",
-    oracle="""
-WITH RECURSIVE names AS (
-  SELECT p_name,
-         string_split(p_name, ' ')[-1] AS block_key,
-         CAST(COUNT(*) AS BIGINT)      AS n_parts
-  FROM part GROUP BY p_name
-),
-pairs AS (
-  SELECT a.p_name AS d1, b.p_name AS d2
-  FROM names a JOIN names b
-    ON a.block_key = b.block_key AND a.p_name < b.p_name
-  WHERE levenshtein(a.p_name, b.p_name) <= 3
-),
+    oracle=f"""
+WITH RECURSIVE names AS ({_FUZZY_NAMES_SQL}),
+pairs AS ({_FUZZY_PAIRS_SQL}),
 edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL SELECT d2, d1 FROM pairs),
 reach AS (
@@ -1187,39 +1211,20 @@ GROUP BY cluster_rep
 )
 def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship — entity resolution's second half: take
-    q_fuzzy_match's edit-distance pair graph, close it into entity
-    clusters (min-label propagation, the q_dedup_clusters machinery),
-    then elect one survivor per cluster by rule (most parts, then
-    lexicographic) and report cluster size/coverage — the MDM verb that
-    turns "these names look alike" into "this is the canonical record".
+    q_fuzzy_match's edit-distance pair graph (the SAME shared pipeline,
+    not a copy), close it into entity clusters (min-label propagation,
+    the q_dedup_clusters machinery), then elect one survivor per cluster
+    by rule (most parts, then lexicographic) and report cluster
+    size/coverage — the MDM verb that turns "these names look alike"
+    into "this is the canonical record".
 
     Same scale shape as its parents: blocking bounds pair generation at
     distinct-name grain, propagation is O(cluster diameter) rounds over
     a name-grain edge list, survivor election is one rank window on the
     member table. Rules compare exact integers with a string tiebreak —
     no float in any election."""
-    names = (
-        table(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .select(
-            "p_name",
-            F.element_at(F.split("p_name", " "), -1).alias("block_key"),
-            "n_parts",
-        )
-    )
-    a = names.select(
-        F.col("p_name").alias("d1"), F.col("block_key").alias("bk")
-    )
-    b = names.select(
-        F.col("p_name").alias("d2"), F.col("block_key").alias("bk")
-    )
-    pairs = (
-        a.join(b, "bk")
-        .where(F.col("d1") < F.col("d2"))
-        .where(F.levenshtein("d1", "d2") <= 3)
-        .select("d1", "d2")
-    )
+    names = _fuzzy_names(spark, sf_dir)
+    pairs = _fuzzy_pairs(names).select("d1", "d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst")

@@ -1269,8 +1269,10 @@ tstat AS (
         FROM train)
 ),
 season AS (
+  -- calendar-anchored t-12, not index-12: a month absent from the spine
+  -- must not shift the seasonal reference
   SELECT t.i, t.rev AS actual, s.rev AS fc
-  FROM test t JOIN idx s ON s.i = t.i - 12
+  FROM test t JOIN idx s ON s.m = t.m - INTERVAL 12 MONTH
 ),
 fc AS (
   SELECT 'naive' AS method, t.i,
@@ -1339,7 +1341,8 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.abs(F.col("d").cast("double"))).alias("insample_mae"),
     )
     season = test.alias("t").join(
-        idx.alias("s"), F.col("s.i") == F.col("t.i") - 12
+        idx.alias("s"),
+        F.col("s.m") == F.col("t.m") - F.expr("INTERVAL 12 MONTHS"),
     ).select(
         F.col("t.i").alias("i"),
         F.col("t.rev").cast("double").alias("actual"),
@@ -1386,25 +1389,40 @@ _BURN_FAST, _BURN_SLOW = 2.0, 1.5
 @query(
     "q_slo_burn",
     oracle=f"""
-WITH hourly AS (
+WITH bounds AS (
+  SELECT MIN(date_trunc('hour', ts)) AS h0,
+         MAX(date_trunc('hour', ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+hourly AS (
   SELECT date_trunc('hour', ts) AS h,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
   FROM events GROUP BY 1
 ),
+filled AS (
+  SELECT s.h,
+         CAST(COALESCE(hy.n, 0) AS BIGINT)    AS n,
+         CAST(COALESCE(hy.errs, 0) AS BIGINT) AS errs
+  FROM spine s LEFT JOIN hourly hy ON hy.h = s.h
+),
 win AS (
   SELECT h, n, errs,
          CAST(SUM(n)    OVER w6 AS BIGINT) AS n6,
          CAST(SUM(errs) OVER w6 AS BIGINT) AS errs6
-  FROM hourly
+  FROM filled
   WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 )
 SELECT h AS window_hour,
-       ROUND(errs * 100.0 / n, 4)    AS fast_error_pct,
-       ROUND(errs6 * 100.0 / n6, 4)  AS slow_error_pct,
-       ROUND(errs * 100.0 / n / {_SLO_TARGET_PCT}, 4)   AS fast_burn,
-       ROUND(errs6 * 100.0 / n6 / {_SLO_TARGET_PCT}, 4) AS slow_burn,
-       (errs * 100 * 10 >= n * {_SLO_TARGET_PCT} * 20
+       CASE WHEN n > 0  THEN ROUND(errs * 100.0 / n, 4)    ELSE 0.0 END AS fast_error_pct,
+       CASE WHEN n6 > 0 THEN ROUND(errs6 * 100.0 / n6, 4)  ELSE 0.0 END AS slow_error_pct,
+       CASE WHEN n > 0  THEN ROUND(errs * 100.0 / n / {_SLO_TARGET_PCT}, 4)   ELSE 0.0 END AS fast_burn,
+       CASE WHEN n6 > 0 THEN ROUND(errs6 * 100.0 / n6 / {_SLO_TARGET_PCT}, 4) ELSE 0.0 END AS slow_burn,
+       (n > 0 AND n6 > 0
+        AND errs * 100 * 10 >= n * {_SLO_TARGET_PCT} * 20
         AND errs6 * 100 * 10 >= n6 * {_SLO_TARGET_PCT} * 15) AS page
 FROM win
 """,
@@ -1416,25 +1434,43 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast-only ignores blips, slow-only pages an hour late; the AND is
     what makes burn alerts precise AND responsive.
 
-    Events collapse to the hour spine in one conditional-count pass; the
-    6-hour window is a rows-frame running sum on that bounded spine. The
-    page decision is an exact integer cross-multiplication
-    (errs·100·10 ≥ n·SLO·threshold·10) — no float on the alert boundary,
-    so both engines page on identical hours. At 100 TB this evaluates on
-    O(hours) rows whatever the event volume; the streaming twin is the
-    same spine via q_stream_tumbling's machinery."""
-    hourly = (
-        table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("hour", "ts").alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
-                "errs"
-            ),
+    The hour spine is GENERATED (sequence from min to max hour) and
+    zero-filled before the 6-row frame, so a silent hour still occupies
+    its slot — a ROWS frame over only-observed hours would stretch the
+    "6 h" window across outage gaps and could never evaluate a
+    zero-event hour at all. Empty windows report 0 rates and never page
+    (no data ≠ hot). The page decision is an exact integer
+    cross-multiplication (errs·100·10 ≥ n·SLO·threshold·10) — no float
+    on the alert boundary, so both engines page on identical hours. At
+    100 TB this evaluates on O(hours) rows whatever the event volume;
+    the streaming twin is the same spine via q_stream_tumbling's
+    machinery."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errs"
+        ),
+    )
+    filled = (
+        spine.join(hourly, "h", "left")
+        .select(
+            "h",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("errs", F.lit(0)).alias("errs"),
         )
     )
     w6 = Window.orderBy("h").rowsBetween(-5, 0)
-    win = hourly.select(
+    win = filled.select(
         "h",
         "n",
         "errs",
@@ -1442,14 +1478,22 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("errs").over(w6).alias("errs6"),
     )
     slo = _SLO_TARGET_PCT
+    rate = lambda err, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.round(F.col(err) * 100.0 / F.col(den), 4)
+    ).otherwise(0.0)
+    burn = lambda err, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.round(F.col(err) * 100.0 / F.col(den) / slo, 4)
+    ).otherwise(0.0)
     return win.select(
         F.col("h").alias("window_hour"),
-        F.round(F.col("errs") * 100.0 / F.col("n"), 4).alias("fast_error_pct"),
-        F.round(F.col("errs6") * 100.0 / F.col("n6"), 4).alias("slow_error_pct"),
-        F.round(F.col("errs") * 100.0 / F.col("n") / slo, 4).alias("fast_burn"),
-        F.round(F.col("errs6") * 100.0 / F.col("n6") / slo, 4).alias("slow_burn"),
+        rate("errs", "n").alias("fast_error_pct"),
+        rate("errs6", "n6").alias("slow_error_pct"),
+        burn("errs", "n").alias("fast_burn"),
+        burn("errs6", "n6").alias("slow_burn"),
         (
-            (F.col("errs") * 100 * 10 >= F.col("n") * slo * 20)
+            (F.col("n") > 0)
+            & (F.col("n6") > 0)
+            & (F.col("errs") * 100 * 10 >= F.col("n") * slo * 20)
             & (F.col("errs6") * 100 * 10 >= F.col("n6") * slo * 15)
         ).alias("page"),
     )

@@ -912,11 +912,10 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pushFilters can prune shards before read — this is the escape
     hatch for sources Spark has no native connector for, priced honestly
     as a Python-boundary scan."""
-    cls = _synth_datasource_cls()
-    try:
-        spark.dataSource.register(cls)
-    except Exception:
-        pass  # already registered in this session — same class, same name
+    # Registration is idempotent (re-registering replaces, verified on
+    # Spark 4.1) — no exception guard, so real registration failures stay
+    # visible instead of resurfacing later as "data source not found".
+    spark.dataSource.register(_synth_datasource_cls())
     df = spark.read.format("dpas_synth").load()
     return (
         df.groupBy("bucket")

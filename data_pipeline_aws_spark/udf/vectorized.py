@@ -211,8 +211,13 @@ def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             vec_ids = batch.column("vec_id")
             emb = batch.column("embedding")
-            flat = np.asarray(emb.values, dtype=np.float64)
+            # flatten() (not .values) + offset re-basing: a SLICED
+            # ListArray keeps absolute offsets into the parent buffer —
+            # .values would misalign the reshape and silently fold
+            # trailing parent values into the last row's norm
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
             offsets = np.asarray(emb.offsets)
+            offsets = offsets - offsets[0]
             dims = np.diff(offsets).astype(np.int32)
             # fixture vectors are fixed-dim; reshape + einsum does all rows
             # in one BLAS-shaped pass (ragged fallback: np.add.reduceat)

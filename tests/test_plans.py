@@ -641,7 +641,6 @@ def test_pseudonymize_hashes_map_side_before_join(plans):
     the plan joins on pid, not on the raw custkey."""
     p = plans("q_pseudonymize").split("== Initial Plan ==")[0]
     assert "sha2" in p, p
-    import re
     join_lines = [l for l in p.splitlines() if "Join" in l and "pid" in l]
     assert join_lines, p
     assert not any("custkey" in l for l in join_lines), join_lines
