@@ -199,3 +199,76 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@query(
+    "q_fhir_reference_resolve",
+    oracle="""
+WITH enc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN 'Patient/' || CAST(o_custkey + 10000000 AS VARCHAR)
+              ELSE 'Patient/' || CAST(o_custkey AS VARCHAR) END AS ref
+  FROM orders
+),
+parsed AS (
+  SELECT o_orderkey,
+         string_split(ref, '/')[1] AS ref_type,
+         CAST(string_split(ref, '/')[2] AS BIGINT) AS ref_id
+  FROM enc
+),
+resolved AS (
+  SELECT p.ref_type, p.ref_id, c.c_mktsegment
+  FROM parsed p LEFT JOIN customer c ON p.ref_id = c.c_custkey
+)
+SELECT COALESCE(c_mktsegment, '(dangling)') AS ref_target_segment,
+       CAST(COUNT(*) AS BIGINT)             AS n_encounters,
+       CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_patients
+FROM resolved
+GROUP BY 1
+""",
+)
+def q_fhir_reference_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR reference resolution: Encounter-style resources carry literal
+    reference strings ('Patient/<id>'); parse the type/id pair, resolve
+    against the Patient table, and report resolution by target segment
+    with a '(dangling)' bucket for broken references — the FHIR-ETL verb
+    between relationalize and FK-profiling (q_fd_discovery's IND check is
+    the schema-level cousin; this is instance-level resolution with
+    attribution). A deterministic ~1% of references (orderkey % 97) are
+    synthesized dangling so the broken-ref path is exercised.
+
+    Reference parsing is in-row string split (codegen'd); resolution is
+    one equi-join against the patient dimension — at 100 TB the parse
+    cost is map-side and the join shuffles on the parsed id exactly as a
+    native FK join would; the output collapses to the bounded
+    segment-grain report."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Encounter resources with a FHIR literal reference; ~1% deliberately
+    # dangling (id offset far outside the customer key space).
+    enc = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("Patient/"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 10000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .cast("string"),
+        ).alias("ref"),
+    )
+    parsed = enc.select(
+        "o_orderkey",
+        F.split_part(F.col("ref"), F.lit("/"), F.lit(1)).alias("ref_type"),
+        F.split_part(F.col("ref"), F.lit("/"), F.lit(2)).cast("long").alias("ref_id"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    resolved = parsed.join(c, parsed.ref_id == c.c_custkey, "left")
+    return resolved.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("(dangling)")).alias(
+            "ref_target_segment"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_encounters"),
+        F.count_distinct("ref_id").alias("n_patients"),
+    )
