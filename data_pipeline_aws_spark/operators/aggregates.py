@@ -895,3 +895,39 @@ def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("weighted_median"),
     )
+
+
+@query(
+    "q_histogram_2d",
+    oracle="""
+SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT)          AS qty_bin,
+       CAST(FLOOR(l_extendedprice / 20000.0) AS BIGINT)  AS price_bin,
+       CAST(COUNT(*) AS BIGINT)                          AS n,
+       ROUND(AVG(l_discount), 6)                         AS avg_discount
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap binning): line items bucketed on the
+    quantity × price grid with a per-cell measure — the density/heatmap
+    verb behind scatter-plot aggregation at scale (plotting 6 B points is
+    binning, not points). Fixed-origin FLOOR binning (not width_bucket,
+    which DuckDB lacks) keeps the bin function one shared double op per
+    axis, identical in both engines.
+
+    One map-side-combinable aggregation to the bounded bin grid — cell
+    count is O(bins²) whatever the row count, the same one-pass rule as
+    q_histogram; avg re-rounds the exact-count division only for
+    display."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10.0).alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / 20000.0).alias("price_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+    )
