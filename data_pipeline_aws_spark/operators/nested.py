@@ -207,7 +207,9 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH enc AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 97 = 0
-              THEN 'Patient/' || CAST(o_custkey + 10000000 AS VARCHAR)
+              THEN 'Patient/' || CAST(-(o_custkey + 1) AS VARCHAR)
+              WHEN o_orderkey % 89 = 0
+              THEN 'Practitioner/' || CAST(o_custkey AS VARCHAR)
               ELSE 'Patient/' || CAST(o_custkey AS VARCHAR) END AS ref
   FROM orders
 ),
@@ -219,10 +221,14 @@ parsed AS (
 ),
 resolved AS (
   SELECT p.ref_type, p.ref_id, c.c_mktsegment
-  FROM parsed p LEFT JOIN customer c ON p.ref_id = c.c_custkey
+  FROM parsed p
+  LEFT JOIN customer c
+    ON p.ref_id = c.c_custkey AND p.ref_type = 'Patient'
 )
-SELECT COALESCE(c_mktsegment, '(dangling)') AS ref_target_segment,
-       CAST(COUNT(*) AS BIGINT)             AS n_encounters,
+SELECT CASE WHEN ref_type <> 'Patient' THEN '(foreign-type)'
+            WHEN c_mktsegment IS NULL  THEN '(dangling)'
+            ELSE c_mktsegment END         AS ref_target_segment,
+       CAST(COUNT(*) AS BIGINT)           AS n_encounters,
        CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_patients
 FROM resolved
 GROUP BY 1
@@ -231,31 +237,40 @@ GROUP BY 1
 def q_fhir_reference_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FHIR reference resolution: Encounter-style resources carry literal
     reference strings ('Patient/<id>'); parse the type/id pair, resolve
-    against the Patient table, and report resolution by target segment
-    with a '(dangling)' bucket for broken references — the FHIR-ETL verb
-    between relationalize and FK-profiling (q_fd_discovery's IND check is
-    the schema-level cousin; this is instance-level resolution with
-    attribution). A deterministic ~1% of references (orderkey % 97) are
-    synthesized dangling so the broken-ref path is exercised.
+    ONLY type-matching references against the Patient table, and report
+    resolution by target segment with '(dangling)' (id not found) and
+    '(foreign-type)' (reference to a non-Patient resource) buckets — the
+    FHIR-ETL verb between relationalize and FK-profiling
+    (q_fd_discovery's IND check is the schema-level cousin; this is
+    instance-level resolution with attribution). Deterministic slices of
+    the fixture exercise both failure paths: ~1% dangling (orderkey %
+    97, NEGATIVE ids — no valid customer key at any SF, so the broken
+    path survives scale-up) and ~1% foreign-type (orderkey % 89,
+    'Practitioner/<id>' — the id exists but the type gate must refuse to
+    resolve it).
 
     Reference parsing is in-row string split (codegen'd); resolution is
-    one equi-join against the patient dimension — at 100 TB the parse
-    cost is map-side and the join shuffles on the parsed id exactly as a
+    one equi-join on (parsed id, type gate) — at 100 TB the parse cost
+    is map-side and the join shuffles on the parsed id exactly as a
     native FK join would; the output collapses to the bounded
     segment-grain report."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # Encounter resources with a FHIR literal reference; ~1% deliberately
-    # dangling (id offset far outside the customer key space).
     enc = o.select(
         "o_orderkey",
-        F.concat(
-            F.lit("Patient/"),
-            F.when(
-                F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 10000000
-            )
-            .otherwise(F.col("o_custkey"))
-            .cast("string"),
-        ).alias("ref"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(
+                F.lit("Patient/"), (-(F.col("o_custkey") + 1)).cast("string")
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 89 == 0,
+            F.concat(F.lit("Practitioner/"), F.col("o_custkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("Patient/"), F.col("o_custkey").cast("string"))
+        )
+        .alias("ref"),
     )
     parsed = enc.select(
         "o_orderkey",
@@ -263,12 +278,17 @@ def q_fhir_reference_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("ref"), F.lit("/"), F.lit(2)).cast("long").alias("ref_id"),
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    resolved = parsed.join(c, parsed.ref_id == c.c_custkey, "left")
-    return resolved.groupBy(
-        F.coalesce(F.col("c_mktsegment"), F.lit("(dangling)")).alias(
-            "ref_target_segment"
-        )
-    ).agg(
+    resolved = parsed.join(
+        c,
+        (parsed.ref_id == c.c_custkey) & (parsed.ref_type == "Patient"),
+        "left",
+    )
+    bucket = (
+        F.when(F.col("ref_type") != "Patient", "(foreign-type)")
+        .when(F.col("c_mktsegment").isNull(), "(dangling)")
+        .otherwise(F.col("c_mktsegment"))
+    )
+    return resolved.groupBy(bucket.alias("ref_target_segment")).agg(
         F.count(F.lit(1)).alias("n_encounters"),
         F.count_distinct("ref_id").alias("n_patients"),
     )
