@@ -40,6 +40,9 @@ HEADLINE = [
     "q_compact", "q_zorder", "q_bucket_join", "q_dpp",
     "q_semdedup", "q_dedup_embed_lsh", "q_tfidf_cosine", "q_dedup_substring",
     "q_pq_quantize", "q_knn_classify", "q_event_paths", "q_ppl_buckets",
+    # round-3 session additions (tail — dropped first if the line overflows)
+    "q_dsir_weights", "q_survival_km", "q_bfs_hops", "q_ks_test",
+    "q_allocation", "q_slo_burn", "q_stream_late_data", "q_fuzzy_match",
 ]
 # Keep safely under the driver's 2000-char stdout tail capture.
 MAX_LINE = 1800

@@ -351,3 +351,62 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(expected))
     )
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+b AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+),
+i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+SELECT 'both' AS tag, o_custkey, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM i GROUP BY o_custkey, o_orderpriority
+UNION ALL
+SELECT 'only_early', o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT)
+FROM x GROUP BY o_custkey, o_orderpriority
+""",
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — `intersectAll` / `exceptAll` (SQL
+    INTERSECT ALL / EXCEPT ALL): per (customer, priority) multiset of
+    early-era vs late-era orders, intersection keeps min(multiplicity)
+    copies and difference keeps the excess — the variants q_setops'
+    distinct-set forms deliberately collapse (a customer with three
+    early 1-URGENT orders and one late one contributes 1 to INTERSECT
+    ALL×... and 2 to EXCEPT ALL; DISTINCT forms would say just
+    'present').
+
+    Spark plans both as aggregate-count + generate (replicate_rows) —
+    one shuffle per operand pair on the full row key, no join explosion;
+    the output re-aggregates multiplicities into counts so the result is
+    key-grain bounded. The date split predicate pushes to both scans."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < "1998-01-01").select(
+        "o_custkey", "o_orderpriority"
+    )
+    b = o.where(F.col("o_orderdate") >= "1998-01-01").select(
+        "o_custkey", "o_orderpriority"
+    )
+    both = (
+        a.intersectAll(b)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("both").alias("tag"), "o_custkey", "o_orderpriority", "n")
+    )
+    only_early = (
+        a.exceptAll(b)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("only_early").alias("tag"), "o_custkey", "o_orderpriority", "n"
+        )
+    )
+    return both.unionByName(only_early)
