@@ -95,7 +95,7 @@ _PRIORITY = [
     "q_row_level_security", "q_allocation", "q_running_distinct",
     "q_gaps_islands", "q_weighted_percentile", "q_survivorship",
     "q_forecast_eval", "q_slo_burn", "q_fhir_reference_resolve",
-    "q_histogram_2d", "q_setops_all",
+    "q_histogram_2d", "q_setops_all", "q_grouping_id",
     "q_text_langid", "q_text_quality", "q_text_bm25", "q_text_pmi",
     "q_json_ingest", "q_stream_dedup",
     "q_csv_ingest", "q_corrupt_ingest", "q_stream_availablenow",

@@ -931,3 +931,50 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_discount"),
         )
     )
+
+
+@query(
+    "q_grouping_id",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '(all)')   AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid,
+       CASE GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            WHEN 0 THEN 'status+priority'
+            WHEN 1 THEN 'status'
+            ELSE 'grand_total' END         AS level,
+       CAST(COUNT(*) AS BIGINT)            AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with level attribution via `grouping_id()`: each output row
+    carries WHICH aggregation level produced it — the disambiguation that
+    makes rollups safe when a grouping column's real data contains NULLs
+    (COALESCE alone can't tell 'NULL status subtotal' from 'the status
+    literally named (all)'; gid can). Completes the rollup family
+    (q_rollup computes levels, this one labels them).
+
+    Same single-pass Expand shape as every grouping-set aggregate: one
+    scan, rows replicated per level map-side, one shuffle on the padded
+    keys. gid is exact integer bit-math — GROUPING(a)·2 + GROUPING(b) in
+    the oracle mirrors Spark's grouping_id bit order (left column =
+    high bit), which this query pins cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    gid = F.grouping_id()
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(gid.alias("gid"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            F.when(F.col("gid") == 0, "status+priority")
+            .when(F.col("gid") == 1, "status")
+            .otherwise("grand_total")
+            .alias("level"),
+            "n_orders",
+        )
+    )
