@@ -48,39 +48,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep grades the first ~50 keys of queries().
-# Rounds 1+2 hash-graded 84 distinct keys; this round rotates the prefix so
-# the graded 50 are (a) 8 already-green family representatives for
-# regression continuity and (b) 42 oracle-backed keys the driver has NEVER
-# graded (TPC-H completions, scalar functions, ingest, streaming, plus the
-# two keys new this round). Keys after the cap are ordered
-# never-graded-first so round 4 can rotate again; everything unlisted
-# follows in registration order.
+# Rounds 1-3 hash-graded 126 distinct keys (122 oracle-backed passes, 4
+# declared rows-only). Round-4 prefix = (a) 8 already-green family
+# representatives for regression continuity and (b) 42 oracle-backed keys
+# the driver has NEVER graded, taken in the round-3 staged queue order.
+# Keys after the cap are ordered never-graded-first so round 5 can rotate
+# again; everything unlisted follows in registration order.
 _PRIORITY = [
     # already-graded family representatives (regression continuity)
     "q_agg_basic", "q_pipeline_e2e", "q_dedup_minhash", "q_sim_topk",
     "q_text_tfidf", "q_stream_tumbling", "q_pandas_udaf",
     "q_multimodal_audio",
-    # new this round
-    "q_sql_catalog", "q_dedup_embed_lsh", "q_semdedup", "q_event_paths",
-    "q_psi_drift", "q_ppl_buckets", "q_shuffle_shard", "q_knn_classify",
-    "q_tfidf_cosine", "q_dedup_substring", "q_filter_cascade",
-    "q_sample_coordinated",
-    # TPC-H completions never driver-graded
-    "q_order_priority", "q_min_cost_supplier", "q_product_profit",
-    "q_important_stock", "q_ship_modes", "q_mkt_share", "q_returned_items",
-    "q_top_supplier", "q_supplier_cnt", "q_dominant_supplier",
-    # joins never driver-graded
-    "q_join_full", "q_bloom_join", "q_join_range_binned", "q_topk_join",
-    "q_join_asof", "q_join_pit",
-    # relational / set ops / CDC
-    "q_project", "q_filter_pred", "q_sort", "q_setops", "q_cdc_apply",
-    "q_scd2",
-    # windows / timeseries
-    "q_win_rank", "q_win_lag", "q_rolling_quantile", "q_ohlc",
-    # scalar function surface
-    "q_str_funcs", "q_date_funcs", "q_array_funcs", "q_map_funcs",
-    # --- ~50-entry grading cap lands here ---
-    # round-4 rotation queue: still never driver-graded
+    # 42 oracle-backed keys never driver-graded (rounds 1-3 queue order)
     "q_anomaly_iqr", "q_vocab_coverage", "q_join_asof_tolerance",
     "q_abc_analysis", "q_period_growth", "q_benford", "q_stream_alert",
     "q_resample_interp", "q_match_pattern", "q_rfm", "q_cohort_ltv",
@@ -93,6 +72,8 @@ _PRIORITY = [
     "q_survival_km", "q_fuzzy_match", "q_group_mode", "q_pseudonymize",
     "q_arrow_map", "q_python_datasource", "q_sentiment",
     "q_row_level_security", "q_allocation", "q_running_distinct",
+    # --- ~50-entry grading cap lands here ---
+    # round-5 rotation queue: still never driver-graded
     "q_gaps_islands", "q_weighted_percentile", "q_survivorship",
     "q_forecast_eval", "q_slo_burn", "q_fhir_reference_resolve",
     "q_histogram_2d", "q_setops_all", "q_grouping_id",
@@ -116,6 +97,9 @@ _PRIORITY = [
     "q_schema_evolution", "q_gdpr_delete", "q_stream_sliding",
     "q_stream_join", "q_stream_sink", "q_stream_stream_join",
     "q_stream_session", "q_pandas_udf", "q_grouped_map",
+    # formerly rows-only keys upgraded to bound-verdict oracles this round
+    "q_approx_percentile", "q_sketch_overlap", "q_approx_distinct",
+    "q_hll_merge",
 ]
 
 
