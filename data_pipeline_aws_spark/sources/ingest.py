@@ -576,6 +576,29 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gdpr_delete_partitions(
+    src: DataFrame, path: str, tombstoned: F.Column, part_key: str
+) -> None:
+    """Targeted deletion on a partitioned parquet table as ONE dynamic
+    partition-overwrite write: a column-pruned probe finds which partitions
+    contain tombstoned rows (broadcast semi-join — never collected to the
+    driver), and a single job rewrites exactly those partitions with the
+    survivors. ``partitionOverwriteMode=dynamic`` guarantees every partition
+    directory absent from the written data is left physically untouched —
+    no copy, no rename, no per-partition driver loop. At day grain on a
+    100 TB table this is one distributed job instead of thousands of
+    serialized ones (mtime-pinned by tests/test_sources_sinks.py)."""
+    affected = src.where(tombstoned).select(part_key).distinct()
+    (
+        src.join(F.broadcast(affected), part_key, "semi")
+        .where(~tombstoned)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_key)
+        .parquet(path)
+    )
+
+
 @query(
     "q_gdpr_delete",
     oracle="""
@@ -590,39 +613,20 @@ GROUP BY ship_year
 def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted deletion (right-to-be-forgotten) on a partitioned table
     WITHOUT rewriting history: tombstoned order keys (here: orderkey % 1000
-    == 0) are located first — one column-pruned probe finds which ship_year
-    partitions contain them — and ONLY those partitions are rewritten with
-    an anti-join; untouched partitions are carried over as-is. On a 100 TB
-    table where deletions cluster in recent partitions, this is the
-    difference between rewriting terabytes and rewriting everything. The
-    oracle recomputes the post-delete aggregate from scratch; equality
-    proves the partition-scoped rewrite deleted exactly the tombstoned rows.
-    (Deletion-vector formats move the same trick into file metadata; plain
-    parquet does it at partition grain.)"""
+    == 0) scope a single dynamic partition-overwrite job that rewrites only
+    the ship_year partitions containing them (see gdpr_delete_partitions);
+    untouched partition directories are genuinely untouched — not copied,
+    not rewritten. On a 100 TB table where deletions cluster in recent
+    partitions, this is the difference between rewriting terabytes and
+    rewriting everything. The oracle recomputes the post-delete aggregate
+    from scratch; equality proves the partition-scoped rewrite deleted
+    exactly the tombstoned rows. (Deletion-vector formats move the same
+    trick into file metadata; plain parquet does it at partition grain.)"""
     src = partitioned_lineitem(spark, sf_dir)
     out = _cache_dir("gdpr_lineitem", sf_dir)
     if not os.path.exists(os.path.join(out, "_DONE")):
-        tombstoned = F.col("l_orderkey") % 1000 == 0
-        affected = [
-            r.ship_year
-            for r in src.where(tombstoned).select("ship_year").distinct().collect()
-        ]
-        for y in affected:
-            (
-                src.where((F.col("ship_year") == y) & ~tombstoned)
-                .drop("ship_year")
-                .write.mode("overwrite")
-                .parquet(os.path.join(out, f"ship_year={y}"))
-            )
-        untouched = [
-            r.ship_year
-            for r in src.select("ship_year").distinct().collect()
-            if r.ship_year not in affected
-        ]
-        for y in untouched:  # carried over without rewrite (copy stands in for a rename)
-            src.where(F.col("ship_year") == y).drop("ship_year").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out, f"ship_year={y}"))
+        write_partitioned(src, out, "ship_year")  # the pre-existing table
+        gdpr_delete_partitions(src, out, F.col("l_orderkey") % 1000 == 0, "ship_year")
         open(os.path.join(out, "_DONE"), "w").close()
     back = spark.read.parquet(out)
     return back.groupBy(F.col("ship_year").cast("int").alias("ship_year")).agg(

@@ -97,3 +97,49 @@ def test_zorder_layout_tightens_per_file_bounding_boxes(spark, sf_dir):
         areas.append(r.dp * r.ds)
     mean_frac = sum(areas) / len(areas) / domain_area
     assert mean_frac < 0.15, (mean_frac, sorted(areas))
+
+
+def test_gdpr_delete_leaves_untouched_partitions_untouched(spark, sf_dir, tmp_path):
+    """gdpr_delete_partitions must rewrite ONLY the partitions that contain
+    tombstoned rows — one dynamic-overwrite job, untouched partition
+    directories byte- and mtime-identical — and delete exactly the
+    tombstoned rows."""
+    import os
+
+    from data_pipeline_aws_spark.sources.ingest import (
+        gdpr_delete_partitions,
+        write_partitioned,
+    )
+
+    src = (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("ship_year", F.year("l_shipdate"))
+        .select("l_orderkey", "l_extendedprice", "ship_year")
+    )
+    years = sorted(r.ship_year for r in src.select("ship_year").distinct().collect())
+    assert len(years) >= 2
+    target_year = years[0]
+    out = str(tmp_path / "gdpr_tbl")
+    write_partitioned(src, out, "ship_year")
+
+    def part_files(y):
+        d = os.path.join(out, f"ship_year={y}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+        }
+
+    before = {y: part_files(y) for y in years}
+    # tombstones confined to one partition → exactly one partition rewritten
+    tombstoned = (F.col("ship_year") == target_year) & (F.col("l_orderkey") % 7 == 0)
+    gdpr_delete_partitions(src, out, tombstoned, "ship_year")
+
+    for y in years:
+        if y == target_year:
+            continue
+        assert part_files(y) == before[y], f"partition ship_year={y} was rewritten"
+
+    back = spark.read.parquet(out)
+    assert back.where(tombstoned).count() == 0
+    expected = src.where(~tombstoned).count()
+    assert back.count() == expected
