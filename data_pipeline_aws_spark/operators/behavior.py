@@ -817,6 +817,25 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BASKET_LINE_CAP = 32
+
+
+def capped_baskets(bought: DataFrame, cap: int = _BASKET_LINE_CAP) -> DataFrame:
+    """Deterministic per-basket line cap for co-occurrence pair joins: keep
+    the ``cap`` lowest part ids per order. Basket-keyed self-joins fan out
+    as lines² per basket — fine at the TPC-H ~4-7 lines, quadratic death on
+    one pathological million-line basket. The row_number window partitions
+    on the same orderkey the pair join shuffles on, so the cap reuses that
+    exchange rather than adding one. Capped pairs ⊆ uncapped pairs by
+    construction (property-tested in tests/test_properties.py)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        bought.withColumn("_ln", F.row_number().over(w))
+        .where(F.col("_ln") <= cap)
+        .drop("_ln")
+    )
+
+
 @query(
     "q_item_item_recs",
     oracle="""
@@ -864,8 +883,9 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: one distinct pass, one basket self-join (shuffle on
     orderkey — AQE splits skewed giant baskets), count tables broadcast
-    back; for giant baskets cap lines per basket first (the standard
-    guard, same spirit as q_market_basket's session cap)."""
+    back; giant baskets are line-capped BEFORE the pair join (see
+    capped_baskets — same spirit as q_market_basket's session cap), so a
+    single pathological basket cannot go quadratic."""
     # localCheckpoint (the q_pagerank edge-list rule): three consumers
     # (part counts + both pair-join sides) read the distinct basket set
     # from executor storage instead of re-running the scan+distinct 3×
@@ -877,10 +897,15 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     part_n = bought.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    a = bought.select(
+    # part counts stay UNCAPPED (they are the cosine denominator and must
+    # match the catalog-wide truth); only the quadratic pair fan-out is
+    # capped. TPC-H baskets are ≤7 distinct parts, so the cap never binds
+    # on fixture data — the oracle needs no cap clause.
+    paired = capped_baskets(bought)
+    a = paired.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
-    b = bought.select(
+    b = paired.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
     )
     cooc = (

@@ -670,3 +670,23 @@ def test_row_level_security_policy_prunes_at_scan(plans):
     p = plans("q_row_level_security")
     assert "EqualTo(r_name,EUROPE)" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_item_item_recs_caps_baskets_and_heap_limits_topk(plans):
+    """The basket line cap must compile to WindowGroupLimit heaps on the
+    orderkey grain BEFORE the pair join (a giant basket dies there, not in
+    the join), the top-5 ranking to partial+final WindowGroupLimit on
+    part_a, and the basket self-join must not shuffle on orderkey more than
+    once per side."""
+    p = plans("q_item_item_recs").split("== Initial Plan ==")[0]
+    assert "row_number(), 32, Partial" in p, p  # the cap, map-side heap
+    assert "row_number(), 5, Partial" in p and "row_number(), 5, Final" in p, p
+    assert p.count("Exchange hashpartitioning(l_orderkey") <= 2, p
+
+
+def test_markov_single_user_exchange_bounded_matrix_rest(plans):
+    """q_markov's only data-scale shuffle is the one user_id exchange under
+    the lead window; the transition-count and row-normalize exchanges run
+    on the bounded |types|^2 matrix."""
+    p = plans("q_markov").split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p

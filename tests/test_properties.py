@@ -944,3 +944,28 @@ def test_slo_burn_page_consistent_with_burn_columns(spark, sf_dir):
         lenient = (r.fast_burn >= 2.0 + 1e-4) and (r.slow_burn >= 1.5 + 1e-4)
         # page must match except within rounding distance of the boundary
         assert r.page == expect or (expect and not lenient), r
+
+
+def test_basket_cap_pairs_subset_and_identity_when_slack(spark):
+    """capped_baskets guards the pair join: with a binding cap the pair set
+    must be a strict subset of the uncapped pairs (and per-basket fan-out
+    bounded by cap^2); with cap >= max basket size it must be the identity."""
+    from data_pipeline_aws_spark.operators.behavior import capped_baskets
+
+    rows = [(1, p) for p in range(10)] + [(2, p) for p in (3, 5)] + [(3, 7)]
+    bought = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    def pairs(src):
+        a = src.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+        b = src.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        got = a.join(b, "ok").where(F.col("pa") != F.col("pb"))
+        return {(r.ok, r.pa, r.pb) for r in got.collect()}
+
+    uncapped = pairs(bought)
+    capped = pairs(capped_baskets(bought, cap=4))
+    assert capped < uncapped
+    # giant basket contributes exactly cap*(cap-1) ordered pairs
+    assert sum(1 for ok, _, _ in capped if ok == 1) == 4 * 3
+    # small baskets under the cap are untouched
+    assert {t for t in capped if t[0] == 2} == {t for t in uncapped if t[0] == 2}
+    assert pairs(capped_baskets(bought, cap=10)) == uncapped
