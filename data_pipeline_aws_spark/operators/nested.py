@@ -229,7 +229,7 @@ SELECT CASE WHEN ref_type <> 'Patient' THEN '(foreign-type)'
             WHEN c_mktsegment IS NULL  THEN '(dangling)'
             ELSE c_mktsegment END         AS ref_target_segment,
        CAST(COUNT(*) AS BIGINT)           AS n_encounters,
-       CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_patients
+       CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_ref_ids
 FROM resolved
 GROUP BY 1
 """,
@@ -253,7 +253,9 @@ def q_fhir_reference_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equi-join on (parsed id, type gate) — at 100 TB the parse cost
     is map-side and the join shuffles on the parsed id exactly as a
     native FK join would; the output collapses to the bounded
-    segment-grain report."""
+    segment-grain report. n_ref_ids counts distinct REFERENCED ids per
+    bucket — Patient ids in resolved/dangling buckets, Practitioner ids
+    in the '(foreign-type)' bucket."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     enc = o.select(
         "o_orderkey",
@@ -290,5 +292,5 @@ def q_fhir_reference_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return resolved.groupBy(bucket.alias("ref_target_segment")).agg(
         F.count(F.lit(1)).alias("n_encounters"),
-        F.count_distinct("ref_id").alias("n_patients"),
+        F.count_distinct("ref_id").alias("n_ref_ids"),
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -731,6 +732,15 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         early.coalesce(1).write.parquet(os.path.join(arrival, "b0"))
         rest.coalesce(1).write.parquet(os.path.join(arrival, "b1"))
         replay.coalesce(1).write.parquet(os.path.join(arrival, "b2"))
+        # Pin strictly increasing mtimes explicitly: the file source orders
+        # batches by mtime, and three back-to-back writes can tie on a
+        # coarse-mtime filesystem, merging the replay into an earlier batch
+        # and breaking the watermark-drop contract under test.
+        base = time.time()
+        for i, b in enumerate(("b0", "b1", "b2")):
+            d = os.path.join(arrival, b)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
         schema = spark.read.parquet(os.path.join(arrival, "b0")).schema
         stream = (
             spark.readStream.schema(schema)

@@ -205,37 +205,45 @@ def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, embedding); the label column is pruned at the scan. This is
     the template for custom vector kernels (norms, PQ distance tables,
     quantizer encode) where even pandas overhead is measurable at 100 TB."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(arrow_l2_norms, "vec_id long, dim int, l2_norm double")
+
+
+def arrow_l2_norms(batches):
+    """Arrow-native L2-norm kernel for mapInArrow (see q_arrow_map); module
+    level so the ragged/empty-row fallback is unit-testable off-plan."""
     import pyarrow as pa
 
-    def norms(batches):
-        for batch in batches:
-            vec_ids = batch.column("vec_id")
-            emb = batch.column("embedding")
-            # flatten() (not .values) + offset re-basing: a SLICED
-            # ListArray keeps absolute offsets into the parent buffer —
-            # .values would misalign the reshape and silently fold
-            # trailing parent values into the last row's norm
-            flat = np.asarray(emb.flatten(), dtype=np.float64)
-            offsets = np.asarray(emb.offsets)
-            offsets = offsets - offsets[0]
-            dims = np.diff(offsets).astype(np.int32)
-            # fixture vectors are fixed-dim; reshape + einsum does all rows
-            # in one BLAS-shaped pass (ragged fallback: np.add.reduceat)
-            if len(dims) and (dims == dims[0]).all():
-                sq = np.einsum(
-                    "ij,ij->i", flat.reshape(len(dims), dims[0]),
-                    flat.reshape(len(dims), dims[0]),
-                )
-            else:
-                sq = np.add.reduceat(flat * flat, offsets[:-1])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    vec_ids,
-                    pa.array(dims, type=pa.int32()),
-                    pa.array(np.round(np.sqrt(sq), 6), type=pa.float64()),
-                ],
-                names=["vec_id", "dim", "l2_norm"],
+    for batch in batches:
+        vec_ids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        # flatten() (not .values) + offset re-basing: a SLICED
+        # ListArray keeps absolute offsets into the parent buffer —
+        # .values would misalign the reshape and silently fold
+        # trailing parent values into the last row's norm
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        offsets = np.asarray(emb.offsets)
+        offsets = offsets - offsets[0]
+        dims = np.diff(offsets).astype(np.int32)
+        # fixture vectors are fixed-dim; reshape + einsum does all rows
+        # in one BLAS-shaped pass
+        if len(dims) and dims[0] > 0 and (dims == dims[0]).all():
+            sq = np.einsum(
+                "ij,ij->i", flat.reshape(len(dims), dims[0]),
+                flat.reshape(len(dims), dims[0]),
             )
-
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return e.mapInArrow(norms, "vec_id long, dim int, l2_norm double")
+        else:
+            # cumsum segment-sum, not np.add.reduceat: reduceat returns
+            # the NEXT segment's leading element for zero-length (or
+            # null) rows and raises on a trailing empty row — the
+            # cumsum difference is exactly 0 for empty segments
+            cs = np.concatenate(([0.0], np.cumsum(flat * flat)))
+            sq = cs[offsets[1:]] - cs[offsets[:-1]]
+        yield pa.RecordBatch.from_arrays(
+            [
+                vec_ids,
+                pa.array(dims, type=pa.int32()),
+                pa.array(np.round(np.sqrt(sq), 6), type=pa.float64()),
+            ],
+            names=["vec_id", "dim", "l2_norm"],
+        )

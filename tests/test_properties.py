@@ -969,3 +969,41 @@ def test_basket_cap_pairs_subset_and_identity_when_slack(spark):
     # small baskets under the cap are untouched
     assert {t for t in capped if t[0] == 2} == {t for t in uncapped if t[0] == 2}
     assert pairs(capped_baskets(bought, cap=10)) == uncapped
+
+
+def test_arrow_l2_kernel_ragged_empty_and_null_rows():
+    """The mapInArrow L2 kernel's ragged fallback must return 0.0 norms for
+    zero-length and null embedding rows (np.add.reduceat would leak the
+    next segment's leading element) and exact norms for ragged rows,
+    including a trailing empty row and a sliced batch."""
+    import math
+
+    import pyarrow as pa
+
+    from data_pipeline_aws_spark.udf.vectorized import arrow_l2_norms
+
+    vecs = [[3.0, 4.0], [], [1.0, 2.0, 2.0], None, []]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(len(vecs))), type=pa.int64()),
+         pa.array(vecs, type=pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"],
+    )
+    (out,) = list(arrow_l2_norms([batch]))
+    norms = out.column("l2_norm").to_pylist()
+    dims = out.column("dim").to_pylist()
+    assert norms == [5.0, 0.0, 3.0, 0.0, 0.0]
+    assert dims == [2, 0, 3, 0, 0]
+
+    # sliced batch: absolute parent offsets must be re-based
+    (out2,) = list(arrow_l2_norms([batch.slice(2, 3)]))
+    assert out2.column("l2_norm").to_pylist() == [3.0, 0.0, 0.0]
+
+    # fixed-dim fast path unchanged
+    fixed = pa.RecordBatch.from_arrays(
+        [pa.array([0, 1], type=pa.int64()),
+         pa.array([[1.0, 1.0], [2.0, 2.0]], type=pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"],
+    )
+    (out3,) = list(arrow_l2_norms([fixed]))
+    assert out3.column("l2_norm").to_pylist() == [
+        round(math.sqrt(2.0), 6), round(math.sqrt(8.0), 6)]
