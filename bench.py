@@ -75,6 +75,7 @@ def main() -> None:
     # safety valve for pathological stalls, not an expected path.
     pass2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", "450"))
     timings: dict[str, float] = {}
+    samples: dict[str, int] = {}
 
     def run_once(name: str, tag: str) -> float:
         t0 = time.perf_counter()
@@ -83,6 +84,7 @@ def main() -> None:
         elapsed = round(time.perf_counter() - t0, 3)
         if name not in timings or elapsed < timings[name]:
             timings[name] = elapsed
+        samples[name] = samples.get(name, 0) + 1
         print(f"{tag} {name} {elapsed}", file=sys.stderr, flush=True)
         return elapsed
 
@@ -96,11 +98,16 @@ def main() -> None:
         run_once(name, "pass1")
 
     total = round(sum(timings.values()), 3)
+    single_sample = sorted(n for n, k in samples.items() if k < 2)
+    if single_sample:
+        print(f"WARNING: single-sample timings for {single_sample}", file=sys.stderr)
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "single_sample_queries": single_sample,
         "sf": sf,
         "n_queries": len(timings),
     }

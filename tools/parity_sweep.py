@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Multi-SF oracle parity sweep: run EVERY registered query against its
+DuckDB oracle twin at each given SF dir and write PARITY_MULTI_SF.json at
+the repo root — the round artifact proving SF-dependent constants (e.g.
+z-order bit widths, histogram bucket spans, watermark calendar slices) hold
+across scales, not just at the driver's graded sf0.01.
+
+Usage:
+    python tools/parity_sweep.py /root/testdata/sf0.001 /root/testdata/sf0.1
+
+Status per (sf, key): "pass" (hash match), "rows-only:N" (no oracle by
+design — N rows returned), "FAIL ..." (hash mismatch) or "ERR ..." (raised).
+Exit code is non-zero if any FAIL/ERR.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
+    """Order-insensitive value hash matching the round driver's compare:
+    columns sorted by name, timestamps normalized to ns, floats %.6f."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[ns]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").map(lambda v: "%.6f" % v)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64").astype(str)
+        else:
+            df[c] = s.astype(str)
+    rows = sorted(map(tuple, df.itertuples(index=False, name=None)))
+    return len(rows), tuple(df.columns), hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+def sweep(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    out: dict[str, str] = {}
+    for name in sorted(qs):
+        try:
+            spdf = qs[name](spark, sf_dir).toPandas()
+            sql = oracles.get(name)
+            if sql is None:
+                out[name] = f"rows-only:{len(spdf)}"
+            else:
+                a, b = canon_hash(spdf), canon_hash(con.execute(sql).fetchdf())
+                out[name] = "pass" if a == b else f"FAIL spark={a[:2]} duck={b[:2]}"
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            out[name] = f"ERR {type(exc).__name__}: {exc}"[:300]
+        print(f"{tag} {name}: {out[name]}", flush=True)
+    return out
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("parity_multi_sf")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    result = {
+        sf_dir.rstrip("/").split("/")[-1]: sweep(spark, sf_dir) for sf_dir in sf_dirs
+    }
+    path = os.path.join(_REPO, "PARITY_MULTI_SF.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    bad = {
+        (tag, k): v
+        for tag, m in result.items()
+        for k, v in m.items()
+        if not (v == "pass" or v.startswith("rows-only"))
+    }
+    for (tag, k), v in sorted(bad.items()):
+        print(f"BAD {tag} {k}: {v}")
+    n = sum(len(m) for m in result.values())
+    print(f"{n} (sf, key) rows swept, {len(bad)} bad -> {path}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
