@@ -350,11 +350,11 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_returnflag,
-  ROUND(stddev_samp(l_quantity), 6)                 AS sd_qty,
-  ROUND(var_samp(l_quantity), 6)                    AS var_qty,
-  ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
-  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-  ROUND(skewness(l_quantity), 4)                    AS skew_qty
+  ROUND(stddev_samp(l_quantity), 6)                     AS sd_qty,
+  ROUND(var_samp(l_quantity), 6)                        AS var_qty,
+  ROUND(corr(l_quantity, l_extendedprice), 4) + 0       AS corr_qty_price,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS cov_qty_price,
+  ROUND(skewness(l_quantity), 4) + 0                    AS skew_qty
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -362,14 +362,19 @@ GROUP BY l_returnflag
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/correlation/covariance/
     skewness) — single-pass mergeable moment sketches in both engines, so
-    they scale exactly like sum/avg (partial + final, O(groups) shuffle)."""
+    they scale exactly like sum/avg (partial + final, O(groups) shuffle).
+    The sign-carrying stats add +0 after rounding on BOTH engines: a tiny
+    negative true value rounds to IEEE -0.0, which one engine may render
+    as "-0.000000" and the other as "0.000000" (seen at sf0.001 skewness);
+    -0.0 + 0 == +0.0 normalizes the representation without changing any
+    nonzero value."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + 0).alias("cov_qty_price"),
+        (F.round(F.skewness("l_quantity"), 4) + 0).alias("skew_qty"),
     )
 
 

@@ -131,7 +131,9 @@ WITH v1 AS (
 v2 AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 97 = 0
-              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+              THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 + 50)
+                    // 100) / 100.0
+              ELSE o_totalprice END AS o_totalprice
   FROM orders WHERE o_orderkey % 101 <> 0
 )
 SELECT
@@ -159,18 +161,23 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     of any real snapshot pair) are discarded BEFORE any further processing,
     so the output scales with churn, not table size. Both version filters
     are pushable scan predicates on the same file relation; value equality
-    compares the raw stored doubles (no arithmetic, no float drift — the
-    update bump itself is ROUND(·,2) in both engines)."""
+    compares the raw stored doubles for unchanged rows, and the update
+    bump rides integer cents — (cents·110 + 50) div 100 — because a
+    per-row ROUND(price·1.1, 2) double can tie-break differently across
+    engines (seen at sf0.1)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     v1 = o.where(F.col("o_orderkey") % 103 != 0).alias("v1")
+    bumped = (
+        F.expr(
+            "(cast(round(o_totalprice * 100) as bigint) * 110 + 50) div 100"
+        )
+        / 100.0
+    )
     v2 = (
         o.where(F.col("o_orderkey") % 101 != 0)
         .select(
             "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 97 == 0,
-                F.round(F.col("o_totalprice") * 1.1, 2),
-            )
+            F.when(F.col("o_orderkey") % 97 == 0, bumped)
             .otherwise(F.col("o_totalprice"))
             .alias("o_totalprice"),
         )
@@ -247,14 +254,18 @@ def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_cdc_apply",
     oracle="""
-WITH v1 AS (
-  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 103 <> 0
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v1 AS (
+  SELECT o_orderkey, cents FROM base WHERE o_orderkey % 103 <> 0
 ),
 v2_expected AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 97 = 0
-              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
-  FROM orders WHERE o_orderkey % 101 <> 0
+              THEN (cents * 110 + 50) // 100 ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 101 <> 0
 ),
 feed AS (
   SELECT
@@ -262,25 +273,25 @@ feed AS (
          WHEN v2.o_orderkey IS NULL THEN 'deleted'
          ELSE 'updated' END                AS change_type,
     COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
-    v2.o_totalprice                        AS new_price
+    v2.cents                               AS new_cents
   FROM v1 FULL OUTER JOIN v2_expected v2 ON v1.o_orderkey = v2.o_orderkey
   WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
-     OR v1.o_totalprice <> v2.o_totalprice
+     OR v1.cents <> v2.cents
 ),
 reconstructed AS (
   SELECT o_orderkey,
-         COALESCE(f.new_price, b.o_totalprice) AS o_totalprice
+         COALESCE(f.new_cents, b.cents) AS cents
   FROM v1 b
   LEFT JOIN feed f USING (o_orderkey)
   WHERE f.change_type IS NULL OR f.change_type = 'updated'
   UNION ALL
-  SELECT o_orderkey, new_price FROM feed WHERE change_type = 'added'
+  SELECT o_orderkey, new_cents FROM feed WHERE change_type = 'added'
 )
 SELECT
-  CAST(COUNT(*) AS BIGINT)     AS n_rows,
-  ROUND(SUM(o_totalprice), 2)  AS total_price,
-  CAST((SELECT COUNT(*) FROM v2_expected) AS BIGINT)    AS expected_rows,
-  ROUND((SELECT SUM(o_totalprice) FROM v2_expected), 2) AS expected_total
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(cents) / 100.0, 2) AS total_price,
+  CAST((SELECT COUNT(*) FROM v2_expected) AS BIGINT) AS expected_rows,
+  (SELECT ROUND(SUM(cents) / 100.0, 2) FROM v2_expected) AS expected_total
 FROM reconstructed
 """,
 )
@@ -299,15 +310,24 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     row carries both the reconstruction's and the expected snapshot's
     count and total — equal columns are the proof, checked exactly by the
     oracle."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # All price arithmetic rides integer CENTS: at sf0.1 a per-row
+    # ROUND(price*1.1, 2) double can tie-break differently across engines
+    # and a 150k-row double SUM is summation-order-dependent; the
+    # (cents*110 + 50) div 100 update rule and bigint sums are exact and
+    # identical everywhere.
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
     v1 = o.where(F.col("o_orderkey") % 103 != 0)
     v2 = o.where(F.col("o_orderkey") % 101 != 0).select(
         "o_orderkey",
         F.when(
-            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            F.col("o_orderkey") % 97 == 0,
+            F.expr("(cents * 110 + 50) div 100"),
         )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
+        .otherwise(F.col("cents"))
+        .alias("cents"),
     )
     a, b = v1.alias("v1"), v2.alias("v2")
     feed = (
@@ -315,7 +335,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("v1.o_orderkey").isNull()
             | F.col("v2.o_orderkey").isNull()
-            | (F.col("v1.o_totalprice") != F.col("v2.o_totalprice"))
+            | (F.col("v1.cents") != F.col("v2.cents"))
         )
         .select(
             F.when(F.col("v1.o_orderkey").isNull(), "added")
@@ -325,7 +345,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias(
                 "o_orderkey"
             ),
-            F.col("v2.o_totalprice").alias("new_price"),
+            F.col("v2.cents").alias("new_cents"),
         )
     )
     surviv = (
@@ -333,21 +353,22 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("change_type").isNull() | (F.col("change_type") == "updated"))
         .select(
             "o_orderkey",
-            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+            F.coalesce("new_cents", "cents").alias("cents"),
         )
     )
     added = feed.where(F.col("change_type") == "added").select(
-        "o_orderkey", F.col("new_price").alias("o_totalprice")
+        "o_orderkey", F.col("new_cents").alias("cents")
     )
     recon = surviv.unionByName(added)
+    total = F.round(F.sum("cents") / 100.0, 2)
     expected = v2.agg(
         F.count(F.lit(1)).alias("expected_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("expected_total"),
+        total.alias("expected_total"),
     )
     return (
         recon.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            total.alias("total_price"),
         )
         .crossJoin(F.broadcast(expected))
     )

@@ -18,9 +18,42 @@ explicit and scale-aware:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers regardless
+    of their working directory: zip the package source once per code version
+    and ``sc.addPyFile`` it.
+
+    Module-level functions handed to mapInPandas/mapInArrow are cloudpickled
+    BY REFERENCE (module + qualname) — the worker must be able to import the
+    module, and workers do not inherit the driver's ``sys.path`` edits. This
+    is the same move a real cluster deployment makes (``--py-files``); in
+    local mode it costs one ~100 KB zip per code version."""
+    sources = []
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    for dirpath, dirnames, files in os.walk(pkg_dir):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        sources += [os.path.join(dirpath, f) for f in files if f.endswith(".py")]
+    h = hashlib.md5()
+    for p in sorted(sources):
+        h.update(p.encode())
+        h.update(open(p, "rb").read())
+    zpath = os.path.join(tempfile.gettempdir(), f"dpas_pkg_{h.hexdigest()[:10]}.zip")
+    if not os.path.exists(zpath):
+        root = os.path.dirname(pkg_dir)
+        tmp = f"{zpath}.tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(sources):
+                z.write(p, os.path.relpath(p, root))
+        os.replace(tmp, zpath)  # atomic: concurrent sessions race safely
+    spark.sparkContext.addPyFile(zpath)
 
 
 def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
@@ -28,7 +61,7 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -61,6 +94,7 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=200")
         .getOrCreate()
     )
+    return tune_session(spark)  # incl. ship_package for Python workers
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -80,6 +114,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             return spark
     except Exception:
         pass
+    ship_package(spark)
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
