@@ -113,3 +113,15 @@ def test_survey_section2_matches_registry_exactly():
     keys = set(QUERIES)
     assert keys <= in_survey, sorted(keys - in_survey)
     assert in_survey <= keys, sorted(in_survey - keys)
+
+
+def test_package_zip_shipped_to_python_workers(spark):
+    """Executor-side Python must be able to import the package regardless
+    of the worker's cwd: module-level functions handed to mapInArrow /
+    mapInPandas are cloudpickled BY REFERENCE, so tune_session must have
+    addPyFile'd the package zip (the --py-files move)."""
+    from data_pipeline_aws_spark.session import tune_session
+
+    tune_session(spark)
+    includes = list(spark.sparkContext._python_includes)
+    assert any("dpas_pkg_" in p for p in includes), includes
