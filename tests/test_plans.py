@@ -690,3 +690,31 @@ def test_markov_single_user_exchange_bounded_matrix_rest(plans):
     on the bounded |types|^2 matrix."""
     p = plans("q_markov").split("== Initial Plan ==")[0]
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_weighted_percentile_grain_collapse_then_brand_windows(plans):
+    """q_weighted_percentile must collapse lines to (brand, price) grain
+    before any window: one agg exchange plus one brand-grain window
+    exchange, the part dim broadcast — never a sort-merge join or a sort
+    of the fact table."""
+    p = plans("q_weighted_percentile").split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning(p_brand") == 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_knn_classify_single_query_exchange_heap_topk(plans):
+    """q_knn_classify's only data-scale shuffle is the query_id exchange;
+    the k-nearest cut compiles to WindowGroupLimit heaps, not a global
+    sort."""
+    p = plans("q_knn_classify").split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning(query_id") == 1, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_bfs_hops_report_grain_exchange_only(plans):
+    """q_bfs_hops' final plan aggregates the labeled frontier at hops
+    grain: one bounded 'hops' exchange, no cartesian anywhere."""
+    p = plans("q_bfs_hops").split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning(hops") == 1, p
+    assert "CartesianProduct" not in p, p
