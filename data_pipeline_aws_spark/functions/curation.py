@@ -956,3 +956,58 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DOMAIN_CAP = 20  # binds at every SF (25 docs/source at sf<=0.01, 250 at sf0.1)
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_HASH_MULT}) % 1000000007, doc_id) AS rnk
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT)     AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM ranked WHERE rnk <= {_DOMAIN_CAP}
+GROUP BY source, lang
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-domain document cap — the 'no domain dominates' guard a
+    pretraining corpus applies before mixing (cap pages per web domain /
+    repo / feed), distinct from q_sample_stratified's fractional rates and
+    q_mix_sources' temperature reweighting: a domain over the cap
+    contributes exactly ``cap`` documents no matter how huge it is, chosen
+    by a DETERMINISTIC hash priority ((doc_id · Knuth-mult) mod large
+    prime, doc_id tiebreak) so the kept set is replayable and
+    rank-stable as the corpus grows — no rand(), no sort by arrival order.
+
+    Plan shape at 100 TB: one shuffle on the domain key; the rank ≤ cap
+    predicate compiles to partial+final WindowGroupLimit heaps (each map
+    task keeps at most ``cap`` rows per domain before the exchange —
+    plan-asserted), so a billion-page domain ships ``cap`` rows, not a
+    billion; the (source, lang) report grid is bounded. The per-(source,
+    lang) kept counts and char sums depend on exactly WHICH documents the
+    priority ranked under the cap, so the oracle hash grades the
+    selection itself, not just its size."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        ((F.col("doc_id") * _HASH_MULT) % 1000000007).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _DOMAIN_CAP)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

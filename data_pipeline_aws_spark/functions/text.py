@@ -1289,3 +1289,70 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+_QC_BUCKETS = 64
+# Deterministic pseudo-weights standing in for a learned model vector: a
+# real fasttext-style quality classifier would broadcast its trained
+# weights exactly like this array literal; the Knuth-multiplicative formula
+# keeps both engines bit-identical without shipping a model file.
+_QC_WEIGHTS = [
+    ((i * 2654435761) % 1000003) - 500000 for i in range(_QC_BUCKETS)
+]
+_QC_WEIGHTS_SQL = "[" + ", ".join(str(w) for w in _QC_WEIGHTS) + "]"
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         COALESCE(list_sum(list_transform(
+           list_filter(string_split(text, ' '), t -> t <> ''),
+           t -> ({_QC_WEIGHTS_SQL})[
+                  (ascii(t) * 31 + length(t)) % {_QC_BUCKETS} + 1 ]
+         )), 0) AS score
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)                              AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(SUM(score) AS BIGINT)                            AS total_score
+FROM scored
+GROUP BY lang
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (the fasttext/CCNet-style
+    doc scorer): each token hashes into one of 64 feature buckets
+    (hashing trick — first-char code · 31 + length, mod buckets), the
+    model is a broadcast weight VECTOR indexed per token, and the doc
+    score is the integer weight sum; the per-language report counts docs
+    the model scores positive. Integer weights keep the score exact, so
+    the oracle hash grades every per-token bucket assignment and the full
+    dot product, not a float approximation.
+
+    This is the 100 TB quality-filter shape: the weight array rides the
+    plan as a literal (a learned model would broadcast the same way), the
+    whole score is ONE in-row transform+aggregate over the split tokens —
+    map-only whole-stage codegen, no explode, no Python, no shuffle until
+    the bounded per-language grid (plan-asserted)."""
+    weights = F.array(*[F.lit(w).cast("long") for w in _QC_WEIGHTS])
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    score = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                weights,
+                ((F.ascii(t) * 31 + F.length(t)) % _QC_BUCKETS + 1).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = table(spark, sf_dir, "documents").select("lang", score.alias("score"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("int")).cast("long").alias("n_positive"),
+        F.sum("score").alias("total_score"),
+    )

@@ -718,3 +718,23 @@ def test_bfs_hops_report_grain_exchange_only(plans):
     p = plans("q_bfs_hops").split("== Initial Plan ==")[0]
     assert p.count("Exchange hashpartitioning(hops") == 1, p
     assert "CartesianProduct" not in p, p
+
+
+def test_domain_cap_compiles_to_group_limit_heaps(plans):
+    """q_domain_cap's rank <= cap must run as partial+final WindowGroupLimit
+    on the domain key — a giant domain ships cap rows per map task, never
+    its full page set — with one source-grain exchange."""
+    p = plans("q_domain_cap").split("== Initial Plan ==")[0]
+    assert "row_number(), 20, Partial" in p, p
+    assert "row_number(), 20, Final" in p, p
+    assert p.count("Exchange hashpartitioning(source") == 1, p
+
+
+def test_quality_classifier_map_only_scoring(plans):
+    """q_quality_classifier's token scoring stays in-row JVM codegen: no
+    explode (generator), no Python eval, and the only exchange carries the
+    bounded per-language grid."""
+    p = plans("q_quality_classifier").split("== Initial Plan ==")[0]
+    assert "Generate" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning(lang") == 1, p
