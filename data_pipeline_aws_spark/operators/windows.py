@@ -247,3 +247,64 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rev / F.sum("revenue").over(w_region).cast("double")).alias("region_share"),
         (rev / F.sum("revenue").over(w_all).cast("double")).alias("global_share"),
     )
+
+
+_GID_BUCKET_W = 4096  # orderkeys per numbering bucket
+
+
+@query(
+    "q_global_rownum",
+    oracle="""
+WITH kept AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0
+),
+g AS (
+  SELECT o_orderpriority,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS gid
+  FROM kept
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)  AS n_orders,
+       CAST(SUM(gid) AS BIGINT)  AS sum_gid,
+       CAST(MIN(gid) AS BIGINT)  AS min_gid,
+       CAST(MAX(gid) AS BIGINT)  AS max_gid
+FROM g GROUP BY o_orderpriority
+""",
+)
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers over a total order WITHOUT the classic
+    scale trap: `ROW_NUMBER() OVER (ORDER BY key)` with no PARTITION BY
+    plans an Exchange SinglePartition — every row through one task. The
+    distributed shape is a two-level prefix sum (the q_seq_pack rule
+    applied to ordinals): (1) rows bucket by key range, (2) a BOUNDED
+    bucket→count table gets cumulative offsets (the only single-partition
+    window, over |keyspace|/W rows — size W to keep that ~1e5, or add a
+    third level for 1e12-key tables), (3) each row's id = broadcast bucket
+    offset + its row_number WITHIN the bucket — a hash-partitioned window.
+
+    The numbered set is a filtered (non-dense) key space, so ids != key+1
+    and the oracle's independent ROW_NUMBER genuinely checks the
+    offset arithmetic: per-priority sum/min/max of ids match only if the
+    global numbering is gapless, collision-free, and correctly ordered."""
+    kept = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .where(F.col("o_orderkey") % 7 != 0)
+        .withColumn("bucket", F.col("o_orderkey") - (F.col("o_orderkey") % _GID_BUCKET_W))
+    )
+    counts = kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n_b").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
+    gid = (F.col("offset") + F.row_number().over(w_in)).alias("gid")
+    g = kept.join(F.broadcast(offsets), "bucket").select("o_orderpriority", gid)
+    return g.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("gid").alias("sum_gid"),
+        F.min("gid").alias("min_gid"),
+        F.max("gid").alias("max_gid"),
+    )

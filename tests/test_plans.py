@@ -738,3 +738,14 @@ def test_quality_classifier_map_only_scoring(plans):
     assert "Generate" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert p.count("Exchange hashpartitioning(lang") == 1, p
+
+
+def test_global_rownum_no_data_scale_single_partition(plans):
+    """q_global_rownum's whole point: the data-side row_number window is
+    hash-partitioned on the numbering bucket; the ONLY SinglePartition
+    exchange feeds the bounded bucket-offsets window, never the row
+    stream."""
+    p = plans("q_global_rownum").split("== Initial Plan ==")[0]
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "windowspecdefinition(bucket" in p, p
+    assert p.count("Exchange hashpartitioning(bucket") >= 1, p
