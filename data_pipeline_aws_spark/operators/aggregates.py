@@ -1149,3 +1149,66 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+_KTH_BUCKET_W = 100.0  # histogram width; bucket count bounded by the VALUE
+# DOMAIN (TPC-H extendedprice < ~110k at every SF), not by row count
+
+
+@query(
+    "q_exact_median",
+    oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+k AS (SELECT n_rows, (n_rows + 1) // 2 AS k FROM n)
+SELECT n_rows,
+       CAST(k AS BIGINT) AS k,
+       (SELECT l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice LIMIT 1 OFFSET (SELECT k - 1 FROM k))
+         AS median_price
+FROM k
+""",
+)
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (k-th smallest, k=(n+1)//2) without sorting the
+    table — the histogram-refinement selection pattern that complements
+    q_approx_percentile's sketch when exactness is contractual:
+
+    Pass 1 aggregates value-domain bucket counts (floor(x/W) — the bucket
+    table is bounded by the DOMAIN, ~1.1k buckets here, regardless of row
+    count); the driver walks the cumulative counts to find the one bucket
+    containing rank k and the residual rank r inside it. Pass 2 scans ONLY
+    that bucket's value range (a pushed-down range predicate) and takes
+    the r-th smallest of that small slice via an ordered LIMIT — a top-r
+    heap, not a sort. Total cost: two map-side passes + a bounded
+    collect; a full distributed sort would shuffle every row. The emitted
+    median is a STORED double (no arithmetic), so the oracle's ORDER
+    BY/OFFSET k-1 must agree bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    hist = (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / _KTH_BUCKET_W).cast("long").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(r.c for r in hist)
+    k = (n + 1) // 2
+    cum = 0
+    for r in sorted(hist, key=lambda r: r.b):
+        if cum + r.c >= k:
+            target_bucket, residual = r.b, k - cum
+            break
+        cum += r.c
+    lo = target_bucket * _KTH_BUCKET_W
+    hi = lo + _KTH_BUCKET_W
+    kth = (
+        li.where((F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") < hi))
+        .orderBy("l_extendedprice")
+        .limit(int(residual))
+        .agg(F.max("l_extendedprice").alias("median_price"))
+    )
+    return kth.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(k).cast("long").alias("k"),
+        "median_price",
+    )

@@ -14,7 +14,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -927,4 +927,61 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("x").cast("double") / 1000.0, 6).alias("value_sum"),
         )
+    )
+
+
+@query(
+    "q_range_sort_sink",
+    oracle="""
+SELECT CAST(8 AS BIGINT)          AS n_files,
+       CAST(COUNT(*) AS BIGINT)   AS n_rows,
+       TRUE                       AS ranges_disjoint
+FROM orders
+""",
+)
+def q_range_sort_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order table layout WITHOUT a global sort:
+    ``repartitionByRange`` samples range boundaries and hash-free
+    partitions rows into disjoint key ranges, ``sortWithinPartitions``
+    orders each range locally — together they produce a globally-ordered
+    file set (the sorted-parquet layout min/max file skipping feeds on)
+    while every task sorts only its own slice; a naive ``orderBy`` before
+    write would be a single total-order sort (fine — Spark range-shuffles
+    it too) but loses the explicit partition-count control a layout job
+    wants. The 1-D total-order complement of q_zorder's multi-dim
+    clustering.
+
+    The verdict columns prove the layout: per-file [min, max] intervals,
+    ordered by min, must be pairwise DISJOINT (lead-window check over the
+    bounded 8-row file-stats table — equal keys can never straddle a
+    boundary because the range partitioner routes them together). Range
+    boundaries come from sampling and may vary with input parallelism, so
+    the oracle asserts the invariants (file count, row conservation,
+    disjointness), not the boundary values themselves."""
+    out = _cache_dir("range_sorted_orders", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .repartitionByRange(8, "o_totalprice")
+            .sortWithinPartitions("o_totalprice")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "o_totalprice"
+    )
+    stats = back.groupBy("f").agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    nxt = F.lead("mn").over(Window.orderBy("mn"))
+    per_file = stats.select(
+        "c", (F.col("mx") <= F.coalesce(nxt, F.lit(float("inf")))).alias("ok")
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("c").alias("n_rows"),
+        F.min(F.col("ok").cast("int")).cast("boolean").alias("ranges_disjoint"),
     )

@@ -749,3 +749,16 @@ def test_global_rownum_no_data_scale_single_partition(plans):
     assert p.count("Exchange SinglePartition") == 1, p
     assert "windowspecdefinition(bucket" in p, p
     assert p.count("Exchange hashpartitioning(bucket") >= 1, p
+
+
+def test_exact_median_refinement_slice_is_pushed_and_heap_limited(plans):
+    """q_exact_median's pass-2 slice must reach the scan as a pushed range
+    predicate on l_extendedprice and take the r-th element via an ordered
+    limit (TakeOrdered heap), never a sort of the table."""
+    import re
+
+    p = plans("q_exact_median")
+    assert "GreaterThanOrEqual(l_extendedprice" in p, p
+    # the upper bound also reaches DataFilters (PushedFilters line truncates)
+    assert re.search(r"l_extendedprice#\d+ < ", p), p
+    assert "TakeOrderedAndProject" in p, p

@@ -143,3 +143,32 @@ def test_gdpr_delete_leaves_untouched_partitions_untouched(spark, sf_dir, tmp_pa
     assert back.where(tombstoned).count() == 0
     expected = src.where(~tombstoned).count()
     assert back.count() == expected
+
+
+def test_range_sort_sink_files_are_disjoint_and_internally_sorted(spark, sf_dir):
+    """q_range_sort_sink must leave 8 parquet files whose [min,max] price
+    ranges are pairwise disjoint AND whose rows are internally sorted —
+    checked at the filesystem level, file by file."""
+    import glob
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.sources.ingest import _cache_dir
+
+    row = all_queries()["q_range_sort_sink"](spark, sf_dir).collect()[0]
+    assert row.n_files == 8 and row.ranges_disjoint
+
+    files = sorted(glob.glob(_cache_dir("range_sorted_orders", sf_dir) + "/*.parquet"))
+    assert len(files) == 8
+    spans = []
+    total = 0
+    for f in files:
+        s = pd.read_parquet(f)["o_totalprice"]
+        assert s.is_monotonic_increasing, f"{f} not internally sorted"
+        spans.append((float(s.min()), float(s.max())))
+        total += len(s)
+    spans.sort()
+    for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+        assert amax <= bmin
+    assert total == row.n_rows
