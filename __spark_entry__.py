@@ -61,7 +61,7 @@ _PRIORITY = [
     "q_multimodal_audio",
     # new this round
     "q_domain_cap", "q_quality_classifier", "q_global_rownum",
-    "q_exact_median", "q_range_sort_sink",
+    "q_exact_median", "q_range_sort_sink", "q_woe_iv",
     # 37 more oracle-backed keys never driver-graded (rounds 1-3 queue order)
     "q_anomaly_iqr", "q_vocab_coverage", "q_join_asof_tolerance",
     "q_abc_analysis", "q_period_growth", "q_benford", "q_stream_alert",
@@ -73,10 +73,9 @@ _PRIORITY = [
     "q_cusum_changepoint", "q_unpivot", "q_interval_overlap",
     "q_fd_discovery", "q_bfs_hops", "q_dsir_weights", "q_stream_late_data",
     "q_survival_km", "q_fuzzy_match", "q_group_mode", "q_pseudonymize",
-    "q_arrow_map",
     # --- ~50-entry grading cap lands here ---
     # round-5 rotation queue: still never driver-graded
-    "q_python_datasource", "q_sentiment",
+    "q_arrow_map", "q_python_datasource", "q_sentiment",
     "q_row_level_security", "q_allocation", "q_running_distinct",
     "q_gaps_islands", "q_weighted_percentile", "q_survivorship",
     "q_forecast_eval", "q_slo_burn", "q_fhir_reference_resolve",

@@ -42,7 +42,8 @@ HEADLINE = [
     "q_pq_quantize", "q_knn_classify", "q_event_paths", "q_ppl_buckets",
     # round-3 session additions (tail — dropped first if the line overflows)
     "q_dsir_weights", "q_survival_km", "q_bfs_hops", "q_ks_test",
-    "q_domain_cap", "q_quality_classifier",
+    "q_domain_cap", "q_quality_classifier", "q_global_rownum",
+    "q_exact_median", "q_range_sort_sink", "q_woe_iv",
     "q_allocation", "q_slo_burn", "q_stream_late_data", "q_fuzzy_match",
 ]
 # Keep safely under the driver's 2000-char stdout tail capture.

@@ -824,3 +824,72 @@ def q_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("masked_name").alias("sample_masked_name"),
         F.count_distinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@query(
+    "q_woe_iv",
+    oracle="""
+WITH b AS (
+  SELECT CAST(FLOOR(l_discount * 100 / 2) AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT bucket, n_pos, n_neg,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_tot,
+         CAST(SUM(n_neg) OVER () AS BIGINT) AS neg_tot
+  FROM b
+),
+w AS (
+  SELECT bucket, n_pos, n_neg,
+         LN((n_pos * 1.0 / pos_tot) / (n_neg * 1.0 / neg_tot)) AS woe_raw,
+         (n_pos * 1.0 / pos_tot - n_neg * 1.0 / neg_tot)       AS dist_gap
+  FROM t
+)
+SELECT bucket, n_pos, n_neg,
+       ROUND(woe_raw, 6) AS woe,
+       ROUND(SUM(dist_gap * woe_raw) OVER (), 6) AS iv_total
+FROM w
+""",
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profiling — the standard
+    supervised feature diagnostic (credit scoring, feature selection):
+    per feature bucket (discount, 2-point bins), WOE = ln of the
+    positive-class share ratio against the negative-class share, and the
+    feature's total IV = Σ (share gap × WOE), here with returnflag='R'
+    as the label.
+
+    Scale shape: ONE partial+final aggregation collapses the fact table
+    to the bounded bucket grain; the class totals and the IV are windows
+    over that ≤|buckets|-row table, never a second scan (the q_chi2_assoc
+    contingency rule). Every input to the logs is a ratio of exact BIGINT
+    counts, and both engines round the same libm ln, so the oracle hash
+    is stable; buckets with a zero class (undefined WOE) would surface as
+    NULL identically in both engines rather than being silently
+    dropped."""
+    li = table(spark, sf_dir, "lineitem").select("l_discount", "l_returnflag")
+    pos = (F.col("l_returnflag") == "R").cast("long")
+    b = li.groupBy(
+        F.floor(F.col("l_discount") * 100 / 2).cast("long").alias("bucket")
+    ).agg(
+        F.sum(pos).alias("n_pos"),
+        F.sum(1 - pos).alias("n_neg"),
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "bucket", "n_pos", "n_neg",
+        F.sum("n_pos").over(wall).alias("pos_tot"),
+        F.sum("n_neg").over(wall).alias("neg_tot"),
+    )
+    woe_raw = F.log(
+        (F.col("n_pos") / F.col("pos_tot")) / (F.col("n_neg") / F.col("neg_tot"))
+    )
+    gap = F.col("n_pos") / F.col("pos_tot") - F.col("n_neg") / F.col("neg_tot")
+    w = t.select("bucket", "n_pos", "n_neg", woe_raw.alias("woe_raw"), gap.alias("dist_gap"))
+    return w.select(
+        "bucket", "n_pos", "n_neg",
+        F.round("woe_raw", 6).alias("woe"),
+        F.round(F.sum(F.col("dist_gap") * F.col("woe_raw")).over(wall), 6).alias("iv_total"),
+    )

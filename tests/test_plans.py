@@ -762,3 +762,12 @@ def test_exact_median_refinement_slice_is_pushed_and_heap_limited(plans):
     # the upper bound also reaches DataFilters (PushedFilters line truncates)
     assert re.search(r"l_extendedprice#\d+ < ", p), p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_woe_iv_single_fact_scan_windows_on_bucket_grain(plans):
+    """q_woe_iv must collapse lineitem once and compute totals/IV as
+    windows over the bounded bucket table — exactly one fact scan, no
+    second aggregate branch."""
+    p = plans("q_woe_iv").split("== Initial Plan ==")[0]
+    assert p.count("lineitem.parquet") == 1, p
+    assert "Window" in p, p
