@@ -1350,7 +1350,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    d = table(spark, sf_dir, "documents").select("lang", score.alias("score"))
+    # NULL text -> NULL split array -> NULL aggregate; coalesce to 0 to
+    # match the oracle's COALESCE (a null doc scores 0, not missing)
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.coalesce(score, F.lit(0).cast("long")).alias("score")
+    )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("score") > 0).cast("int")).cast("long").alias("n_positive"),

@@ -1192,6 +1192,10 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n = sum(r.c for r in hist)
+    if n == 0:  # empty relation: no rank to select; mirror an empty report
+        return spark.createDataFrame(
+            [(0, 0, None)], "n_rows long, k long, median_price double"
+        )
     k = (n + 1) // 2
     cum = 0
     for r in sorted(hist, key=lambda r: r.b):

@@ -843,13 +843,16 @@ t AS (
 ),
 w AS (
   SELECT bucket, n_pos, n_neg,
-         LN((n_pos * 1.0 / pos_tot) / (n_neg * 1.0 / neg_tot)) AS woe_raw,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN LN((n_pos * 1.0 / pos_tot) / (n_neg * 1.0 / neg_tot))
+              END                                              AS woe_raw,
          (n_pos * 1.0 / pos_tot - n_neg * 1.0 / neg_tot)       AS dist_gap
   FROM t
 )
 SELECT bucket, n_pos, n_neg,
        ROUND(woe_raw, 6) AS woe,
-       ROUND(SUM(dist_gap * woe_raw) OVER (), 6) AS iv_total
+       ROUND(SUM(CASE WHEN woe_raw IS NOT NULL THEN dist_gap * woe_raw
+                      ELSE 0 END) OVER (), 6) AS iv_total
 FROM w
 """,
 )
@@ -866,9 +869,9 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that ≤|buckets|-row table, never a second scan (the q_chi2_assoc
     contingency rule). Every input to the logs is a ratio of exact BIGINT
     counts, and both engines round the same libm ln, so the oracle hash
-    is stable; buckets with a zero class (undefined WOE) would surface as
-    NULL identically in both engines rather than being silently
-    dropped."""
+    is stable; buckets with a zero class get an explicit NULL WOE in BOTH
+    engines (DuckDB's LN(0) hard-errors, so the guard is load-bearing)
+    and contribute 0 to the IV — the standard zero-class convention."""
     li = table(spark, sf_dir, "lineitem").select("l_discount", "l_returnflag")
     pos = (F.col("l_returnflag") == "R").cast("long")
     b = li.groupBy(
@@ -883,13 +886,24 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").over(wall).alias("pos_tot"),
         F.sum("n_neg").over(wall).alias("neg_tot"),
     )
-    woe_raw = F.log(
-        (F.col("n_pos") / F.col("pos_tot")) / (F.col("n_neg") / F.col("neg_tot"))
+    woe_raw = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.log(
+            (F.col("n_pos") / F.col("pos_tot")) / (F.col("n_neg") / F.col("neg_tot"))
+        ),
     )
     gap = F.col("n_pos") / F.col("pos_tot") - F.col("n_neg") / F.col("neg_tot")
     w = t.select("bucket", "n_pos", "n_neg", woe_raw.alias("woe_raw"), gap.alias("dist_gap"))
     return w.select(
         "bucket", "n_pos", "n_neg",
         F.round("woe_raw", 6).alias("woe"),
-        F.round(F.sum(F.col("dist_gap") * F.col("woe_raw")).over(wall), 6).alias("iv_total"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("woe_raw").isNotNull(),
+                    F.col("dist_gap") * F.col("woe_raw"),
+                ).otherwise(0.0)
+            ).over(wall),
+            6,
+        ).alias("iv_total"),
     )

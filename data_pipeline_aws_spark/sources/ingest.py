@@ -587,16 +587,28 @@ def gdpr_delete_partitions(
     directory absent from the written data is left physically untouched —
     no copy, no rename, no per-partition driver loop. At day grain on a
     100 TB table this is one distributed job instead of thousands of
-    serialized ones (mtime-pinned by tests/test_sources_sinks.py)."""
+    serialized ones (mtime-pinned by tests/test_sources_sinks.py).
+
+    A partition whose rows are ALL tombstoned produces no survivor rows,
+    so dynamic overwrite would leave its old directory (and the data)
+    intact; those fully-deleted partitions are dropped explicitly by
+    value — a bounded partition-VALUE collect plus one directory remove
+    each, the metadata-drop a table format would do in its manifest."""
+    import shutil
+
     affected = src.where(tombstoned).select(part_key).distinct()
+    survivors = src.join(F.broadcast(affected), part_key, "semi").where(~tombstoned)
     (
-        src.join(F.broadcast(affected), part_key, "semi")
-        .where(~tombstoned)
-        .write.mode("overwrite")
+        survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_key)
         .parquet(path)
     )
+    surviving_vals = {r[part_key] for r in survivors.select(part_key).distinct().collect()}
+    for r in affected.collect():
+        v = r[part_key]
+        if v not in surviving_vals:
+            shutil.rmtree(os.path.join(path, f"{part_key}={v}"), ignore_errors=True)
 
 
 @query(

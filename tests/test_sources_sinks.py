@@ -172,3 +172,33 @@ def test_range_sort_sink_files_are_disjoint_and_internally_sorted(spark, sf_dir)
     for (_, amax), (bmin, _) in zip(spans, spans[1:]):
         assert amax <= bmin
     assert total == row.n_rows
+
+
+def test_gdpr_delete_drops_fully_tombstoned_partition(spark, sf_dir, tmp_path):
+    """A partition whose rows are ALL tombstoned produces no survivors for
+    dynamic overwrite to rewrite — the helper must drop its directory
+    explicitly, not silently retain the data."""
+    import os
+
+    from data_pipeline_aws_spark.sources.ingest import (
+        gdpr_delete_partitions,
+        write_partitioned,
+    )
+
+    src = (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("ship_year", F.year("l_shipdate"))
+        .select("l_orderkey", "l_extendedprice", "ship_year")
+    )
+    years = sorted(r.ship_year for r in src.select("ship_year").distinct().collect())
+    target_year = years[0]
+    out = str(tmp_path / "gdpr_full")
+    write_partitioned(src, out, "ship_year")
+    assert os.path.isdir(os.path.join(out, f"ship_year={target_year}"))
+
+    gdpr_delete_partitions(src, out, F.col("ship_year") == target_year, "ship_year")
+
+    assert not os.path.exists(os.path.join(out, f"ship_year={target_year}"))
+    back = spark.read.parquet(out)
+    assert back.where(F.col("ship_year") == target_year).count() == 0
+    assert back.count() == src.where(F.col("ship_year") != target_year).count()

@@ -29,10 +29,7 @@ sys.path.insert(0, _REPO)
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from data_pipeline_aws_spark.tables import TABLES  # noqa: E402  - single source of truth
 
 
 def canon_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
