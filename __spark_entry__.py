@@ -62,7 +62,7 @@ _PRIORITY = [
     # new this round
     "q_domain_cap", "q_quality_classifier", "q_global_rownum",
     "q_exact_median", "q_range_sort_sink", "q_woe_iv",
-    # 37 more oracle-backed keys never driver-graded (rounds 1-3 queue order)
+    # 36 more oracle-backed keys never driver-graded (rounds 1-3 queue order)
     "q_anomaly_iqr", "q_vocab_coverage", "q_join_asof_tolerance",
     "q_abc_analysis", "q_period_growth", "q_benford", "q_stream_alert",
     "q_resample_interp", "q_match_pattern", "q_rfm", "q_cohort_ltv",

@@ -851,8 +851,9 @@ w AS (
 )
 SELECT bucket, n_pos, n_neg,
        ROUND(woe_raw, 6) AS woe,
-       ROUND(SUM(CASE WHEN woe_raw IS NOT NULL THEN dist_gap * woe_raw
-                      ELSE 0 END) OVER (), 6) AS iv_total
+       ROUND(SUM(CASE WHEN woe_raw IS NOT NULL
+                      THEN CAST(ROUND(dist_gap * woe_raw * 1000000) AS BIGINT)
+                      ELSE 0 END) OVER () / 1000000.0, 6) AS iv_total
 FROM w
 """,
 )
@@ -871,7 +872,11 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and both engines round the same libm ln, so the oracle hash
     is stable; buckets with a zero class get an explicit NULL WOE in BOTH
     engines (DuckDB's LN(0) hard-errors, so the guard is load-bearing)
-    and contribute 0 to the IV — the standard zero-class convention."""
+    and contribute 0 to the IV — the standard zero-class convention. Each bucket's IV contribution is
+    fixed to micro-units (x1e6, rounded to BIGINT) BEFORE the total, so
+    the sum is exact integer arithmetic — a raw double window SUM would
+    be summation-order-dependent across engines (the q_cdc_apply
+    lesson)."""
     li = table(spark, sf_dir, "lineitem").select("l_discount", "l_returnflag")
     pos = (F.col("l_returnflag") == "R").cast("long")
     b = li.groupBy(
@@ -901,9 +906,12 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("woe_raw").isNotNull(),
-                    F.col("dist_gap") * F.col("woe_raw"),
-                ).otherwise(0.0)
-            ).over(wall),
+                    F.round(
+                        F.col("dist_gap") * F.col("woe_raw") * 1000000
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).over(wall)
+            / 1000000.0,
             6,
         ).alias("iv_total"),
     )

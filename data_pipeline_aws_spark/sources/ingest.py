@@ -576,39 +576,75 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _escape_partition_value(v) -> str:
+    """Hive-style partition-directory naming (the escaping Spark applies
+    when writing ``part_key=value`` directories): NULL becomes the default
+    partition token; special and control characters are %XX-escaped."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    special = set("\"#%'*/:=?\\\x7f{[]^")
+    return "".join(
+        "%%%02X" % ord(ch) if ch in special or ord(ch) < 32 else ch
+        for ch in str(v)
+    )
+
+
 def gdpr_delete_partitions(
     src: DataFrame, path: str, tombstoned: F.Column, part_key: str
 ) -> None:
-    """Targeted deletion on a partitioned parquet table as ONE dynamic
-    partition-overwrite write: a column-pruned probe finds which partitions
-    contain tombstoned rows (broadcast semi-join — never collected to the
-    driver), and a single job rewrites exactly those partitions with the
-    survivors. ``partitionOverwriteMode=dynamic`` guarantees every partition
-    directory absent from the written data is left physically untouched —
-    no copy, no rename, no per-partition driver loop. At day grain on a
-    100 TB table this is one distributed job instead of thousands of
-    serialized ones (mtime-pinned by tests/test_sources_sinks.py).
+    """Targeted deletion on a partitioned parquet table, scoped to exactly
+    the partitions containing tombstoned rows. A NULL tombstone predicate
+    means KEEP (rows the predicate cannot judge are never deleted).
 
-    A partition whose rows are ALL tombstoned produces no survivor rows,
-    so dynamic overwrite would leave its old directory (and the data)
-    intact; those fully-deleted partitions are dropped explicitly by
-    value — a bounded partition-VALUE collect plus one directory remove
-    each, the metadata-drop a table format would do in its manifest."""
+    One column-pruned probe aggregates per-partition (tombstoned, total)
+    counts — a bounded partition-VALUE collect. Partially-affected
+    partitions are rewritten with their survivors in ONE dynamic
+    partition-overwrite job whose partition-value IN-filter is a pushable
+    scan predicate; ``partitionOverwriteMode=dynamic`` leaves every other
+    directory physically untouched (mtime-pinned by
+    tests/test_sources_sinks.py) — no copy, no rename, no per-partition
+    driver loop. Fully-tombstoned partitions produce no survivor rows for
+    dynamic overwrite to rewrite, so their directories are dropped
+    explicitly (Hive-escaped names, NULL partition included), with a hard
+    error if a drop misses — silent retention is the one unacceptable
+    outcome for a right-to-be-forgotten delete. At day grain on a 100 TB
+    table: one probe + one distributed write instead of thousands of
+    serialized jobs."""
     import shutil
 
-    affected = src.where(tombstoned).select(part_key).distinct()
-    survivors = src.join(F.broadcast(affected), part_key, "semi").where(~tombstoned)
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(part_key)
-        .parquet(path)
+    is_tomb = F.coalesce(tombstoned, F.lit(False))
+    probe = (
+        src.groupBy(part_key)
+        .agg(
+            F.sum(is_tomb.cast("long")).alias("n_tomb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n_tomb") > 0)
+        .collect()
     )
-    surviving_vals = {r[part_key] for r in survivors.select(part_key).distinct().collect()}
-    for r in affected.collect():
-        v = r[part_key]
-        if v not in surviving_vals:
-            shutil.rmtree(os.path.join(path, f"{part_key}={v}"), ignore_errors=True)
+    fully_deleted = [r[part_key] for r in probe if r["n_tomb"] == r["n"]]
+    partial = [r[part_key] for r in probe if r["n_tomb"] < r["n"]]
+    if partial:
+        cond = F.lit(False)
+        non_null = [v for v in partial if v is not None]
+        if non_null:
+            cond = cond | F.col(part_key).isin(non_null)
+        if any(v is None for v in partial):
+            cond = cond | F.col(part_key).isNull()
+        (
+            src.where(cond & ~is_tomb)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_key)
+            .parquet(path)
+        )
+    for v in fully_deleted:
+        d = os.path.join(path, f"{part_key}={_escape_partition_value(v)}")
+        shutil.rmtree(d, ignore_errors=True)
+        if os.path.exists(d):
+            raise RuntimeError(
+                f"failed to drop fully-tombstoned partition directory {d}"
+            )
 
 
 @query(
@@ -989,8 +1025,11 @@ def q_range_sort_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
     )
     nxt = F.lead("mn").over(Window.orderBy("mn"))
+    # STRICT <: equal keys can never straddle a boundary in a correct
+    # range layout (the partitioner routes them together), so boundary
+    # equality would itself be the overlap this verdict exists to catch
     per_file = stats.select(
-        "c", (F.col("mx") <= F.coalesce(nxt, F.lit(float("inf")))).alias("ok")
+        "c", (F.col("mx") < F.coalesce(nxt, F.lit(float("inf")))).alias("ok")
     )
     return per_file.agg(
         F.count(F.lit(1)).alias("n_files"),

@@ -170,7 +170,7 @@ def test_range_sort_sink_files_are_disjoint_and_internally_sorted(spark, sf_dir)
         total += len(s)
     spans.sort()
     for (_, amax), (bmin, _) in zip(spans, spans[1:]):
-        assert amax <= bmin
+        assert amax < bmin
     assert total == row.n_rows
 
 
