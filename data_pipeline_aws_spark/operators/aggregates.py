@@ -1153,6 +1153,10 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KTH_BUCKET_W = 100.0  # histogram width; bucket count bounded by the VALUE
 # DOMAIN (TPC-H extendedprice < ~110k at every SF), not by row count
+_KTH_REFINE_FAN = 1000  # each refinement splits the target bucket 1000-ways
+_KTH_SLICE_CAP = 10_000  # rank within a slice only once it is this small
+_KTH_MAX_REFINES = 3  # 100 -> 0.1 -> 1e-4 -> 1e-7: below any fixed-decimal
+# value granularity, so the loop terminates for real-world numeric domains
 
 
 @query(
@@ -1170,49 +1174,92 @@ FROM k
 )
 def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global median (k-th smallest, k=(n+1)//2) without sorting the
-    table — the histogram-refinement selection pattern that complements
-    q_approx_percentile's sketch when exactness is contractual:
+    table — RECURSIVE histogram-refinement selection, the pattern that
+    complements q_approx_percentile's sketch when exactness is contractual.
 
-    Pass 1 aggregates value-domain bucket counts (floor(x/W) — the bucket
-    table is bounded by the DOMAIN, ~1.1k buckets here, regardless of row
-    count); the driver walks the cumulative counts to find the one bucket
-    containing rank k and the residual rank r inside it. Pass 2 scans ONLY
-    that bucket's value range (a pushed-down range predicate) and takes
-    the r-th smallest of that small slice via an ordered LIMIT — a top-r
-    heap, not a sort. Total cost: two map-side passes + a bounded
-    collect; a full distributed sort would shuffle every row. The emitted
-    median is a STORED double (no arithmetic), so the oracle's ORDER
-    BY/OFFSET k-1 must agree bit-for-bit."""
+    Pass 1 aggregates value-domain bucket counts (floor(x/W), W=100 — the
+    bucket table is bounded by the DOMAIN, ~1.1k buckets here, regardless
+    of row count); the driver walks the cumulative counts to find the one
+    bucket containing rank k and the residual rank r inside it. While
+    that bucket still holds more than _KTH_SLICE_CAP rows, the SAME
+    map-side histogram recurses inside it with width W/1000 — so a
+    10^11-row table needs at most ~3 extra bounded passes (each collect
+    ≤ fan+1 rows) before the slice is small, instead of funnelling an
+    n/1,100-row residual through a driver-side heap. Only the final
+    ≤_KTH_SLICE_CAP-row slice is ever ranked, via a row_number window
+    whose single partition is bounded by construction.
+
+    Bucket membership at every level uses the IDENTICAL floor expression
+    that keyed the histogram (floor(x/W) == b) — never a re-derived range
+    predicate, which under IEEE rounding can disagree with floor near
+    bucket boundaries and silently shift the selected rank. A WIDENED
+    range predicate (one full bucket width of slack each side) is ANDed
+    on purely so the parquet scan still gets a pushable min/max filter.
+    The emitted median is a STORED double (no arithmetic), so the
+    oracle's ORDER BY/OFFSET k-1 must agree bit-for-bit."""
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    hist = (
-        li.groupBy(
-            F.floor(F.col("l_extendedprice") / _KTH_BUCKET_W).cast("long").alias("b")
+    return exact_median(spark, li, "l_extendedprice", out="median_price")
+
+
+def exact_median(
+    spark: SparkSession, df: DataFrame, value_col: str, out: str = "median"
+) -> DataFrame:
+    """Recursive histogram-refinement rank-k selection (k=(n+1)//2) over
+    ``df[value_col]`` — the engine surface behind q_exact_median, split
+    out so the refinement path (only triggered by >_KTH_SLICE_CAP-dense
+    buckets, which the TPC-H fixtures never produce) is unit-testable on
+    synthetic dense data. See q_exact_median's docstring for the scale
+    contract."""
+    col = F.col(value_col)
+
+    def _hist(d, width):
+        return (
+            d.groupBy(F.floor(col / width).cast("long").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
+
+    def _walk(hist, rank):
+        cum = 0
+        for r in sorted(hist, key=lambda r: r.b):
+            if cum + r.c >= rank:
+                return r.b, rank - cum, r.c
+            cum += r.c
+        raise AssertionError("rank exceeds histogram total")
+
+    width = _KTH_BUCKET_W
+    hist = _hist(df, width)
     n = sum(r.c for r in hist)
     if n == 0:  # empty relation: no rank to select; mirror an empty report
         return spark.createDataFrame(
-            [(0, 0, None)], "n_rows long, k long, median_price double"
+            [(0, 0, None)], f"n_rows long, k long, {out} double"
         )
     k = (n + 1) // 2
-    cum = 0
-    for r in sorted(hist, key=lambda r: r.b):
-        if cum + r.c >= k:
-            target_bucket, residual = r.b, k - cum
+    rank = k
+    member = None  # conjunction of per-level floor-equality constraints
+    for _ in range(_KTH_MAX_REFINES + 1):
+        target, residual, cnt = _walk(hist, rank)
+        eq = F.floor(col / width) == target
+        member = eq if member is None else (member & eq)
+        # widened pushdown range: floor decides membership, this only skips files
+        push = (col >= (target - 1) * width) & (col < (target + 2) * width)
+        sliced = df.where(push & member)
+        if cnt <= _KTH_SLICE_CAP:
             break
-        cum += r.c
-    lo = target_bucket * _KTH_BUCKET_W
-    hi = lo + _KTH_BUCKET_W
+        width = width / _KTH_REFINE_FAN
+        rank = residual
+        hist = _hist(sliced, width)
+    # final slice is <= _KTH_SLICE_CAP rows (or width is below the value
+    # granularity: all remaining values tie, so any rank picks the same
+    # value and the single-partition window stays correct regardless)
+    win = Window.orderBy(value_col)
     kth = (
-        li.where((F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") < hi))
-        .orderBy("l_extendedprice")
-        .limit(int(residual))
-        .agg(F.max("l_extendedprice").alias("median_price"))
+        sliced.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == int(residual))
+        .select(col.alias(out))
     )
     return kth.select(
         F.lit(n).cast("long").alias("n_rows"),
         F.lit(k).cast("long").alias("k"),
-        "median_price",
+        out,
     )

@@ -751,17 +751,34 @@ def test_global_rownum_no_data_scale_single_partition(plans):
     assert p.count("Exchange hashpartitioning(bucket") >= 1, p
 
 
-def test_exact_median_refinement_slice_is_pushed_and_heap_limited(plans):
-    """q_exact_median's pass-2 slice must reach the scan as a pushed range
-    predicate on l_extendedprice and take the r-th element via an ordered
-    limit (TakeOrdered heap), never a sort of the table."""
+def test_exact_median_refinement_slice_is_pushed_and_bounded(plans):
+    """q_exact_median's final slice must reach the scan as a pushed range
+    predicate on l_extendedprice, decide membership via the SAME floor
+    expression that keyed the histogram, and rank the residual via a
+    row_number window whose single partition holds only the
+    refinement-bounded (<= _KTH_SLICE_CAP) slice — never a sort, heap,
+    or data-dependent LIMIT over the table."""
     import re
 
     p = plans("q_exact_median")
     assert "GreaterThanOrEqual(l_extendedprice" in p, p
     # the upper bound also reaches DataFilters (PushedFilters line truncates)
     assert re.search(r"l_extendedprice#\d+ < ", p), p
-    assert "TakeOrderedAndProject" in p, p
+    # floor-equality membership (identical to the histogram key expression)
+    assert re.search(r"FLOOR\(\(l_extendedprice#\d+ / 100\.0\)\) = ", p), p
+    assert "row_number()" in p, p
+    # at most one SinglePartition exchange, feeding only the bounded slice
+    # window (a 1-file scan needs none at all)
+    assert p.split("== Initial Plan ==")[0].count("Exchange SinglePartition") <= 1, p
+    assert "Exchange hashpartitioning" not in p, p
+    # Catalyst's LimitPushDownThroughWindow may heap the slice to the
+    # residual rank below the window; that limit is <= _KTH_SLICE_CAP by
+    # the refinement invariant, never data-proportional
+    m = re.search(r"TakeOrderedAndProject\(limit=(\d+)", p)
+    if m:
+        from data_pipeline_aws_spark.operators.aggregates import _KTH_SLICE_CAP
+
+        assert int(m.group(1)) <= _KTH_SLICE_CAP, p
 
 
 def test_woe_iv_single_fact_scan_windows_on_bucket_grain(plans):

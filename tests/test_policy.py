@@ -52,6 +52,32 @@ def test_no_unbounded_collect_in_operators():
     assert not offenders, offenders
 
 
+def test_no_data_dependent_limit():
+    """`.limit(expr)` with a non-literal, data-derived argument is a scale
+    trap: the limit value came from a prior action, and the resulting
+    TakeOrdered/GlobalLimit funnels data-proportional row counts through
+    the driver (the q_exact_median pass-2 residual-heap bug, fixed round
+    5). Every .limit() argument must be an integer literal; named
+    module-level constants must be added here explicitly."""
+    import ast
+
+    offenders = []
+    for path, text in _sources().items():
+        for node in ast.walk(ast.parse(text)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "limit"
+                and not (
+                    node.args
+                    and isinstance(node.args[0], ast.Constant)
+                    and isinstance(node.args[0].value, int)
+                )
+            ):
+                offenders.append(f"{path}:{node.lineno}: .limit({ast.dump(node.args[0]) if node.args else ''})")
+    assert not offenders, offenders
+
+
 def test_no_rdd_api():
     """DataFrame-only engine: no .rdd drops, no SparkContext.parallelize in
     the data path."""

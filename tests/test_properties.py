@@ -1006,3 +1006,32 @@ def test_arrow_l2_kernel_ragged_empty_and_null_rows():
     (out3,) = list(arrow_l2_norms([fixed]))
     assert out3.column("l2_norm").to_pylist() == [
         round(math.sqrt(2.0), 6), round(math.sqrt(8.0), 6)]
+
+
+def test_exact_median_recursive_refinement_on_dense_bucket(spark):
+    """exact_median must RECURSE when rank k's level-0 bucket holds more
+    than _KTH_SLICE_CAP rows (the 100-TB shape the TPC-H fixtures never
+    trigger) and still return the exact sorted-order k-th smallest.
+    Three regimes: a 25k-row dense bucket (one refinement), a >10k-row
+    tie at the median (width drops below granularity, any rank in the
+    tie picks the same value), and a spread corpus (no refinement)."""
+    from data_pipeline_aws_spark.operators.aggregates import (
+        _KTH_SLICE_CAP,
+        exact_median,
+    )
+
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+        row = exact_median(spark, df, "x").collect()[0]
+        want = sorted(vals)[(len(vals) + 1) // 2 - 1]
+        assert (row.n_rows, row.k) == (len(vals), (len(vals) + 1) // 2)
+        assert row.median == want, (row.median, want)
+
+    # dense: 25k distinct-ish values inside ONE level-0 bucket [500, 600)
+    dense = [500.0 + (i % 9973) * 0.01 for i in range(2 * _KTH_SLICE_CAP + 5000)]
+    assert sum(1 for v in dense if 500.0 <= v < 600.0) > _KTH_SLICE_CAP
+    check(dense)
+    # degenerate tie: 12k copies of one value straddling the median rank
+    check([42.5] * 12000 + [1.0, 99999.0])
+    # spread control: never refines, same contract
+    check([float(i * i % 7919) for i in range(301)])
