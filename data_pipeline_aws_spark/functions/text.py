@@ -1310,7 +1310,8 @@ WITH scored AS (
          COALESCE(list_sum(list_transform(
            list_filter(string_split(text, ' '), t -> t <> ''),
            t -> ({_QC_WEIGHTS_SQL})[
-                  (ascii(t) * 31 + length(t)) % {_QC_BUCKETS} + 1 ]
+                  CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)
+                  % {_QC_BUCKETS} + 1 ]
          )), 0) AS score
   FROM documents
 )
@@ -1325,12 +1326,15 @@ GROUP BY lang
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality classifier (the fasttext/CCNet-style
     doc scorer): each token hashes into one of 64 feature buckets
-    (hashing trick — first-char code · 31 + length, mod buckets), the
-    model is a broadcast weight VECTOR indexed per token, and the doc
-    score is the integer weight sum; the per-language report counts docs
-    the model scores positive. Integer weights keep the score exact, so
-    the oracle hash grades every per-token bucket assignment and the full
-    dot product, not a float approximation.
+    (hashing trick — first 16 bits of md5(token), mod buckets: md5 is
+    defined over the token's UTF-8 BYTES identically in every engine, so
+    bucket assignment stays cross-engine exact for any Unicode corpus,
+    where first-char-code schemes diverge between byte and code-point
+    semantics), the model is a broadcast weight VECTOR indexed per token,
+    and the doc score is the integer weight sum; the per-language report
+    counts docs the model scores positive. Integer weights keep the score
+    exact, so the oracle hash grades every per-token bucket assignment and
+    the full dot product, not a float approximation.
 
     This is the 100 TB quality-filter shape: the weight array rides the
     plan as a literal (a learned model would broadcast the same way), the
@@ -1339,13 +1343,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded per-language grid (plan-asserted)."""
     weights = F.array(*[F.lit(w).cast("long") for w in _QC_WEIGHTS])
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    bucket = lambda t: (  # noqa: E731 — shared by transform below
+        F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 4), 16, 10).cast("long")
+        % _QC_BUCKETS
+        + 1
+    ).cast("int")
     score = F.aggregate(
         F.transform(
             toks,
-            lambda t: F.element_at(
-                weights,
-                ((F.ascii(t) * 31 + F.length(t)) % _QC_BUCKETS + 1).cast("int"),
-            ),
+            lambda t: F.element_at(weights, bucket(t)),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

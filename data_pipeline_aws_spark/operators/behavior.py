@@ -838,17 +838,22 @@ def capped_baskets(bought: DataFrame, cap: int = _BASKET_LINE_CAP) -> DataFrame:
 
 @query(
     "q_item_item_recs",
-    oracle="""
+    oracle=f"""
 WITH bought AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 part_n AS (
   SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM bought GROUP BY 1
 ),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM bought
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+          <= {_BASKET_LINE_CAP}
+),
 cooc AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          CAST(COUNT(*) AS BIGINT) AS n_cooc
-  FROM bought a JOIN bought b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
   GROUP BY 1, 2
 ),
@@ -899,8 +904,9 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_n = bought.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     # part counts stay UNCAPPED (they are the cosine denominator and must
     # match the catalog-wide truth); only the quadratic pair fan-out is
-    # capped. TPC-H baskets are ≤7 distinct parts, so the cap never binds
-    # on fixture data — the oracle needs no cap clause.
+    # capped. The oracle mirrors the cap in its `capped` CTE (identical
+    # keep-lowest-partkey rule), so parity holds even on a future fixture
+    # with a >_BASKET_LINE_CAP-line basket — not just TPC-H's ≤7.
     paired = capped_baskets(bought)
     a = paired.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")

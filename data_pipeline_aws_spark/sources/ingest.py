@@ -609,8 +609,32 @@ def gdpr_delete_partitions(
     error if a drop misses — silent retention is the one unacceptable
     outcome for a right-to-be-forgotten delete. At day grain on a 100 TB
     table: one probe + one distributed write instead of thousands of
-    serialized jobs."""
+    serialized jobs.
+
+    PRECONDITION: ``src`` must be row-identical to the CURRENT contents of
+    the table at ``path`` (typically the DataFrame that produced it) —
+    the survivors written into each rewritten partition come from ``src``,
+    so a divergent ``src`` silently resurrects stale rows. ``src`` must
+    also NOT read from ``path`` itself: reading and dynamically
+    overwriting the same parquet directory in one job is undefined in
+    Spark (the scan can observe its own partial output). That mistake is
+    rejected here by inspecting ``src``'s input files; callers holding
+    only the table at ``path`` should rewrite from a checkpointed or
+    cached copy instead."""
     import shutil
+
+    real = os.path.realpath(path)
+    conflict = [
+        f
+        for f in src.inputFiles()
+        if os.path.realpath(f.removeprefix("file:")).startswith(real + os.sep)
+    ]
+    if conflict:
+        raise ValueError(
+            "gdpr_delete_partitions: src reads from the target path itself "
+            f"({conflict[0]} …); reading and dynamically overwriting the same "
+            "table in one job is undefined — rewrite from a checkpointed copy"
+        )
 
     is_tomb = F.coalesce(tombstoned, F.lit(False))
     probe = (
@@ -981,7 +1005,7 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_range_sort_sink",
     oracle="""
-SELECT CAST(8 AS BIGINT)          AS n_files,
+SELECT TRUE                       AS n_files_ok,
        CAST(COUNT(*) AS BIGINT)   AS n_rows,
        TRUE                       AS ranges_disjoint
 FROM orders
@@ -1003,9 +1027,11 @@ def q_range_sort_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by min, must be pairwise DISJOINT (lead-window check over the
     bounded 8-row file-stats table — equal keys can never straddle a
     boundary because the range partitioner routes them together). Range
-    boundaries come from sampling and may vary with input parallelism, so
-    the oracle asserts the invariants (file count, row conservation,
-    disjointness), not the boundary values themselves."""
+    boundaries come from sampling and may vary with input parallelism —
+    and a sampled boundary can even leave a partition EMPTY (no file
+    written) on skewed or tiny inputs — so the oracle asserts invariants
+    only: file count within [1, 8] as a boolean verdict (never an exact
+    pin), row conservation, disjointness."""
     out = _cache_dir("range_sorted_orders", sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
@@ -1032,7 +1058,7 @@ def q_range_sort_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c", (F.col("mx") < F.coalesce(nxt, F.lit(float("inf")))).alias("ok")
     )
     return per_file.agg(
-        F.count(F.lit(1)).alias("n_files"),
+        F.count(F.lit(1)).between(1, 8).alias("n_files_ok"),
         F.sum("c").alias("n_rows"),
         F.min(F.col("ok").cast("int")).cast("boolean").alias("ranges_disjoint"),
     )

@@ -146,9 +146,11 @@ def test_gdpr_delete_leaves_untouched_partitions_untouched(spark, sf_dir, tmp_pa
 
 
 def test_range_sort_sink_files_are_disjoint_and_internally_sorted(spark, sf_dir):
-    """q_range_sort_sink must leave 8 parquet files whose [min,max] price
-    ranges are pairwise disjoint AND whose rows are internally sorted —
-    checked at the filesystem level, file by file."""
+    """q_range_sort_sink must leave at most 8 parquet files (boundary
+    sampling may leave a partition empty on skewed/tiny inputs — then no
+    file is written) whose [min,max] price ranges are pairwise disjoint
+    AND whose rows are internally sorted — checked at the filesystem
+    level, file by file."""
     import glob
 
     import pandas as pd
@@ -157,10 +159,10 @@ def test_range_sort_sink_files_are_disjoint_and_internally_sorted(spark, sf_dir)
     from data_pipeline_aws_spark.sources.ingest import _cache_dir
 
     row = all_queries()["q_range_sort_sink"](spark, sf_dir).collect()[0]
-    assert row.n_files == 8 and row.ranges_disjoint
+    assert row.n_files_ok and row.ranges_disjoint
 
     files = sorted(glob.glob(_cache_dir("range_sorted_orders", sf_dir) + "/*.parquet"))
-    assert len(files) == 8
+    assert 1 <= len(files) <= 8
     spans = []
     total = 0
     for f in files:
