@@ -282,8 +282,7 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans")  # iterative float refinement → deterministic rows-only
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_fit(spark: SparkSession, sf_dir: str):
     """Distributed Lloyd's k-means (K=8, 3 iterations) over the embedding
     corpus — the training loop q_sim_ivf's "trained model" comes from.
 
@@ -297,9 +296,12 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus every iteration. The bounded K×D model then returns to the
     driver (the legal bounded collect: model state, not data). That
     map-assign/combine-update split is exactly how k-means scales to
-    100 TB; init is the first K vectors (deterministic), and
-    tests/test_properties.py replays the same schedule in pure numpy and
-    requires identical cluster sizes and near-identical inertia."""
+    100 TB; init is the first K vectors (deterministic). Each update batch
+    also emits ONE marker cell carrying its assign-time inertia partial,
+    so the per-iteration objective J(c_t) falls out of the same shuffle
+    for free. Returns ``(final_cells, stats)`` where ``final_cells`` is
+    the per-batch (cluster, n, sd2) partial table under the trained model
+    and ``stats`` is [(inertia, n_assigned, n_nonempty)] per iteration."""
     import numpy as np
 
     k, iters, dim = 8, 3, 64
@@ -317,7 +319,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             import pandas as pd
 
             for pdf in batches:
-                m, cl, _ = _assign(c, pdf)
+                m, cl, best = _assign(c, pdf)
                 sums = np.zeros((k, dim))
                 cnts = np.zeros(k, dtype=np.int64)
                 np.add.at(sums, cl, m)
@@ -325,25 +327,37 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 kk = np.nonzero(cnts > 0)[0]
                 yield pd.DataFrame(
                     {
-                        "cluster": kk.astype("int32").repeat(dim),
-                        "dim": np.tile(np.arange(dim, dtype="int32"), len(kk)),
-                        "s": sums[kk].reshape(-1),
-                        "cnt": cnts[kk].repeat(dim),
+                        # marker cell (-1, -1): batch inertia partial + size
+                        "cluster": np.concatenate(
+                            [kk.astype("int32").repeat(dim), [-1]]
+                        ).astype("int32"),
+                        "dim": np.concatenate(
+                            [np.tile(np.arange(dim, dtype="int32"), len(kk)), [-1]]
+                        ).astype("int32"),
+                        "s": np.concatenate([sums[kk].reshape(-1), [best.sum()]]),
+                        "cnt": np.concatenate([cnts[kk].repeat(dim), [len(m)]]),
                     }
                 )
 
         return update
 
+    stats = []
     for _ in range(iters):
         cells = e.mapInPandas(make_update(cents.copy()), "cluster int, dim int, s double, cnt long")
         new = (
             cells.groupBy("cluster", "dim")
-            .agg((F.sum("s") / F.sum("cnt")).alias("c"))
+            .agg(F.sum("s").alias("ss"), F.sum("cnt").alias("cc"))
             .collect()
         )
         nxt = cents.copy()  # empty clusters keep their previous centroid
+        nonempty = set()
         for r in new:
-            nxt[r.cluster, r.dim] = r.c
+            if r.cluster == -1:
+                stats.append((float(r.ss), int(r.cc)))
+            else:
+                nonempty.add(r.cluster)
+                nxt[r.cluster, r.dim] = r.ss / r.cc
+        stats[-1] = (*stats[-1], len(nonempty))
         cents = nxt
 
     def make_final(c):
@@ -362,10 +376,66 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fin
 
     final = e.mapInPandas(make_final(cents.copy()), "cluster int, n long, sd2 double")
+    return final, stats
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster (n_vecs, inertia) report under the trained k-means model
+    — the detail grain tests/test_properties.py replays in pure numpy."""
+    final, _ = kmeans_fit(spark, sf_dir)
     return final.groupBy("cluster").agg(
         F.sum("n").alias("n_vecs"),
         F.round(F.sum("sd2"), 4).alias("inertia"),
     )
+
+
+@query(
+    "q_kmeans",
+    oracle="""
+SELECT CAST(t.i AS INT)                                   AS iter,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)  AS n_assigned,
+       TRUE                                               AS inertia_nonincreasing,
+       TRUE                                               AS clusters_ok
+FROM (VALUES (0), (1), (2), (3)) t(i)
+""",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means training audit with a BOUND-ASSERTION oracle (the
+    q_hll_merge playbook — iterative float training has no SQL twin, but
+    its invariants do): one row per Lloyd iteration (0-2 = assign-time
+    objective under c_t; 3 = final model) emitting (a) n_assigned — every
+    iteration must assign EXACTLY the corpus, the exact anchor the oracle
+    recomputes as COUNT(*) — plus boolean verdicts that (b) the objective
+    J(c_t) is monotone non-increasing (Lloyd's convergence guarantee;
+    1e-9 relative slack for partial-sum float noise) and (c) 1-8 clusters
+    stay nonempty. The per-cluster detail grain lives in kmeans_clusters,
+    replayed exactly against numpy by tests/test_properties.py."""
+    final, stats = kmeans_fit(spark, sf_dir)
+    rows, prev = [], None
+    for i, (ine, cnt, ne) in enumerate(stats):
+        ok = prev is None or ine <= prev * (1 + 1e-9) + 1e-9
+        rows.append((i, cnt, bool(ok), 1 <= ne <= 8))
+        prev = ine
+    head = spark.createDataFrame(
+        rows,
+        "iter int, n_assigned long, inertia_nonincreasing boolean, clusters_ok boolean",
+    )
+    tail = (
+        final.agg(
+            F.sum("n").alias("n_assigned"),
+            F.sum("sd2").alias("ine"),
+            F.countDistinct("cluster").alias("ne"),
+        )
+        .select(
+            F.lit(3).cast("int").alias("iter"),
+            "n_assigned",
+            (F.col("ine") <= prev * (1 + 1e-9) + 1e-9).alias(
+                "inertia_nonincreasing"
+            ),
+            F.col("ne").between(1, 8).alias("clusters_ok"),
+        )
+    )
+    return head.unionByName(tail)
 
 
 @query(
@@ -436,10 +506,10 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_pca_embed")  # float eigensolve → deterministic rows-only
-def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA over the embedding corpus via sufficient statistics:
-    top-5 principal components' eigenvalues and explained-variance ratios.
+def pca_eigs(spark: SparkSession, sf_dir: str):
+    """Distributed PCA over the embedding corpus via sufficient statistics;
+    returns ``(evals_desc, n_vecs, cov_trace)`` — the full eigenvalue
+    spectrum (descending), the corpus size, and the covariance trace.
 
     The pattern is the linear-algebra twin of q_kmeans' model/data split:
     each Arrow batch combines its vectors into a local Gram matrix XᵀX,
@@ -493,6 +563,14 @@ def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = mean_sum / n
     cov = (gram - n * np.outer(mu, mu)) / (n - 1.0)
     evals = np.linalg.eigvalsh(cov)[::-1]
+    return evals, int(n), float(np.trace(cov))
+
+
+def pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 principal components' eigenvalues and explained-variance
+    ratios — the detail grain tests/test_properties.py replays against a
+    pure-numpy covariance eigensolve."""
+    evals, _, _ = pca_eigs(spark, sf_dir)
     trace = float(evals.sum())
     rows = [
         (int(c), float(round(float(evals[c]), 4)), float(round(float(evals[c]) / trace, 6)))
@@ -500,6 +578,40 @@ def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+@query(
+    "q_pca_embed",
+    oracle="""
+SELECT CAST(t.c AS INT)                                   AS component,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)  AS n_vecs,
+       TRUE                                               AS ratio_in_unit,
+       TRUE                                               AS trace_ok
+FROM (VALUES (0), (1), (2), (3), (4)) t(c)
+""",
+)
+def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA audit with a BOUND-ASSERTION oracle (the q_hll_merge playbook
+    — a float eigensolve has no SQL twin, but its invariants do): one row
+    per top-5 component emitting (a) n_vecs — the sufficient-statistics
+    pass must have seen EXACTLY the corpus (the marker count cell), the
+    exact anchor the oracle recomputes as COUNT(*) — plus boolean
+    verdicts that (b) each explained-variance ratio lies in (0, 1] and
+    (c) the eigenvalue sum reproduces the covariance trace to 1e-8
+    relative — the linear-algebra identity Σλ = tr(Σ) that any broken
+    partial-aggregation or eigensolve step would violate. The raw
+    eigenvalue/ratio detail grain lives in pca_components, replayed
+    against numpy by tests/test_properties.py."""
+    evals, n, cov_trace = pca_eigs(spark, sf_dir)
+    trace = float(evals.sum())
+    trace_ok = abs(trace - cov_trace) <= 1e-8 * max(1.0, abs(cov_trace))
+    rows = [
+        (int(c), n, 0.0 < float(evals[c]) / trace <= 1.0, bool(trace_ok))
+        for c in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, n_vecs long, ratio_in_unit boolean, trace_ok boolean"
     )
 
 
@@ -709,8 +821,7 @@ PQ_SUBDIM = 8  # 64 dims / 8 subspaces
 PQ_CODEBOOK = 16  # 4-bit codes per subspace
 
 
-@query("q_pq_quantize")  # float k-means codebooks → deterministic rows-only
-def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (FAISS PQ8x4 shape): split each 64-d embedding
     into 8 subvectors of 8 dims, train a 16-centroid codebook per subspace
     (2 Lloyd iterations, deterministic init from the first 16 vectors), and
@@ -726,10 +837,10 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order ulps (re-runs and the numpy replay in
     tests/test_properties.py produce identical codes). Encoding is
     map-only with the closure-broadcast codebook; output is an exact
-    integer code checksum per vector plus reconstruction error. Rows-only
-    driver check (iterative float training has no SQL twin); the property
-    test pins codes and requires PQ reconstruction to beat the
-    mean-vector baseline."""
+    integer code checksum per vector plus reconstruction error — the
+    detail grain tests/test_properties.py pins code-for-code against a
+    numpy replay. q_pq_quantize wraps this with a bound-assertion
+    oracle."""
     import numpy as np
     import pandas as pd
 
@@ -816,4 +927,59 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.mapInPandas(
         make_encode(books.copy()), "vec_id long, code_key long, recon_err double"
+    )
+
+
+@query(
+    "q_pq_quantize",
+    oracle="""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+       TRUE                                              AS code_range_ok,
+       TRUE                                              AS beats_mean_baseline
+""",
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression audit with a BOUND-ASSERTION oracle (the
+    q_hll_merge playbook — float codebook training has no SQL twin, but
+    its invariants do): one summary row emitting (a) n_vecs — encode
+    must cover EXACTLY the corpus, the exact anchor the oracle recomputes
+    as COUNT(*) — plus boolean verdicts that (b) every packed code key
+    lies in [0, 16^8) and (c) mean PQ reconstruction error BEATS the
+    trivial mean-vector codec (4 bytes/vector must still carry signal —
+    the quality bar the property test also pins). The mean-vector
+    baseline is computed in-engine: one 64-column avg pass, broadcast
+    back, per-vector |x − μ| folded JVM-side — same no-explode shape as
+    q_quantize's stats pass. Per-vector codes live in pq_encode,
+    replayed code-for-code against numpy by tests/test_properties.py."""
+    enc = pq_encode(spark, sf_dir)
+    dim = PQ_SUBSPACES * PQ_SUBDIM
+    e = table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    mus = e.agg(
+        F.array(*[F.avg(F.element_at("emb", i + 1)) for i in range(dim)]).alias("mus")
+    )
+    base = (
+        e.crossJoin(F.broadcast(mus))
+        .select(
+            F.aggregate(
+                F.zip_with("emb", "mus", lambda x, mu: F.abs(x - mu)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dev")
+        )
+        .agg((F.sum("dev") / (F.count(F.lit(1)) * dim)).alias("base_err"))
+    )
+    summ = enc.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("recon_err").alias("pq_err"),
+        F.min("code_key").alias("mn"),
+        F.max("code_key").alias("mx"),
+    )
+    return summ.crossJoin(F.broadcast(base)).select(
+        "n_vecs",
+        ((F.col("mn") >= 0) & (F.col("mx") < F.lit(16**8).cast("long"))).alias(
+            "code_range_ok"
+        ),
+        (F.col("pq_err") < F.col("base_err")).alias("beats_mean_baseline"),
     )

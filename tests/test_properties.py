@@ -130,9 +130,11 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
         if (cl == j).any()
     }
 
+    from data_pipeline_aws_spark.operators.similarity import kmeans_clusters
+
     got = {
         r.cluster: (r.n_vecs, r.inertia)
-        for r in all_queries()["q_kmeans"](spark, sf_dir).collect()
+        for r in kmeans_clusters(spark, sf_dir).collect()
     }
     assert set(got) == set(ref)
     for j, (n, inertia) in ref.items():
@@ -169,9 +171,11 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     evals = np.linalg.eigvalsh(cov)[::-1]
     trace = float(evals.sum())
 
+    from data_pipeline_aws_spark.operators.similarity import pca_components
+
     got = {
         r.component: (r.eigenvalue, r.explained_ratio)
-        for r in all_queries()["q_pca_embed"](spark, sf_dir).collect()
+        for r in pca_components(spark, sf_dir).collect()
     }
     assert set(got) == set(range(5))
     for c in range(5):
@@ -644,9 +648,11 @@ def test_pq_quantize_matches_numpy_reference(spark, sf_dir):
     ref_key = dict(zip(ids.tolist(), (codes * weights).sum(axis=1).tolist()))
     ref_err = dict(zip(ids.tolist(), np.abs(sub - recon).mean(axis=(1, 2)).tolist()))
 
+    from data_pipeline_aws_spark.operators.similarity import pq_encode
+
     got = {
         r.vec_id: (r.code_key, r.recon_err)
-        for r in all_queries()["q_pq_quantize"](spark, sf_dir).collect()
+        for r in pq_encode(spark, sf_dir).collect()
     }
     assert set(got) == set(ref_key)
     agree = sum(1 for v in got if got[v][0] == ref_key[v])
