@@ -49,6 +49,33 @@ HEADLINE = [
 # Keep safely under the driver's 2000-char stdout tail capture.
 MAX_LINE = 1800
 
+# Keys whose fixture is a cached on-disk sink (/tmp/dpas_* via _cache_dir):
+# on a WARM pass the write is skipped (_SUCCESS sentinel), so their recorded
+# time measures read-back of the written layout, not the write itself. The
+# artifact carries this list; --cold clears the caches so pass 0 measures
+# the write-inclusive cost (and those keys are then not re-sampled warm).
+SINK_CACHE_KEYS = [
+    "q_json_ingest", "q_csv_ingest", "q_orc_ingest", "q_partitioned_sink",
+    "q_corrupt_ingest", "q_compact", "q_schema_evolution", "q_gdpr_delete",
+    "q_zorder", "q_text_ingest", "q_binary_ingest", "q_range_sort_sink",
+]
+
+
+def _loadavg_1min() -> float:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def _clear_sink_caches() -> None:
+    import glob
+    import shutil
+    import tempfile
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "dpas_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +83,23 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+
+    # Quiet-host guard: co-tenant load inflates totals ~17% (measured round
+    # 4), so every artifact carries a start/end loadavg stamp and a
+    # host_contended flag instead of silently recording hot-host numbers.
+    # Set SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 to refuse to record instead.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    load_start = _loadavg_1min()
+    if load_start > max_load and os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET") == "1":
+        print(
+            f"host busy (1-min loadavg {load_start} > {max_load}); refusing to record",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+    cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    if cold:
+        _clear_sink_caches()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,12 +141,15 @@ def main() -> None:
         if time.perf_counter() - pass2_start > pass2_budget:
             print(f"pass1 budget exhausted before {name}", file=sys.stderr, flush=True)
             break
+        if cold and name in SINK_CACHE_KEYS:
+            continue  # keep the cold (write-inclusive) pass-0 number
         run_once(name, "pass1")
 
     total = round(sum(timings.values()), 3)
     single_sample = sorted(n for n, k in samples.items() if k < 2)
     if single_sample:
         print(f"WARNING: single-sample timings for {single_sample}", file=sys.stderr)
+    load_end = _loadavg_1min()
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -112,6 +159,10 @@ def main() -> None:
         "single_sample_queries": single_sample,
         "sf": sf,
         "n_queries": len(timings),
+        "loadavg_1min": {"start": load_start, "end": load_end},
+        "host_contended": load_start > max_load or load_end > max_load,
+        "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
+        "sink_cache_keys": [n for n in SINK_CACHE_KEYS if n in timings],
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:

@@ -640,6 +640,14 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB/day: dedup state is bounded by the watermark horizon,
     the dim broadcast refreshes per micro-batch read, and window state
     is O(active windows × tiers)."""
+    return _run_to_completion(stream_pipeline_topology(spark, sf_dir), "complete")
+
+
+def stream_pipeline_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNRUN dedup→enrich→aggregate streaming DataFrame behind
+    q_stream_pipeline — exposed so tests/test_plans.py can pin the
+    topology (single stream-static BROADCAST join; the bounded dim never
+    shuffles the stream) without draining a query."""
     events = _stream_events(spark, sf_dir)
     spend = F.when(
         F.col("event_type") == "purchase", F.col("value")
@@ -675,7 +683,7 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_completion(agg, "complete")
+    return agg
 
 
 @query(

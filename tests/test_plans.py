@@ -788,3 +788,37 @@ def test_woe_iv_single_fact_scan_windows_on_bucket_grain(plans):
     p = plans("q_woe_iv").split("== Initial Plan ==")[0]
     assert p.count("lineitem.parquet") == 1, p
     assert "Window" in p, p
+
+
+def test_bfs_hops_rounds_are_checkpointed_not_rederived(plans):
+    """q_bfs_hops' result plan must read 1 + _BFS_HOPS materialized
+    frontier checkpoints (source + one per round) and aggregate them with
+    ONE hops-keyed exchange — never re-scan the edge parquet or re-derive
+    the traversal lineage, which at 100 TB would re-shuffle the full edge
+    list once per round instead of O(frontier·degree)."""
+    from data_pipeline_aws_spark.operators.graph import _BFS_HOPS
+
+    p = plans("q_bfs_hops")
+    final = p.split("== Initial Plan ==")[0]
+    assert "lineitem.parquet" not in p, p
+    assert "orders.parquet" not in p, p
+    assert final.count("Scan ExistingRDD") == 1 + _BFS_HOPS, p
+    assert final.count("Exchange hashpartitioning") == 1, p
+
+
+def test_stream_pipeline_single_stream_scan_broadcast_dim(spark, sf_dir):
+    """q_stream_pipeline's topology must read the stream ONCE (dedup,
+    watermark, window agg all on that one pass) and join the bounded
+    per-user tier dim via a BROADCAST hint — the dim must never shuffle
+    the stream. Streaming physical/optimized plans only exist per
+    micro-batch, so this pins the analyzed logical topology."""
+    from data_pipeline_aws_spark.streaming.jobs import stream_pipeline_topology
+
+    s = stream_pipeline_topology(spark, sf_dir)._jdf.queryExecution().toString()
+    ana = s.split("== Analyzed Logical Plan ==")[1].split(
+        "== Optimized Logical Plan =="
+    )[0]
+    assert ana.count("StreamingRelation") == 1, ana
+    assert "strategy=broadcast" in ana, ana
+    assert "Deduplicate [event_id" in ana, ana
+    assert "EventTimeWatermark" in ana, ana
