@@ -48,33 +48,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep grades the first ~50 keys of queries().
-# Rounds 1-3 hash-graded 126 distinct keys (122 oracle-backed passes, 4
-# declared rows-only). Round-4 prefix = (a) 8 already-green family
-# representatives for regression continuity and (b) 42 oracle-backed keys
-# the driver has NEVER graded, taken in the round-3 staged queue order.
-# Keys after the cap are ordered never-graded-first so round 5 can rotate
-# again; everything unlisted follows in registration order.
+# Rounds 1-4 hash-graded 168 distinct keys (164 hash passes + 4 stale
+# rows-only rows). Round-5 prefix = (a) 4 re-grades of keys whose
+# output/oracle changed this round (recursive exact-median, file-count
+# verdict, md5 token hash, mirrored basket cap) — these double as family
+# representatives for aggregates/sinks/text/behavior — and (b) 46
+# oracle-backed keys the driver has NEVER graded (staged queue order,
+# including the four ex-rows-only keys upgraded to bound-verdict oracles:
+# kmeans, pq, approx_percentile, sketch_overlap), lifting cumulative
+# driver coverage to 214/257. Immediately after the cap sit the three
+# upgraded keys whose driver rows are stale no_oracle entries
+# (pca_embed, approx_distinct, hll_merge), then the round-6 queue of
+# remaining never-graded keys; everything unlisted follows in
+# registration order.
 _PRIORITY = [
-    # already-graded family representatives (regression continuity)
-    "q_agg_basic", "q_pipeline_e2e", "q_dedup_minhash", "q_sim_topk",
-    "q_text_tfidf", "q_stream_tumbling", "q_pandas_udaf",
-    "q_multimodal_audio",
-    # new this round
-    "q_domain_cap", "q_quality_classifier", "q_global_rownum",
-    "q_exact_median", "q_range_sort_sink", "q_woe_iv",
-    # 36 more oracle-backed keys never driver-graded (rounds 1-3 queue order)
-    "q_anomaly_iqr", "q_vocab_coverage", "q_join_asof_tolerance",
-    "q_abc_analysis", "q_period_growth", "q_benford", "q_stream_alert",
-    "q_resample_interp", "q_match_pattern", "q_rfm", "q_cohort_ltv",
-    "q_stream_pipeline", "q_item_item_recs", "q_seasonal_index",
-    "q_fulfillment_latency", "q_cc_doubling", "q_variant_json",
-    "q_python_udtf", "q_text_ingest", "q_binary_ingest", "q_chi2_assoc",
-    "q_gini", "q_zipf_fit", "q_ks_test", "q_mann_whitney",
-    "q_cusum_changepoint", "q_unpivot", "q_interval_overlap",
-    "q_fd_discovery", "q_bfs_hops", "q_dsir_weights", "q_stream_late_data",
-    "q_survival_km", "q_fuzzy_match", "q_group_mode", "q_pseudonymize",
-    # --- ~50-entry grading cap lands here ---
-    # round-5 rotation queue: still never driver-graded
+    # (a) re-grades: output or oracle changed this round
+    "q_exact_median", "q_range_sort_sink", "q_quality_classifier",
+    "q_item_item_recs",
+    # (b) 46 oracle-backed keys never driver-graded (staged queue order)
+    "q_kmeans", "q_pq_quantize",
     "q_arrow_map", "q_python_datasource", "q_sentiment",
     "q_row_level_security", "q_allocation", "q_running_distinct",
     "q_gaps_islands", "q_weighted_percentile", "q_survivorship",
@@ -87,8 +79,14 @@ _PRIORITY = [
     "q_attribution", "q_active_users", "q_degree_dist", "q_vec_centroid",
     "q_local_supplier_volume", "q_cust_order_dist", "q_large_volume_cust",
     "q_dormant_rich_cust", "q_smallqty_revenue", "q_late_supplier",
+    "q_approx_percentile", "q_sketch_overlap",
     "q_mad", "q_impute", "q_skew_report", "q_dq_anomaly", "q_fhir_choice",
-    "q_case_when", "q_topk", "q_union", "q_union_evolution", "q_upsert",
+    "q_case_when", "q_topk",
+    # --- ~50-entry grading cap lands here ---
+    # ex-rows-only upgrades whose old driver rows are stale no_oracle
+    "q_pca_embed", "q_approx_distinct", "q_hll_merge",
+    # round-6 rotation queue: still never driver-graded
+    "q_union", "q_union_evolution", "q_upsert",
     "q_win_running", "q_win_tumbling", "q_win_sliding", "q_ewma",
     "q_scd2_incremental", "q_share_of_parent", "q_winsorize",
     "q_text_chunks", "q_mix_sources", "q_sample_weighted",
@@ -100,9 +98,6 @@ _PRIORITY = [
     "q_schema_evolution", "q_gdpr_delete", "q_stream_sliding",
     "q_stream_join", "q_stream_sink", "q_stream_stream_join",
     "q_stream_session", "q_pandas_udf", "q_grouped_map",
-    # formerly rows-only keys upgraded to bound-verdict oracles this round
-    "q_approx_percentile", "q_sketch_overlap", "q_approx_distinct",
-    "q_hll_merge",
 ]
 
 
