@@ -85,6 +85,8 @@ _PRIORITY = [
     # --- ~50-entry grading cap lands here ---
     # ex-rows-only upgrades whose old driver rows are stale no_oracle
     "q_pca_embed", "q_approx_distinct", "q_hll_merge",
+    # upgraded from rows-only late in round 5, never driver-graded
+    "q_sim_lsh", "q_sim_ivf",
     # round-6 rotation queue: still never driver-graded
     "q_union", "q_union_evolution", "q_upsert",
     "q_win_running", "q_win_tumbling", "q_win_sliding", "q_ewma",

@@ -231,11 +231,13 @@ def test_ivf_recall_at_5_vs_brute_force(spark, sf_dir):
     fixed assignment), so this is a hard floor, not a flaky statistic."""
     from data_pipeline_aws_spark import all_queries
 
+    from data_pipeline_aws_spark.operators.similarity import ivf_topk
+
     exact = {}
     for r in all_queries()["q_sim_topk"](spark, sf_dir).collect():
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
     approx = {}
-    for r in all_queries()["q_sim_ivf"](spark, sf_dir).collect():
+    for r in ivf_topk(spark, sf_dir).collect():
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
 
     assert set(exact) == set(approx)
@@ -341,33 +343,24 @@ def test_phash_banding_finds_all_pairs_within_radius(spark, sf_dir):
 
 def test_lsh_pairs_equal_numpy_signature_replay(spark, sf_dir):
     """q_sim_lsh self-consistency: numpy-replay the hyperplane signatures
-    (planes pulled from the same murmur3 construction the operator uses),
-    bucket exactly, and require the operator's pair set to match the replay
+    (planes re-derived INDEPENDENTLY via hashlib.md5 — the same
+    construction the operator and its DuckDB oracle share), bucket
+    exactly, and require the operator's pair set to match the replay
     EXACTLY — catches both missed same-bucket pairs (completeness) and
     phantom pairs (a bucket-join bug)."""
+    import hashlib
+
     import numpy as np
-    from pyspark.sql import functions as SF
 
     from data_pipeline_aws_spark import all_queries
     from data_pipeline_aws_spark.tables import table
 
     n_planes = 8
-    plane_rows = (
-        spark.range(n_planes)
-        .withColumnRenamed("id", "plane")
-        .join(spark.range(64).withColumnRenamed("id", "dim"))
-        .select(
-            "plane",
-            "dim",
-            SF.when(SF.hash("plane", "dim") % 2 == 0, SF.lit(1.0))
-            .otherwise(SF.lit(-1.0))
-            .alias("w"),
-        )
-        .collect()
-    )
     planes = np.zeros((n_planes, 64))
-    for r in plane_rows:
-        planes[r.plane, r.dim] = r.w
+    for p in range(n_planes):
+        for d in range(64):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:4], 16)
+            planes[p, d] = 1.0 if h % 2 == 0 else -1.0
 
     def seq_dot(a, b):
         # replicate the operator's F.aggregate(zip_with(...)) LEFT FOLD:
