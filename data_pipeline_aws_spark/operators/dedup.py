@@ -465,18 +465,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (doc_id, simhash) — shared by
     q_dedup_simhash and the banding-completeness property test, so the test
-    verifies the exact signatures the operator banded."""
+    verifies the exact signatures the operator banded. Token bits come
+    from the first 32 bits of md5(token) — byte-identical in every engine
+    (unlike Spark-private murmur3, which this replaced in round 5), which
+    is what lets the operator carry a full hash oracle."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    th = F.conv(
+        F.substring(F.md5(F.encode("token", "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
     # All 32 bit-votes in ONE aggregation pass (32 parallel sum columns),
     # mirroring the minhash one-pass form: the bits-table cross-join
     # alternative explodes every token 32× through the shuffle, and map-side
     # partial aggregation here collapses the shuffle to O(docs) regardless of
     # token count. Votes are term-frequency weighted, same as before.
-    votes = tok.groupBy("doc_id").agg(
+    votes = tok.select("doc_id", th.alias("th")).groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.hash("token"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+                F.when(F.shiftright("th", i).bitwiseAND(1) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
             for i in range(32)
         ]
@@ -491,12 +497,53 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash_col.alias("simhash"))
 
 
-@query("q_dedup_simhash")  # murmur3-based sketch → deterministic rows-only
+@query(
+    "q_dedup_simhash",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(32) b(i)
+  GROUP BY doc_id, b.i
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.i AS byte_idx, (simhash >> (8 * b.i)) & 255 AS byte_val
+  FROM sig CROSS JOIN range(4) b(i)
+)
+SELECT DISTINCT d1, d2, hamming FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash) & 4294967295) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+   AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup: 32-bit signatures from token hashes, pairs at
     hamming distance ≤ 3 found via pigeonhole banding (a pair within distance
     3 must agree exactly on ≥ 1 of the 4 signature bytes), then exact hamming
     verification — exact w.r.t. the signature without a |docs|² cross-join.
+    Fully hash-verified since round 5: md5-derived token bits (see
+    simhash_signatures) let the DuckDB oracle regrow the identical
+    bit-votes, signatures, bands, and hamming distances. The oracle pays
+    the tokens×32 vote expansion the Spark side deliberately avoids (its
+    32 vote sums ride ONE aggregation pass) — acceptable replay cost,
+    wrong production shape.
     """
     sig = simhash_signatures(spark, sf_dir)
     bands = sig.select(
