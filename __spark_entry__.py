@@ -86,7 +86,8 @@ _PRIORITY = [
     # ex-rows-only upgrades whose old driver rows are stale no_oracle
     "q_pca_embed", "q_approx_distinct", "q_hll_merge",
     # upgraded from rows-only late in round 5, never driver-graded
-    "q_sim_lsh", "q_sim_ivf",
+    "q_sim_lsh", "q_sim_ivf", "q_dedup_simhash", "q_multimodal_decode",
+    "q_multimodal_phash",
     # round-6 rotation queue: still never driver-graded
     "q_union", "q_union_evolution", "q_upsert",
     "q_win_running", "q_win_tumbling", "q_win_sliding", "q_ewma",

@@ -79,14 +79,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode")  # python-side fake codec → rows-only check
+@query(
+    "q_multimodal_decode",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0
+            ELSE CAST(concat('0x', substr(hx, 1, 2)) AS INT) % 64 + 1 END AS width,
+       CASE WHEN n = 0 THEN 0
+            ELSE CAST(concat('0x', substr(hx, -2, 2)) AS INT) % 64 + 1 END AS height,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE n % 3 + 1 END AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_bytes
+FROM b
+""",
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode / feature-extract pipeline shape: binary payload →
     mapInPandas (Arrow batches) → typed feature columns.
 
     The decode itself is `fake_decode_meta` (deterministic); swapping in a
     real codec changes ONE python function, none of the distributed plan.
-    """
+    Fully hash-verified since round 5: the oracle replays the codec's
+    BYTE arithmetic byte-accurately via hex(encode(text)) — first/last
+    payload byte, not first/last character — so parity holds for any
+    Unicode corpus, not just ASCII fixtures."""
     d = table(spark, sf_dir, "documents")
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
@@ -121,13 +141,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_resize",
     oracle="""
-SELECT
-  doc_id,
-  LEAST(GREATEST(ascii(text[1:1]) % 64 + 1, 1), 32)              AS out_w,
-  LEAST(GREATEST(ascii(text[-1:]) % 64 + 1, 1), 32)              AS out_h,
-  CAST(LEAST(GREATEST(ascii(text[1:1]) % 64 + 1, 1), 32)
-       * LEAST(GREATEST(ascii(text[-1:]) % 64 + 1, 1), 32) AS BIGINT) AS out_pixels
-FROM documents
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0 ELSE LEAST(GREATEST(
+           CAST(concat('0x', substr(hx, 1, 2)) AS INT) % 64 + 1, 1), 32) END AS out_w,
+         CASE WHEN n = 0 THEN 0 ELSE LEAST(GREATEST(
+           CAST(concat('0x', substr(hx, -2, 2)) AS INT) % 64 + 1, 1), 32) END AS out_h
+  FROM b
+)
+SELECT doc_id, out_w, out_h, CAST(out_w * out_h AS BIGINT) AS out_pixels
+FROM dims
 """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +331,52 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(sign, "doc_id long, phash long")
 
 
-@query("q_multimodal_phash")  # numpy-hash sketch → deterministic rows-only
+@query(
+    "q_multimodal_phash",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         GREATEST(octet_length(encode(text)), 64) AS m
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+         CASE WHEN t.i < n
+              THEN CAST(concat('0x', substr(hx, 2 * t.i + 1, 2)) AS INT)
+              ELSE 0 END AS v,
+         CAST((t.i * 64) // m AS INT) AS cell
+  FROM b, unnest(generate_series(0, m - 1)) t(i)
+),
+grid AS (
+  SELECT doc_id, cell, CAST(SUM(v) AS DOUBLE) AS g
+  FROM bytes GROUP BY doc_id, cell
+),
+med AS (SELECT doc_id, median(g) AS md FROM grid GROUP BY doc_id),
+sigu AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN g.g > m.md THEN (1::HUGEINT << g.cell)
+                       ELSE 0::HUGEINT END) AS HUGEINT) AS s
+  FROM grid g JOIN med m ON g.doc_id = m.doc_id
+  GROUP BY g.doc_id
+),
+sig AS (
+  SELECT doc_id, s,
+         CAST(CASE WHEN s >= (1::HUGEINT << 63) THEN s - (1::HUGEINT << 64)
+                   ELSE s END AS BIGINT) AS phash
+  FROM sigu
+),
+bands AS (
+  SELECT doc_id, phash, t.i AS band, CAST((s >> (8 * t.i)) & 255 AS INT) AS val
+  FROM sig, unnest(generate_series(0, 7)) t(i)
+)
+SELECT DISTINCT d1, d2, hamming FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+) WHERE hamming <= 6
+""",
+)
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection for binary media — the
     image twin of SimHash text dedup. Each payload is 'decoded' to an 8×8
@@ -319,9 +392,12 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are computed map-only in `mapInPandas`
     (payloads never shuffle); the band join shuffles 8 rows of 16 bytes
     per image — constant per item regardless of payload size, which is
-    the entire point of sketch-first media dedup at 100 TB. Rows-only
-    check: the signature depends on numpy-side hashing DuckDB can't
-    replay, but the result is fully deterministic."""
+    the entire point of sketch-first media dedup at 100 TB. Fully
+    hash-verified since round 5: the fake codec is pure byte arithmetic
+    + median, so the oracle replays the grid byte-accurately from
+    hex(encode(text)), packs bits in HUGEINT, and maps through two's
+    complement to Spark's signed 64-bit phash — every signature, band,
+    and hamming distance is cross-engine exact."""
     sig = phash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
