@@ -59,12 +59,18 @@ SINK_CACHE_KEYS = [
     "q_corrupt_ingest", "q_compact", "q_schema_evolution", "q_gdpr_delete",
     "q_zorder", "q_text_ingest", "q_binary_ingest", "q_range_sort_sink",
 ]
+# The part_lineitem fixture is SHARED: q_partitioned_sink owns the write,
+# but q_dpp and q_gdpr_delete read the same cache (ingest.py). In cold
+# mode the owner must run FIRST so the write cost lands on the key whose
+# operator it is — otherwise alphabetical order bills it to q_dpp and
+# records q_partitioned_sink's warm read-back as "cold".
+SHARED_FIXTURE_OWNERS = ["q_partitioned_sink"]
 
 
 def _loadavg_1min() -> float:
     try:
-        return float(open("/proc/loadavg").read().split()[0])
-    except (OSError, ValueError, IndexError):
+        return os.getloadavg()[0]
+    except OSError:
         return -1.0
 
 
@@ -134,7 +140,12 @@ def main() -> None:
         print(f"{tag} {name} {elapsed}", file=sys.stderr, flush=True)
         return elapsed
 
-    for name in sorted(queries):
+    pass0_order = sorted(queries)
+    if cold:  # shared-fixture owners pay their own write (see above)
+        pass0_order = SHARED_FIXTURE_OWNERS + [
+            n for n in pass0_order if n not in SHARED_FIXTURE_OWNERS
+        ]
+    for name in pass0_order:
         run_once(name, "pass0")
     pass2_start = time.perf_counter()
     for name in sorted(timings, key=timings.get, reverse=True):

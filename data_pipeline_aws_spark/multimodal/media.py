@@ -190,10 +190,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_framesample",
     oracle="""
-SELECT doc_id, frame_idx, ascii(text[frame_idx + 1 : frame_idx + 1]) AS frame_byte
-FROM documents,
-     (SELECT unnest(generate_series(0, 96, 32)) AS frame_idx)
-WHERE LENGTH(text) > frame_idx
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       CAST(concat('0x', substr(hx, 2 * frame_idx + 1, 2)) AS INT) AS frame_byte
+FROM b, (SELECT unnest(generate_series(0, 96, 32)) AS frame_idx)
+WHERE n > frame_idx
 """,
 )
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,14 +252,24 @@ def decode_audio(payload: bytes) -> "object":
 @query(
     "q_multimodal_audio",
     oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, p,
+         CAST(concat('0x', substr(hx, 2 * p + 1, 2)) AS INT) AS byte
+  FROM b, (SELECT unnest(generate_series(0, 255)) AS p)
+  WHERE n > p
+)
 SELECT
   doc_id,
-  CAST(p // 64 AS INT)                                   AS window_idx,
-  CAST(COUNT(*) AS INT)                                  AS n_samples,
-  ROUND(SQRT(AVG(POW(ascii(text[p + 1 : p + 1]), 2))), 4) AS rms,
-  CAST(MAX(ascii(text[p + 1 : p + 1])) AS INT)           AS peak
-FROM documents, (SELECT unnest(generate_series(0, 255)) AS p)
-WHERE LENGTH(text) > p
+  CAST(p // 64 AS INT)                  AS window_idx,
+  CAST(COUNT(*) AS INT)                 AS n_samples,
+  ROUND(SQRT(AVG(POW(byte, 2))), 4)     AS rms,
+  CAST(MAX(byte) AS INT)                AS peak
+FROM samples
 GROUP BY doc_id, window_idx
 """,
 )

@@ -1208,9 +1208,12 @@ def exact_median(
     ``df[value_col]`` — the engine surface behind q_exact_median, split
     out so the refinement path (only triggered by >_KTH_SLICE_CAP-dense
     buckets, which the TPC-H fixtures never produce) is unit-testable on
-    synthetic dense data. See q_exact_median's docstring for the scale
-    contract."""
+    synthetic dense data. NULLs are excluded from both the count and the
+    rank (SQL median semantics — a NULL-keyed histogram bucket would
+    otherwise poison the walk). See q_exact_median's docstring for the
+    scale contract."""
     col = F.col(value_col)
+    df = df.where(col.isNotNull())
 
     def _hist(d, width):
         return (
@@ -1237,21 +1240,23 @@ def exact_median(
     k = (n + 1) // 2
     rank = k
     member = None  # conjunction of per-level floor-equality constraints
-    for _ in range(_KTH_MAX_REFINES + 1):
+    for level in range(_KTH_MAX_REFINES + 1):
         target, residual, cnt = _walk(hist, rank)
         eq = F.floor(col / width) == target
         member = eq if member is None else (member & eq)
         # widened pushdown range: floor decides membership, this only skips files
         push = (col >= (target - 1) * width) & (col < (target + 2) * width)
         sliced = df.where(push & member)
-        if cnt <= _KTH_SLICE_CAP:
-            break
+        if cnt <= _KTH_SLICE_CAP or level == _KTH_MAX_REFINES:
+            break  # no histogram job for a level that would never be walked
         width = width / _KTH_REFINE_FAN
         rank = residual
         hist = _hist(sliced, width)
-    # final slice is <= _KTH_SLICE_CAP rows (or width is below the value
-    # granularity: all remaining values tie, so any rank picks the same
-    # value and the single-partition window stays correct regardless)
+    # final slice is <= _KTH_SLICE_CAP rows for any domain with value
+    # granularity >= the deepest width (1e-7 — all fixed-decimal data). A
+    # denser adversarial domain (>10k DISTINCT doubles inside one 1e-7
+    # bucket) degrades to a larger single-partition window: still exact,
+    # no longer cap-bounded — the documented trade for bounded pass count.
     win = Window.orderBy(value_col)
     kth = (
         sliced.withColumn("rn", F.row_number().over(win))

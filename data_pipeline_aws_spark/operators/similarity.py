@@ -112,7 +112,7 @@ planes AS (
 ),
 sigs AS (
   SELECT n.vec_id,
-         CAST(SUM(CASE WHEN list_dot_product(n.e, p.pv) >= 0
+         CAST(SUM(CASE WHEN ROUND(list_dot_product(n.e, p.pv), 6) >= 0
                        THEN (1 << p.plane) ELSE 0 END) AS BIGINT) AS sig
   FROM n CROSS JOIN planes p GROUP BY n.vec_id
 )
@@ -166,7 +166,13 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "plane",
-            F.when(_dot("e", "pv") >= 0, F.expr("shiftleft(1, CAST(plane AS INT))"))
+            # sign decided on the 6-dp ROUNDED dot (same guard as cos_sim):
+            # an unrounded >= 0 would let engine summation-order ulps flip a
+            # bit on a dot within an ulp of zero and change the bucket set
+            F.when(
+                F.round(_dot("e", "pv"), 6) >= 0,
+                F.expr("shiftleft(1, CAST(plane AS INT))"),
+            )
             .otherwise(0)
             .alias("bit"),
         )
@@ -236,7 +242,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda it: assign(it, 1),
         "vec_id long, embedding array<float>, list_id int",
     )
-    queries = e.filter(F.col("vec_id") < 10).mapInPandas(
+    queries = e.filter(F.col("vec_id") < N_QUERIES).mapInPandas(
         lambda it: assign(it, n_probe),
         "vec_id long, embedding array<float>, list_id int",
     ).select(

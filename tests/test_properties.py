@@ -377,7 +377,7 @@ def test_lsh_pairs_equal_numpy_signature_replay(spark, sf_dir):
     sigs = np.array(
         [
             sum(
-                (1 << p) if seq_dot(v, planes[p]) >= 0 else 0
+                (1 << p) if round(seq_dot(v, planes[p]), 6) >= 0 else 0
                 for p in range(n_planes)
             )
             for v in mat
