@@ -129,7 +129,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}
 
+    load_peak = load_start  # 1-min loadavg sampled per query, max kept.
+    # Mid-run samples INCLUDE the bench's own local[N] load, so they can't
+    # feed the contended verdict directly — but at a fixed bench workload
+    # the peak is comparable across artifacts, so an anomalous peak vs
+    # prior BENCH_FULL.json files exposes the mid-run co-tenant burst that
+    # decays out of the start/end samples within ~1 min.
+
     def run_once(name: str, tag: str) -> float:
+        nonlocal load_peak
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -137,6 +145,7 @@ def main() -> None:
         if name not in timings or elapsed < timings[name]:
             timings[name] = elapsed
         samples[name] = samples.get(name, 0) + 1
+        load_peak = max(load_peak, _loadavg_1min())
         print(f"{tag} {name} {elapsed}", file=sys.stderr, flush=True)
         return elapsed
 
@@ -170,8 +179,11 @@ def main() -> None:
         "single_sample_queries": single_sample,
         "sf": sf,
         "n_queries": len(timings),
-        "loadavg_1min": {"start": load_start, "end": load_end},
-        "host_contended": load_start > max_load or load_end > max_load,
+        # verdict from the pre-Spark start sample only (the one sample free
+        # of the bench's own load); peak/end recorded for cross-artifact
+        # comparison at this fixed workload
+        "loadavg_1min": {"start": load_start, "peak": load_peak, "end": load_end},
+        "host_contended": load_start > max_load,
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
         "sink_cache_keys": [n for n in SINK_CACHE_KEYS if n in timings],
     }

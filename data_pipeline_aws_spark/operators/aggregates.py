@@ -1240,12 +1240,21 @@ def exact_median(
     k = (n + 1) // 2
     rank = k
     member = None  # conjunction of per-level floor-equality constraints
+    push = None  # level-0 widened range, the parquet min/max pushdown
     for level in range(_KTH_MAX_REFINES + 1):
         target, residual, cnt = _walk(hist, rank)
         eq = F.floor(col / width) == target
         member = eq if member is None else (member & eq)
-        # widened pushdown range: floor decides membership, this only skips files
-        push = (col >= (target - 1) * width) & (col < (target + 2) * width)
+        if push is None:
+            # Widened level-0 range: floor decides membership, this only
+            # skips files. ONLY the coarse level may emit a range: at
+            # refined widths the quotient can exceed 2^53, where
+            # (target±1)*width rounds past the bucket and a range predicate
+            # would EXCLUDE floor-members (seen: 12k copies of
+            # 987654321.123 under width 1e-7 → empty slice). The coarse
+            # range already buys the file skipping; deeper levels filter by
+            # floor equality alone, which is self-consistent at any width.
+            push = (col >= (target - 1) * width) & (col < (target + 2) * width)
         sliced = df.where(push & member)
         if cnt <= _KTH_SLICE_CAP or level == _KTH_MAX_REFINES:
             break  # no histogram job for a level that would never be walked

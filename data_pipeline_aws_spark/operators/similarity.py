@@ -381,7 +381,13 @@ def kmeans_fit(spark: SparkSession, sf_dir: str):
     so the per-iteration objective J(c_t) falls out of the same shuffle
     for free. Returns ``(final_cells, stats)`` where ``final_cells`` is
     the per-batch (cluster, n, sd2) partial table under the trained model
-    and ``stats`` is [(inertia, n_assigned, n_nonempty)] per iteration."""
+    and ``stats`` is [(inertia, n_assigned, n_nonempty)] per iteration.
+
+    Deliberately NOT memoized even though both q_kmeans and
+    kmeans_clusters call it (a suite run fits twice): a cross-call cache
+    would let bench's min-of-2 second pass skip the training loop and
+    record a number that isn't the operator's cost. Test-suite seconds
+    are the cheaper currency."""
     import numpy as np
 
     k, iters, dim = 8, 3, 64

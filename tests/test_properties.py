@@ -1032,5 +1032,9 @@ def test_exact_median_recursive_refinement_on_dense_bucket(spark):
     check(dense)
     # degenerate tie: 12k copies of one value straddling the median rank
     check([42.5] * 12000 + [1.0, 99999.0])
+    # large-magnitude tie: at refined widths the quotient exceeds 2^53 and
+    # a (target±1)*width range predicate rounds PAST the bucket — the
+    # round-5 regression where only the coarse level may push a range
+    check([987654321.123] * 12000 + [1.0, 999999999999.0])
     # spread control: never refines, same contract
     check([float(i * i % 7919) for i in range(301)])
