@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) 46 oracle-backed keys the driver has NEVER graded (staged queue
 # order, including the four ex-rows-only keys upgraded to bound-verdict
 # oracles: kmeans, pq, approx_percentile, sketch_overlap), lifting
-# cumulative driver coverage to 214/257. Immediately after the cap sit
+# cumulative driver coverage to 214 of the 259 registered keys. Immediately after the cap sit
 # the upgraded keys whose driver rows are stale no_oracle entries
 # (pca_embed, approx_distinct, hll_merge) and the oracle-side-only
 # changes, then the round-6 queue of remaining never-graded keys;
@@ -93,6 +93,7 @@ _PRIORITY = [
     "q_item_item_recs", "q_sim_lsh", "q_sim_ivf", "q_multimodal_decode",
     "q_multimodal_phash",
     # round-6 rotation queue: still never driver-graded
+    "q_bigram_lm", "q_dp_release",
     "q_union", "q_union_evolution", "q_upsert",
     "q_win_running", "q_win_tumbling", "q_win_sliding", "q_ewma",
     "q_scd2_incremental", "q_share_of_parent", "q_winsorize",

@@ -1366,3 +1366,99 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("score") > 0).cast("int")).cast("long").alias("n_positive"),
         F.sum("score").alias("total_score"),
     )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT lang, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+),
+c12 AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3
+),
+withc1 AS (
+  SELECT lang, w1, w2, c, SUM(c) OVER (PARTITION BY lang, w1) AS c1
+  FROM c12
+),
+v AS (
+  SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang
+)
+SELECT w.lang,
+       CAST(SUM(w.c) AS BIGINT)  AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT)  AS n_distinct_bigrams,
+       v.vocab                   AS vocab_size,
+       ROUND(-SUM(w.c * LN((w.c + 1.0) / (w.c1 + v.vocab))) / SUM(w.c), 4)
+         AS cross_entropy
+FROM withc1 w JOIN v ON w.lang = v.lang
+GROUP BY w.lang, v.vocab
+""",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-one smoothing, reported as per-language
+    corpus cross-entropy — the next rung above q_unigram_logprob on the LM
+    quality-filter ladder (bigram surprise separates fluent text from
+    shuffled-token word salad that a unigram model scores identically).
+
+    Scale shape: bigrams are built MAP-SIDE with slice+arrays_zip (no
+    window over token positions, no self-join on doc/pos — each doc's
+    adjacent pairs fall out of its own array), then ONE shuffle to the
+    (lang, w1, w2) grain, which is bounded by the bigram vocabulary, not
+    the corpus. The conditional denominator c1 = Σ_w2 c12 is a window over
+    that same bounded bigram table partitioned by (lang, w1) — it reuses
+    the aggregate's exchange rather than re-scanning tokens (the
+    q_text_tfidf trick). Per-lang vocab rides a second token aggregate and
+    broadcasts back. Cross-entropy folds exact integer ratios through ln:
+    both engines see identical doubles, so ROUND(.,4) hash-matches."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("lang", toks.alias("t")).where(F.size("t") >= 2)
+    pairs = t.select(
+        "lang",
+        F.slice("t", 1, F.size("t") - 1).alias("a"),
+        F.slice("t", 2, F.size("t") - 1).alias("b"),
+    )
+    bg = pairs.select("lang", F.explode(F.arrays_zip("a", "b")).alias("p")).select(
+        "lang", F.col("p.a").alias("w1"), F.col("p.b").alias("w2")
+    )
+    # repartition on (lang, w1) — a SUBSET of the group keys — so ONE
+    # exchange serves both the (lang, w1, w2) aggregation (subset hash
+    # partitioning still co-locates every group) and the c1 window
+    # partitioned by (lang, w1); without it the window re-shuffles the
+    # bigram table a second time (plan-asserted)
+    c12 = (
+        bg.repartition("lang", "w1")
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    withc1 = c12.withColumn(
+        "c1", F.sum("c").over(Window.partitionBy("lang", "w1"))
+    )
+    tokd = d.select("lang", F.explode(toks).alias("token"))
+    v = tokd.groupBy("lang").agg(F.countDistinct("token").alias("vocab"))
+    joined = withc1.join(F.broadcast(v), "lang")
+    ce = -F.sum(
+        F.col("c") * F.log((F.col("c") + 1.0) / (F.col("c1") + F.col("vocab")))
+    ) / F.sum("c")
+    return (
+        joined.groupBy("lang", "vocab")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.round(ce, 4).alias("cross_entropy"),
+        )
+        .select(
+            "lang",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.col("vocab").alias("vocab_size"),
+            "cross_entropy",
+        )
+    )

@@ -915,3 +915,77 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("iv_total"),
     )
+
+
+_DP_SCALE = 2.0  # Laplace b = sensitivity/epsilon = 1/0.5
+_DP_EPSILON = 0.5
+
+
+@query(
+    "q_dp_release",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM orders GROUP BY 1
+),
+n AS (
+  SELECT grp, exact_n,
+         CAST(concat('0x', substr(md5(concat('dp-noise:', grp)), 1, 12))
+              AS BIGINT) / CAST(281474976710656 AS DOUBLE) AS u
+  FROM g
+),
+noi AS (
+  SELECT grp, exact_n,
+         CASE WHEN u >= 0.5 THEN -{_DP_SCALE} * LN(1.0 - 2.0 * (u - 0.5))
+              ELSE {_DP_SCALE} * LN(1.0 - 2.0 * (0.5 - u)) END AS noise
+  FROM n
+)
+SELECT grp,
+       exact_n + CAST(ROUND(noise, 0) AS BIGINT) AS noisy_n,
+       ROUND(noise, 4)                           AS noise,
+       {_DP_EPSILON}                             AS epsilon
+FROM noi
+""",
+)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style noisy aggregate release (the governance
+    sibling of q_pseudonymize / q_row_level_security): per-group counts
+    perturbed with Laplace(b = 1/ε) noise before publication, the
+    standard mechanism for releasing group sizes from a sensitive table
+    without revealing any individual's membership (sensitivity 1, ε=0.5).
+
+    The noise here is DETERMINISTIC — the uniform draw is the first 48
+    bits of md5('dp-noise:' || group), inverse-CDF-transformed to
+    Laplace — which is what makes the release auditable and the oracle
+    exact (the same trick that made the LSH planes and SimHash bits
+    cross-engine: md5 is byte-identical everywhere). A production
+    deployment swaps ONE line for a sealed RNG draw per release; the
+    plan — one partial+final count aggregate over the bounded group
+    grain, noise as a scalar expression on the aggregate row, nothing
+    per-row — is already the 100 TB shape, since DP noise is added at
+    the RELEASE grain, never the data grain."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("dp-noise:"), F.col("grp")), "UTF-8")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**48))
+    )
+    noise = F.when(
+        u >= 0.5, -_DP_SCALE * F.log(1.0 - 2.0 * (u - 0.5))
+    ).otherwise(_DP_SCALE * F.log(1.0 - 2.0 * (0.5 - u)))
+    return g.select(
+        "grp",
+        (F.col("exact_n") + F.round(noise, 0).cast("long")).alias("noisy_n"),
+        F.round(noise, 4).alias("noise"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )

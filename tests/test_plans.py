@@ -822,3 +822,24 @@ def test_stream_pipeline_single_stream_scan_broadcast_dim(spark, sf_dir):
     assert "strategy=broadcast" in ana, ana
     assert "Deduplicate [event_id" in ana, ana
     assert "EventTimeWatermark" in ana, ana
+
+
+def test_bigram_lm_shares_one_bigram_exchange_no_corpus_join(plans):
+    """q_bigram_lm must build bigrams map-side (slice+arrays_zip — never a
+    token-position self-join), land ONE (lang, w1) exchange that serves
+    both the bigram aggregation (subset hash partitioning co-locates the
+    (lang, w1, w2) groups) and the c1 conditional-denominator window, and
+    broadcast the bounded per-lang vocab."""
+    import re
+
+    p = plans("q_bigram_lm")
+    final = p.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final, final
+    assert final.count("BroadcastHashJoin") == 1, final
+    w1_exchanges = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", final)
+        if "w1#" in e
+    ]
+    assert len(w1_exchanges) == 1, final
+    assert final.count("Generate explode") == 2, final
