@@ -93,7 +93,7 @@ _PRIORITY = [
     "q_item_item_recs", "q_sim_lsh", "q_sim_ivf", "q_multimodal_decode",
     "q_multimodal_phash",
     # round-6 rotation queue: still never driver-graded
-    "q_bigram_lm", "q_dp_release",
+    "q_bigram_lm", "q_dp_release", "q_bpe_train",
     "q_union", "q_union_evolution", "q_upsert",
     "q_win_running", "q_win_tumbling", "q_win_sliding", "q_ewma",
     "q_scd2_incremental", "q_share_of_parent", "q_winsorize",

@@ -1462,3 +1462,121 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_entropy",
         )
     )
+
+
+_BPE_ROUNDS = 6
+_BPE_D = "\x01"  # symbol-frame delimiter; corpus tokens never contain \x01
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Generate the DuckDB replay of the BPE trainer: the same
+    delimiter-framed symbol strings, pair counts, argmax tie-break, and
+    left-to-right non-overlapping replace(), unrolled one CTE pair per
+    merge round."""
+    dd, d = "chr(1)||chr(1)", "chr(1)"
+    parts = [
+        f"""WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks WHERE w <> '' GROUP BY w),
+w1 AS (SELECT f, {dd} || array_to_string(string_split(w, ''), {dd}) || {dd} AS wstr
+       FROM wf)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT s.sym[u.i] AS lhs, s.sym[u.i + 1] AS rhs, CAST(SUM(s.f) AS BIGINT) AS cnt
+  FROM (SELECT f, list_filter(string_split(wstr, {dd}), x -> x <> '') AS sym
+        FROM w{r}) s,
+       unnest(generate_series(1, len(s.sym) - 1)) u(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+w{r + 1} AS (
+  SELECT f,
+         replace(wstr, {d}||b.lhs||{dd}||b.rhs||{d}, {d}||b.lhs||b.rhs||{d}) AS wstr
+  FROM w{r}, b{r} b
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_f FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@query("q_bpe_train", oracle=_bpe_oracle(_BPE_ROUNDS))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the iterative merge-rule learner behind
+    every modern LLM tokenizer (q_text_bpe applies a fixed vocab; this is
+    where that vocab comes from). Six rounds of: count adjacent symbol
+    pairs weighted by word frequency → pick the most frequent pair
+    (count DESC, then lexicographic — fully deterministic) → merge it
+    everywhere. Emits the learned merge table.
+
+    Scale shape — the part that matters at 100 TB: the corpus is touched
+    EXACTLY ONCE (the word-frequency aggregation); every training round
+    then runs on the vocab-bounded word table (~10M rows at web scale,
+    MBs not TBs), localCheckpoint'ed per round to keep lineage flat. Per
+    round: pairs build map-side from each word's own symbol array
+    (slice+arrays_zip, the q_bigram_lm move), one bounded shuffle to the
+    pair grain, and a 1-row argmax collect (legal bounded model state —
+    the merge RULE is the model). This corpus-once/vocab-iterate split is
+    exactly how production BPE trainers (HF tokenizers, SentencePiece on
+    a corpus sample) are structured.
+
+    Cross-engine exactness: symbols ride a \\x01-framed string
+    ("␁␁s1␁␁s2␁␁"), so applying a merge is a LITERAL left-to-right
+    non-overlapping replace("␁a␁␁b␁" → "␁ab␁") with identical semantics
+    in Spark and DuckDB (frames make mid-symbol false matches impossible
+    and preserve neighbors' frames), and greedy overlap handling matches
+    reference BPE ('aaa' + (a,a) → 'aa','a'). The oracle unrolls the
+    same six rounds as CTE pairs."""
+    d, dd = _BPE_D, _BPE_D * 2
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wf = tok.where(F.col("w") != "").groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    chars = F.filter(F.split("w", ""), lambda c: c != F.lit(""))
+    words = wf.select(
+        "f",
+        F.concat(F.lit(dd), F.concat_ws(dd, chars), F.lit(dd)).alias("wstr"),
+    ).localCheckpoint()
+    rules = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        s = words.select(
+            "f", F.filter(F.split("wstr", dd), lambda x: x != F.lit("")).alias("sym")
+        ).where(F.size("sym") >= 2)
+        pairs = (
+            s.select(
+                "f",
+                F.slice("sym", 1, F.size("sym") - 1).alias("a"),
+                F.slice("sym", 2, F.size("sym") - 1).alias("b"),
+            )
+            .select("f", F.explode(F.arrays_zip("a", "b")).alias("p"))
+            .select("f", F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        rules.append((step, b.lhs, b.rhs, b.lhs + b.rhs, int(b.cnt)))
+        words = words.withColumn(
+            "wstr",
+            F.replace(
+                F.col("wstr"),
+                F.lit(d + b.lhs + dd + b.rhs + d),
+                F.lit(d + b.lhs + b.rhs + d),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_f long"
+    )

@@ -39,7 +39,7 @@ def test_no_unbounded_collect_in_operators():
         "inspect.py": 1,  # plan-string helper (driver-side by design)
         "jobs.py": 3,  # 1-row stream sentinels + bounded drains
         "ingest.py": 2,  # gdpr partition probe + binary-fixture id listing (N<16)
-        "text.py": 1,  # bounded vocab table
+        "text.py": 2,  # bounded vocab table + BPE 1-row argmax merge rule/round
         "dedup.py": 1,  # 64x64 hyperplane matrix
         "aggregates.py": 1,  # exact-median value-DOMAIN-bounded histogram
     }

@@ -1038,3 +1038,49 @@ def test_exact_median_recursive_refinement_on_dense_bucket(spark):
     check([987654321.123] * 12000 + [1.0, 999999999999.0])
     # spread control: never refines, same contract
     check([float(i * i % 7919) for i in range(301)])
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """q_bpe_train's framed-string replace() merge must be EXACTLY the
+    classic list-walk BPE (sennrich-style): same pair counts, same
+    argmax tie-break, same greedy left-to-right non-overlapping merge
+    ('aaa' + (a,a) -> 'aa','a'). Replayed in pure Python on the same
+    word-frequency table."""
+    from collections import Counter
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.functions.text import _BPE_ROUNDS
+    from data_pipeline_aws_spark.tables import table
+
+    wf = Counter()
+    for r in table(spark, sf_dir, "documents").select("text").collect():
+        for w in (r.text or "").split(" "):
+            if w:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    want = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        pc = Counter()
+        for w, f in wf.items():
+            syms = words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((step, lhs, rhs, lhs + rhs, cnt))
+        for w in words:
+            syms, out, i = words[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_f)
+        for r in all_queries()["q_bpe_train"](spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == want, (got, want)
