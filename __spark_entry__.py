@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) 46 oracle-backed keys the driver has NEVER graded (staged queue
 # order, including the four ex-rows-only keys upgraded to bound-verdict
 # oracles: kmeans, pq, approx_percentile, sketch_overlap), lifting
-# cumulative driver coverage to 214 of the 259 registered keys. Immediately after the cap sit
+# cumulative driver coverage to 214 of the 260 registered keys. Immediately after the cap sit
 # the upgraded keys whose driver rows are stale no_oracle entries
 # (pca_embed, approx_distinct, hll_merge) and the oracle-side-only
 # changes, then the round-6 queue of remaining never-graded keys;

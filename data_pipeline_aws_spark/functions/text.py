@@ -1368,6 +1368,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adjacent_pairs(df: DataFrame, arr: str) -> DataFrame:
+    """Explode each row's array column into its adjacent (lhs, rhs)
+    element pairs, built map-side from the row's own array (slice +
+    arrays_zip — no position window, no pos self-join); rows with fewer
+    than 2 elements drop. Shared by q_bigram_lm (token bigrams) and
+    q_bpe_train (symbol pairs)."""
+    cols = [c for c in df.columns if c != arr]
+    return (
+        df.where(F.size(arr) >= 2)
+        .select(
+            *cols,
+            F.slice(arr, 1, F.size(arr) - 1).alias("_pa"),
+            F.slice(arr, 2, F.size(arr) - 1).alias("_pb"),
+        )
+        .select(*cols, F.explode(F.arrays_zip("_pa", "_pb")).alias("_p"))
+        .select(*cols, F.col("_p._pa").alias("lhs"), F.col("_p._pb").alias("rhs"))
+    )
+
+
 @query(
     "q_bigram_lm",
     oracle="""
@@ -1409,35 +1428,24 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigrams are built MAP-SIDE with slice+arrays_zip (no
     window over token positions, no self-join on doc/pos — each doc's
-    adjacent pairs fall out of its own array), then ONE shuffle to the
-    (lang, w1, w2) grain, which is bounded by the bigram vocabulary, not
-    the corpus. The conditional denominator c1 = Σ_w2 c12 is a window over
-    that same bounded bigram table partitioned by (lang, w1) — it reuses
-    the aggregate's exchange rather than re-scanning tokens (the
-    q_text_tfidf trick). Per-lang vocab rides a second token aggregate and
-    broadcasts back. Cross-entropy folds exact integer ratios through ln:
-    both engines see identical doubles, so ROUND(.,4) hash-matches."""
+    adjacent pairs fall out of its own array), then aggregated with
+    map-side PARTIAL combine before the shuffle — so the wire carries
+    per-task (lang, w1, w2) partial counts bounded by the bigram
+    vocabulary, never the corpus-grain occurrence stream (plan-asserted:
+    partial_count below the exchange; an explicit pre-agg repartition
+    would force raw occurrences through one skew-prone shuffle). The
+    conditional denominator c1 = Σ_w2 c12 is a window over the bounded
+    bigram table (its own small exchange of counts, not data). Per-lang
+    vocab rides a second token aggregate and broadcasts back. The
+    per-term log ratios are exact-integer quotients — identical doubles
+    in both engines; their SUM carries the usual ulp-level
+    summation-order risk every float aggregate in this repo accepts
+    under ROUND(.,4)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    t = d.select("lang", toks.alias("t")).where(F.size("t") >= 2)
-    pairs = t.select(
-        "lang",
-        F.slice("t", 1, F.size("t") - 1).alias("a"),
-        F.slice("t", 2, F.size("t") - 1).alias("b"),
-    )
-    bg = pairs.select("lang", F.explode(F.arrays_zip("a", "b")).alias("p")).select(
-        "lang", F.col("p.a").alias("w1"), F.col("p.b").alias("w2")
-    )
-    # repartition on (lang, w1) — a SUBSET of the group keys — so ONE
-    # exchange serves both the (lang, w1, w2) aggregation (subset hash
-    # partitioning still co-locates every group) and the c1 window
-    # partitioned by (lang, w1); without it the window re-shuffles the
-    # bigram table a second time (plan-asserted)
-    c12 = (
-        bg.repartition("lang", "w1")
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    t = d.select("lang", toks.alias("t"))
+    bg = _adjacent_pairs(t, "t").selectExpr("lang", "lhs as w1", "rhs as w2")
+    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     withc1 = c12.withColumn(
         "c1", F.sum("c").over(Window.partitionBy("lang", "w1"))
     )
@@ -1548,16 +1556,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for step in range(1, _BPE_ROUNDS + 1):
         s = words.select(
             "f", F.filter(F.split("wstr", dd), lambda x: x != F.lit("")).alias("sym")
-        ).where(F.size("sym") >= 2)
-        pairs = (
-            s.select(
-                "f",
-                F.slice("sym", 1, F.size("sym") - 1).alias("a"),
-                F.slice("sym", 2, F.size("sym") - 1).alias("b"),
-            )
-            .select("f", F.explode(F.arrays_zip("a", "b")).alias("p"))
-            .select("f", F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
         )
+        pairs = _adjacent_pairs(s, "sym")
         best = (
             pairs.groupBy("lhs", "rhs")
             .agg(F.sum("f").alias("cnt"))

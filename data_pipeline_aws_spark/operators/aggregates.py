@@ -1247,14 +1247,19 @@ def exact_median(
         member = eq if member is None else (member & eq)
         if push is None:
             # Widened level-0 range: floor decides membership, this only
-            # skips files. ONLY the coarse level may emit a range: at
-            # refined widths the quotient can exceed 2^53, where
-            # (target±1)*width rounds past the bucket and a range predicate
-            # would EXCLUDE floor-members (seen: 12k copies of
-            # 987654321.123 under width 1e-7 → empty slice). The coarse
-            # range already buys the file skipping; deeper levels filter by
-            # floor equality alone, which is self-consistent at any width.
-            push = (col >= (target - 1) * width) & (col < (target + 2) * width)
+            # skips files. ONLY the coarse level may emit a range — and
+            # only while |target| < 2^50, keeping the (target±k)*width
+            # products' rounding error well under the one-width slack; a
+            # larger quotient (values ≥ ~1e17 at width 100, or any refined
+            # width) rounds the bounds past the bucket and the range would
+            # EXCLUDE floor-members (seen: 12k copies of 987654321.123 at
+            # width 1e-7, and 1e19 even at width 100 → empty slice).
+            # Deeper levels filter by floor equality alone, which is
+            # self-consistent at any width.
+            if abs(int(target)) < 2**50:
+                push = (col >= (target - 1) * width) & (col < (target + 2) * width)
+            else:
+                push = F.lit(True)
         sliced = df.where(push & member)
         if cnt <= _KTH_SLICE_CAP or level == _KTH_MAX_REFINES:
             break  # no histogram job for a level that would never be walked

@@ -824,22 +824,17 @@ def test_stream_pipeline_single_stream_scan_broadcast_dim(spark, sf_dir):
     assert "EventTimeWatermark" in ana, ana
 
 
-def test_bigram_lm_shares_one_bigram_exchange_no_corpus_join(plans):
+def test_bigram_lm_partial_agg_below_exchange_no_corpus_join(plans):
     """q_bigram_lm must build bigrams map-side (slice+arrays_zip — never a
-    token-position self-join), land ONE (lang, w1) exchange that serves
-    both the bigram aggregation (subset hash partitioning co-locates the
-    (lang, w1, w2) groups) and the c1 conditional-denominator window, and
-    broadcast the bounded per-lang vocab."""
-    import re
-
+    token-position self-join) and combine them with map-side PARTIAL
+    aggregation BEFORE any exchange, so the shuffle carries vocab-bounded
+    partial counts instead of the raw occurrence stream (an explicit
+    pre-agg repartition would ship corpus-grain rows and eat hot-key
+    skew); the bounded per-lang vocab broadcasts."""
     p = plans("q_bigram_lm")
     final = p.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final, final
     assert final.count("BroadcastHashJoin") == 1, final
-    w1_exchanges = [
-        e
-        for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", final)
-        if "w1#" in e
-    ]
-    assert len(w1_exchanges) == 1, final
+    assert "REPARTITION_BY_COL" not in final, final
+    assert "partial_count" in final, final
     assert final.count("Generate explode") == 2, final

@@ -1036,6 +1036,10 @@ def test_exact_median_recursive_refinement_on_dense_bucket(spark):
     # a (target±1)*width range predicate rounds PAST the bucket — the
     # round-5 regression where only the coarse level may push a range
     check([987654321.123] * 12000 + [1.0, 999999999999.0])
+    # extreme magnitude: even the LEVEL-0 bounds round onto the members
+    # (1e19 at width 100 → (target±k)*100 == 1e19 exactly), so the range
+    # must not be emitted at all once |target| >= 2^50
+    check([1e19] * 12000 + [1.0, 2.5e19])
     # spread control: never refines, same contract
     check([float(i * i % 7919) for i in range(301)])
 
