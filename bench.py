@@ -74,12 +74,19 @@ def _loadavg_1min() -> float:
         return -1.0
 
 
-def _clear_sink_caches() -> None:
+def _clear_sink_caches(sf_dir: str) -> None:
+    """Remove ONLY this sf_dir's sink caches. The cache dirs are named
+    ``dpas_{kind}_{md5(sf_dir)[:10]}_{version}`` (ingest._cache_dir), so
+    scoping the glob to the active tag leaves other SF dirs' caches, the
+    ship_package zips, and any concurrent test/driver session's fixtures
+    untouched — a blanket ``dpas_*`` rmtree raced those mid-run."""
     import glob
+    import hashlib
     import shutil
     import tempfile
 
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), "dpas_*")):
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"dpas_*_{tag}*")):
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -105,7 +112,7 @@ def main() -> None:
 
     cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     if cold:
-        _clear_sink_caches()
+        _clear_sink_caches(sf_dir)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")

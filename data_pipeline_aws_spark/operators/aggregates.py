@@ -1151,12 +1151,14 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KTH_BUCKET_W = 100.0  # histogram width; bucket count bounded by the VALUE
-# DOMAIN (TPC-H extendedprice < ~110k at every SF), not by row count
+_KTH_BUCKET_BUDGET = 2000  # pass-1 histogram is <= budget+1 rows on ANY
+# value domain: width = (max-min)/budget from a 1-row pre-scan, buckets
+# keyed by floor((x-min)/width) so indexes live in [0, budget]
 _KTH_REFINE_FAN = 1000  # each refinement splits the target bucket 1000-ways
 _KTH_SLICE_CAP = 10_000  # rank within a slice only once it is this small
-_KTH_MAX_REFINES = 3  # 100 -> 0.1 -> 1e-4 -> 1e-7: below any fixed-decimal
-# value granularity, so the loop terminates for real-world numeric domains
+_KTH_MAX_REFINES = 3  # deepest width = range/(budget*fan^3) = range/2e12:
+# below the value granularity of any fixed-decimal domain at its own
+# scale, so the loop terminates for real-world numeric data
 
 
 @query(
@@ -1177,26 +1179,31 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — RECURSIVE histogram-refinement selection, the pattern that
     complements q_approx_percentile's sketch when exactness is contractual.
 
-    Pass 1 aggregates value-domain bucket counts (floor(x/W), W=100 — the
-    bucket table is bounded by the DOMAIN, ~1.1k buckets here, regardless
-    of row count); the driver walks the cumulative counts to find the one
-    bucket containing rank k and the residual rank r inside it. While
-    that bucket still holds more than _KTH_SLICE_CAP rows, the SAME
-    map-side histogram recurses inside it with width W/1000 — so a
+    A 1-row count/min/max pre-scan sizes the pass-1 histogram to the
+    ACTUAL domain: width W = (max-min)/_KTH_BUCKET_BUDGET and buckets
+    keyed by floor((x-min)/W), so pass 1 collects at most budget+1 rows
+    on ANY numeric domain — a column spanning 1e12 costs the same 2001
+    buckets as TPC-H prices (a fixed W would make that collect
+    domain-proportional). The driver walks the cumulative counts to find
+    the one bucket containing rank k and the residual rank r inside it.
+    While that bucket still holds more than _KTH_SLICE_CAP rows, the
+    SAME map-side histogram recurses inside it with width W/1000 — so a
     10^11-row table needs at most ~3 extra bounded passes (each collect
-    ≤ fan+1 rows) before the slice is small, instead of funnelling an
-    n/1,100-row residual through a driver-side heap. Only the final
+    ≤ fan+2 rows) before the slice is small, instead of funnelling an
+    n/2,000-row residual through a driver-side heap. Only the final
     ≤_KTH_SLICE_CAP-row slice is ever ranked, via a row_number window
     whose single partition is bounded by construction.
 
     Bucket membership at every level uses the IDENTICAL floor expression
-    that keyed the histogram (floor(x/W) == b) — never a re-derived range
-    predicate, which under IEEE rounding can disagree with floor near
-    bucket boundaries and silently shift the selected rank. A WIDENED
-    range predicate (one full bucket width of slack each side) is ANDed
-    on purely so the parquet scan still gets a pushable min/max filter.
-    The emitted median is a STORED double (no arithmetic), so the
-    oracle's ORDER BY/OFFSET k-1 must agree bit-for-bit."""
+    that keyed the histogram (floor((x-min)/W) == b) — never a re-derived
+    range predicate, which under IEEE rounding can disagree with floor
+    near bucket boundaries and silently shift the selected rank. A
+    WIDENED range predicate (one full bucket width of slack each side)
+    is ANDed on purely so the parquet scan still gets a pushable min/max
+    filter — emitted only while ulp(max|value|) is ≪ the slack (see
+    exact_median). The emitted median is a STORED double (no
+    arithmetic), so the oracle's ORDER BY/OFFSET k-1 agrees
+    bit-for-bit."""
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
     return exact_median(spark, li, "l_extendedprice", out="median_price")
 
@@ -1215,9 +1222,31 @@ def exact_median(
     col = F.col(value_col)
     df = df.where(col.isNotNull())
 
+    # 1-row pre-scan: sizes the histogram to the actual domain (budget+1
+    # buckets max, whatever the value range) and settles n/k up front.
+    pre = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(col).alias("mn"), F.max(col).alias("mx")
+    ).collect()[0]
+    n = int(pre.n)
+    if n == 0:  # empty relation: no rank to select; mirror an empty report
+        return spark.createDataFrame(
+            [(0, 0, None)], f"n_rows long, k long, {out} double"
+        )
+    k = (n + 1) // 2
+    mn, mx = float(pre.mn), float(pre.mx)
+    if mn == mx:  # constant column: every rank selects the same value
+        return spark.createDataFrame(
+            [(n, k, mn)], f"n_rows long, k long, {out} double"
+        )
+    # Buckets are keyed by floor((x - mn)/W), NOT floor(x/W): the shift
+    # pins level-0 indexes to [0, budget] however large |x| is, and the
+    # subtraction is monotone under IEEE rounding, so the cumulative walk
+    # stays order-correct. Membership reuses the identical expression.
+    shifted = col - F.lit(mn)
+
     def _hist(d, width):
         return (
-            d.groupBy(F.floor(col / width).cast("long").alias("b"))
+            d.groupBy(F.floor(shifted / width).cast("long").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
@@ -1230,34 +1259,30 @@ def exact_median(
             cum += r.c
         raise AssertionError("rank exceeds histogram total")
 
-    width = _KTH_BUCKET_W
+    width = (mx - mn) / _KTH_BUCKET_BUDGET
     hist = _hist(df, width)
-    n = sum(r.c for r in hist)
-    if n == 0:  # empty relation: no rank to select; mirror an empty report
-        return spark.createDataFrame(
-            [(0, 0, None)], f"n_rows long, k long, {out} double"
-        )
-    k = (n + 1) // 2
     rank = k
     member = None  # conjunction of per-level floor-equality constraints
     push = None  # level-0 widened range, the parquet min/max pushdown
     for level in range(_KTH_MAX_REFINES + 1):
         target, residual, cnt = _walk(hist, rank)
-        eq = F.floor(col / width) == target
+        eq = F.floor(shifted / width) == target
         member = eq if member is None else (member & eq)
         if push is None:
-            # Widened level-0 range: floor decides membership, this only
-            # skips files. ONLY the coarse level may emit a range — and
-            # only while |target| < 2^50, keeping the (target±k)*width
-            # products' rounding error well under the one-width slack; a
-            # larger quotient (values ≥ ~1e17 at width 100, or any refined
-            # width) rounds the bounds past the bucket and the range would
-            # EXCLUDE floor-members (seen: 12k copies of 987654321.123 at
-            # width 1e-7, and 1e19 even at width 100 → empty slice).
-            # Deeper levels filter by floor equality alone, which is
-            # self-consistent at any width.
-            if abs(int(target)) < 2**50:
-                push = (col >= (target - 1) * width) & (col < (target + 2) * width)
+            # Widened level-0 range on the RAW column (mn + (target∓1|2)·W):
+            # floor decides membership, this only skips files. The bounds
+            # carry ~3 rounding errors of ulp(max(|mn|,|mx|)) each; they
+            # stay well inside the one-width slack only while
+            # max(|mn|,|mx|)/W < 2^48 (ulp < W/16). Past that — a huge
+            # offset with a comparatively narrow range — the bound could
+            # round PAST the bucket and EXCLUDE floor-members, so no range
+            # is emitted (same IEEE trap class as the round-5
+            # (target±1)*width regression, now keyed on offset/width
+            # because the shift keeps |target| itself ≤ budget).
+            if max(abs(mn), abs(mx)) / width < 2**48:
+                push = (col >= mn + (target - 1) * width) & (
+                    col < mn + (target + 2) * width
+                )
             else:
                 push = F.lit(True)
         sliced = df.where(push & member)
@@ -1267,10 +1292,11 @@ def exact_median(
         rank = residual
         hist = _hist(sliced, width)
     # final slice is <= _KTH_SLICE_CAP rows for any domain with value
-    # granularity >= the deepest width (1e-7 — all fixed-decimal data). A
-    # denser adversarial domain (>10k DISTINCT doubles inside one 1e-7
-    # bucket) degrades to a larger single-partition window: still exact,
-    # no longer cap-bounded — the documented trade for bounded pass count.
+    # granularity >= the deepest width (range/2e12 — all fixed-decimal
+    # data at its own scale). A denser adversarial domain (>10k DISTINCT
+    # doubles inside one deepest-level bucket, incl. massive ties)
+    # degrades to a larger single-partition window: still exact, no
+    # longer cap-bounded — the documented trade for bounded pass count.
     win = Window.orderBy(value_col)
     kth = (
         sliced.withColumn("rn", F.row_number().over(win))

@@ -943,7 +943,8 @@ noi AS (
 SELECT grp,
        exact_n + CAST(ROUND(noise, 0) AS BIGINT) AS noisy_n,
        ROUND(noise, 4)                           AS noise,
-       {_DP_EPSILON}                             AS epsilon
+       {_DP_EPSILON}                             AS epsilon_nominal,
+       'deterministic-audit'                     AS mechanism
 FROM noi
 """,
 )
@@ -958,12 +959,18 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits of md5('dp-noise:' || group), inverse-CDF-transformed to
     Laplace — which is what makes the release auditable and the oracle
     exact (the same trick that made the LSH planes and SimHash bits
-    cross-engine: md5 is byte-identical everywhere). A production
-    deployment swaps ONE line for a sealed RNG draw per release; the
-    plan — one partial+final count aggregate over the bounded group
-    grain, noise as a scalar expression on the aggregate row, nothing
-    per-row — is already the 100 TB shape, since DP noise is added at
-    the RELEASE grain, never the data grain."""
+    cross-engine: md5 is byte-identical everywhere). Because anyone who
+    knows the group name can recompute and subtract this noise, the
+    release as shipped provides ZERO actual privacy — so the output
+    says so: the mechanism column is 'deterministic-audit' and the
+    epsilon column is named epsilon_nominal, preventing a downstream
+    consumer from mistaking the demo for a live DP guarantee. A
+    production deployment swaps ONE line for a sealed secret-seeded RNG
+    draw per release (mechanism then reads 'laplace'); the plan — one
+    partial+final count aggregate over the bounded group grain, noise
+    as a scalar expression on the aggregate row, nothing per-row — is
+    already the 100 TB shape, since DP noise is added at the RELEASE
+    grain, never the data grain."""
     o = table(spark, sf_dir, "orders")
     g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).alias("exact_n")
@@ -987,5 +994,6 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         (F.col("exact_n") + F.round(noise, 0).cast("long")).alias("noisy_n"),
         F.round(noise, 4).alias("noise"),
-        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.lit(_DP_EPSILON).alias("epsilon_nominal"),
+        F.lit("deterministic-audit").alias("mechanism"),
     )

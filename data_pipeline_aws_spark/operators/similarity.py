@@ -393,6 +393,16 @@ def kmeans_fit(spark: SparkSession, sf_dir: str):
     k, iters, dim = 8, 3, 64
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if len(cent_rows) < k:
+        # Fail here with a clear message rather than deeper in the loop:
+        # an empty/underseeded table would otherwise surface as np.stack's
+        # "need at least one array" or an IndexError on the (-1,-1) marker
+        # bookkeeping (every iteration's collect assumes >=1 mapInPandas
+        # batch, which a seeded — hence non-empty — table guarantees).
+        raise ValueError(
+            f"kmeans_fit requires embeddings rows with vec_id 0..{k - 1} as "
+            f"seeds (non-empty table); found {len(cent_rows)} seed rows"
+        )
     cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
 
     def _assign(c, pdf):

@@ -764,8 +764,9 @@ def test_exact_median_refinement_slice_is_pushed_and_bounded(plans):
     assert "GreaterThanOrEqual(l_extendedprice" in p, p
     # the upper bound also reaches DataFilters (PushedFilters line truncates)
     assert re.search(r"l_extendedprice#\d+ < ", p), p
-    # floor-equality membership (identical to the histogram key expression)
-    assert re.search(r"FLOOR\(\(l_extendedprice#\d+ / 100\.0\)\) = ", p), p
+    # floor-equality membership (identical to the histogram key expression:
+    # min-shifted, domain-adaptive width since round 6)
+    assert re.search(r"FLOOR\(\(\(l_extendedprice#\d+ - .+?\) / .+?\)\) = ", p), p
     assert "row_number()" in p, p
     # at most one SinglePartition exchange, feeding only the bounded slice
     # window (a 1-file scan needs none at all)

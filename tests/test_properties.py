@@ -1011,10 +1011,12 @@ def test_exact_median_recursive_refinement_on_dense_bucket(spark):
     """exact_median must RECURSE when rank k's level-0 bucket holds more
     than _KTH_SLICE_CAP rows (the 100-TB shape the TPC-H fixtures never
     trigger) and still return the exact sorted-order k-th smallest.
-    Three regimes: a 25k-row dense bucket (one refinement), a >10k-row
-    tie at the median (width drops below granularity, any rank in the
-    tie picks the same value), and a spread corpus (no refinement)."""
+    Since round 6 the level-0 width is (max-min)/_KTH_BUCKET_BUDGET from
+    a pre-scan, so density now means a cluster that is NARROW relative
+    to the full range (outlier-stretched domains) or massive ties —
+    both exercised here, plus wide-domain and huge-offset regimes."""
     from data_pipeline_aws_spark.operators.aggregates import (
+        _KTH_BUCKET_BUDGET,
         _KTH_SLICE_CAP,
         exact_median,
     )
@@ -1026,20 +1028,32 @@ def test_exact_median_recursive_refinement_on_dense_bucket(spark):
         assert (row.n_rows, row.k) == (len(vals), (len(vals) + 1) // 2)
         assert row.median == want, (row.median, want)
 
-    # dense: 25k distinct-ish values inside ONE level-0 bucket [500, 600)
-    dense = [500.0 + (i % 9973) * 0.01 for i in range(2 * _KTH_SLICE_CAP + 5000)]
-    assert sum(1 for v in dense if 500.0 <= v < 600.0) > _KTH_SLICE_CAP
+    # dense: outliers stretch the range to 2e6 (level-0 width 1000), so
+    # the 25k-row cluster spanning <1.0 lands in ONE level-0 bucket and
+    # forces >=2 refinement passes before the slice is cap-bounded
+    dense = [500.0 + (i % 9973) * 0.0001 for i in range(2 * _KTH_SLICE_CAP + 5000)]
+    dense += [0.0, 2_000_000.0]
+    w0 = (max(dense) - min(dense)) / _KTH_BUCKET_BUDGET
+    assert sum(1 for v in dense if 0.0 <= v - 500.0 < w0) > _KTH_SLICE_CAP
     check(dense)
     # degenerate tie: 12k copies of one value straddling the median rank
+    # (width drops below granularity; any rank in the tie picks the value)
     check([42.5] * 12000 + [1.0, 99999.0])
-    # large-magnitude tie: at refined widths the quotient exceeds 2^53 and
-    # a (target±1)*width range predicate rounds PAST the bucket — the
-    # round-5 regression where only the coarse level may push a range
+    # large-magnitude tie: refined-width quotients far past 2^53 — the
+    # round-5 regression class where a re-derived range predicate rounds
+    # PAST the bucket (membership must stay on the floor expression)
     check([987654321.123] * 12000 + [1.0, 999999999999.0])
-    # extreme magnitude: even the LEVEL-0 bounds round onto the members
-    # (1e19 at width 100 → (target±k)*100 == 1e19 exactly), so the range
-    # must not be emitted at all once |target| >= 2^50
+    # extreme magnitude: bounds at ulp(2.5e19) ≈ 4e3 — far under the
+    # level-0 width (1.25e16), so the shifted scheme may push safely
     check([1e19] * 12000 + [1.0, 2.5e19])
+    # wide domain, spread: values spanning 1.2e12 — pass-1 histogram must
+    # stay budget-bounded (the round-6 fix; a fixed width W=100 would
+    # have collected ~1e10 buckets), no refinement needed
+    check([float(i) * 4e8 for i in range(3001)])
+    # huge offset, narrow range: ulp(1e15)=0.125 ≥ width/16 ⇒ the range
+    # predicate is suppressed (offset/width guard), floor membership
+    # alone selects; x-mn is exact by Sterbenz so ranks stay exact
+    check([1e15 + 0.125 * i for i in range(3001)])
     # spread control: never refines, same contract
     check([float(i * i % 7919) for i in range(301)])
 
