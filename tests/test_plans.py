@@ -839,3 +839,36 @@ def test_bigram_lm_partial_agg_below_exchange_no_corpus_join(plans):
     assert "REPARTITION_BY_COL" not in final, final
     assert "partial_count" in final, final
     assert final.count("Generate explode") == 2, final
+
+
+def test_text_winnow_is_map_only_zero_exchanges(plans):
+    """q_text_winnow must fingerprint entirely inside the scan partition —
+    in-row higher-order array lambdas over one pruned documents scan,
+    ZERO exchanges anywhere in the plan (no explode, no groupBy, no
+    window): at 100 TB only the (doc_id, n_fp, fp_check) rows ever move,
+    never grams or window arrays."""
+    p = plans("q_text_winnow")
+    assert "Exchange" not in p, p
+    assert p.count("FileScan parquet") == 1, p
+    assert "documents.parquet" in p, p
+    assert "struct<doc_id:bigint,text:string>" in p, p  # pruned scan
+    assert "Generate explode" not in p, p
+
+
+def test_cc_doubling_rounds_consume_checkpointed_frontier(plans):
+    """q_cc_doubling's per-round pointer-jump/neighbor joins must consume
+    the localCheckpoint'ed label frontier, never the raw pair-building
+    lineage: the final plan joins documents against a checkpointed
+    `Scan ExistingRDD[node, label]` table, with no trace of the shingle /
+    LSH-band / Jaccard machinery (an uncut lineage would replay the whole
+    O(rounds)-deep edge tree every round AND in this final join)."""
+    p = plans("q_cc_doubling")
+    final = p.split("== Initial Plan ==")[0]
+    # exactly one parquet scan: documents (doc_id only); edges are gone
+    assert final.count("FileScan parquet") == 1, final
+    assert "documents.parquet" in final, final
+    assert final.count("Scan ExistingRDD") == 1, final
+    # the bounded label table broadcasts; the doc spine never re-shuffles
+    # through a sort-merge join
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
