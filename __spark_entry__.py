@@ -78,7 +78,7 @@ _PRIORITY = [
     "q_stream_join", "q_stream_sink", "q_stream_stream_join",
     "q_stream_session", "q_pandas_udf", "q_grouped_map",
     # (c) new in round 6 (never graded, completes the 50-key prefix)
-    # "q_dedup_minhash_incremental",  # uncommented when the operator lands
+    "q_dedup_minhash_incremental",
     # --- ~50-entry grading cap lands here ---
     # fully-graded keys follow in registration order; nothing below this
     # line needs a round-6 row (q_item_item_recs & friends received their

@@ -58,6 +58,8 @@ SINK_CACHE_KEYS = [
     "q_json_ingest", "q_csv_ingest", "q_orc_ingest", "q_partitioned_sink",
     "q_corrupt_ingest", "q_compact", "q_schema_evolution", "q_gdpr_delete",
     "q_zorder", "q_text_ingest", "q_binary_ingest", "q_range_sort_sink",
+    "q_dedup_minhash_incremental",  # persisted signature-index versions
+    "q_stream_sink",  # landed foreachBatch epoch layout (cache since r6)
 ]
 # The part_lineitem fixture is SHARED: q_partitioned_sink owns the write,
 # but q_dpp and q_gdpr_delete read the same cache (ingest.py). In cold

@@ -462,6 +462,326 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Persisted-signature MinHash-LSH index maintenance --------------------
+# q_dedup_incremental screens one batch against history by recomputing BOTH
+# sides' sketches from text. The maintained-index variant below completes
+# the production story: signatures are computed ONCE per document, persisted
+# at the doc grain (doc_id, epoch, chash, mh0..mh31 — ~280 B/doc), and every
+# later refresh reads the INDEX, never history text. Portability: minhashes
+# are md5-seeded (min over shingles of the low 60 bits of md5('<i>:'||
+# shingle))), so the full signature content — not just admission decisions —
+# is byte-replayable in the DuckDB oracle (the round-5 cross-engine
+# technique; Spark-private murmur3/xxhash64 would force a rows-only check).
+
+_MH_N = 32  # minhashes per signature
+_MH_BANDS = 16  # 16 bands x 2 rows: P(candidate | J=0.9) ≈ 1-1e-12
+_MH_MATCH_MIN = 16  # admitted iff est. Jaccard < 0.5 ⇔ < 16 of 32 agree
+
+
+def _mh_cache_dir(kind: str, sf_dir: str) -> str:
+    """Tempdir cache path for a persisted index version, keyed like
+    ingest._cache_dir (md5(sf_dir) tag) but versioned by THIS module's
+    code hash — an index written by older dedup code can never satisfy a
+    newer read path (and bench --cold's tag-scoped clear still finds it)."""
+    import hashlib
+    import os
+    import tempfile
+
+    with open(__file__, "rb") as f:
+        ver = hashlib.md5(f.read()).hexdigest()[:8]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    prefix = os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
+    # evict siblings minted by other code versions (ingest.py precedent)
+    parent, base = tempfile.gettempdir(), os.path.basename(prefix)
+    try:
+        for name in os.listdir(parent):
+            if name.startswith(base + "_") and name != f"{base}_{ver}":
+                import shutil
+
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    except OSError:
+        pass
+    return f"{prefix}_{ver}"
+
+
+def _md5_low60(c):
+    """Low 60 bits of md5 as a non-negative BIGINT — byte-identical in
+    DuckDB via CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _mh_sig_table(d: DataFrame) -> DataFrame:
+    """(doc_id, chash, mh0..mh31) portable signature table for a documents
+    subset. All 32 minhashes in ONE aggregation pass (32 parallel min-agg
+    columns over the in-row shingle explode — the one-pass shape
+    q_dedup_minhash established); shingle strings never shuffle, only the
+    doc-grain partial mins do. ONE text scan (plan-pinned): chash rides the
+    same projection and explode_outer keeps shingle-less docs as a single
+    NULL-shingle row, whose seeded concat/md5/min all stay NULL — the
+    doc keeps a NULL signature and still dedups exactly by chash."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - F.lit(SHINGLE_WIDTH - 1), F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    sh3 = F.zip_with(pair, F.slice(toks, 3, n), lambda p, z: F.concat_ws(" ", p, z))
+    sh = d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("chash"),
+        F.explode_outer(F.array_distinct(sh3)).alias("shingle"),
+    )
+    return sh.groupBy("doc_id", "chash").agg(
+        *[
+            F.min(_md5_low60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(_MH_N)
+        ]
+    )
+
+
+def _mh_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, s1, s2) band rows from a signature table — the LSH
+    bucket key. NULL-signature docs emit NULL s1/s2, which can never
+    equi-join (SQL NULL), so they produce no candidates on either side."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.col(f"mh{2 * i}").alias("s1"), F.col(f"mh{2 * i + 1}").alias("s2")
+            )
+            for i in range(_MH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "bs")).select(
+        "doc_id", "band", F.col("bs.s1").alias("s1"), F.col("bs.s2").alias("s2")
+    )
+
+
+def _mh_near_hits(sig_a: DataFrame, sig_b: DataFrame, within: bool) -> DataFrame:
+    """Distinct b-side doc_ids whose estimated Jaccard vs some a-side doc
+    reaches 0.5 (>= _MH_MATCH_MIN of the 32 minhashes agree). Candidates
+    come ONLY from band-bucket collisions — a×b never materializes; with
+    ``within=True`` both sides are the same batch and only lower-id docs
+    reject higher ones (keep-lowest, one pass, no transitivity — the
+    deterministic rule the oracle replays)."""
+    a, b = _mh_band_rows(sig_a).alias("a"), _mh_band_rows(sig_b).alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.s1") == F.col("b.s1"))
+        & (F.col("a.s2") == F.col("b.s2"))
+    )
+    if within:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    )
+    return (
+        cand.join(sig_a.alias("x"), cand.da == F.col("x.doc_id"))
+        .join(sig_b.alias("y"), cand.db == F.col("y.doc_id"))
+        .where(matches >= _MH_MATCH_MIN)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+
+
+def mh_index_refresh(batch_sig: DataFrame, index_sig: DataFrame) -> DataFrame:
+    """One index-refresh step: admit the batch rows that are neither exact
+    (chash) nor near (banded-signature) duplicates of the PERSISTED index
+    or of a lower-id doc in the same batch. Reads only signatures — never
+    index text. batch_sig is localCheckpoint'ed: it feeds four joins and
+    would otherwise re-run the 32-min aggregation per consumer (executor
+    block storage, O(batch) doc-grain rows — the CC-frontier pattern)."""
+    bs = batch_sig.localCheckpoint()
+    rej_exact_idx = bs.join(
+        index_sig.select("chash"), "chash", "left_semi"
+    ).select("doc_id")
+    rej_exact_batch = (
+        bs.alias("x")
+        .join(
+            bs.alias("y"),
+            (F.col("x.chash") == F.col("y.chash"))
+            & (F.col("y.doc_id") < F.col("x.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"))
+    )
+    rejected = (
+        rej_exact_idx.union(rej_exact_batch)
+        .union(_mh_near_hits(index_sig, bs, within=False))
+        .union(_mh_near_hits(bs, bs, within=True))
+        .distinct()
+    )
+    return bs.join(rejected, "doc_id", "left_anti")
+
+
+def mh_refresh_frame(spark: SparkSession, sf_dir: str, epoch: int) -> DataFrame:
+    """The admitted-rows DataFrame for refresh epoch 1 or 2, reading the
+    PERSISTED index parquet — exposed so tests can pin the incremental
+    plan property (exactly one documents scan: the batch; index text is
+    never re-shingled)."""
+    d = table(spark, sf_dir, "documents")
+    prev = _mh_index_versions(spark, sf_dir)[epoch - 1]
+    batch_sig = _mh_sig_table(d.where(F.col("doc_id") % 3 == epoch))
+    return mh_index_refresh(batch_sig, spark.read.parquet(prev)).withColumn(
+        "epoch", F.lit(epoch).cast("int")
+    )
+
+
+def _mh_index_versions(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Materialize (once per sf_dir+code version) the three persisted index
+    versions: v0 = history build, v1 = v0 + admitted batch1, v2 = v1 +
+    admitted batch2. Returns their paths; each write is skipped when its
+    _SUCCESS sentinel exists (the sink-fixture idempotence pattern)."""
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    cols = ["doc_id", "epoch", "chash"] + [f"mh{i}" for i in range(_MH_N)]
+    paths = [_mh_cache_dir(f"mh_index_v{k}", sf_dir) for k in range(3)]
+    if not os.path.exists(os.path.join(paths[0], "_SUCCESS")):
+        hist = (
+            _mh_sig_table(d.where(F.col("doc_id") % 3 == 0))
+            .withColumn("epoch", F.lit(0).cast("int"))
+            .select(cols)
+        )
+        hist.write.mode("overwrite").parquet(paths[0])
+    for k in (1, 2):
+        if not os.path.exists(os.path.join(paths[k], "_SUCCESS")):
+            prev = spark.read.parquet(paths[k - 1])
+            batch_sig = _mh_sig_table(d.where(F.col("doc_id") % 3 == k))
+            adm = mh_index_refresh(batch_sig, prev).withColumn(
+                "epoch", F.lit(k).cast("int")
+            )
+            prev.unionByName(adm.select(cols)).write.mode("overwrite").parquet(
+                paths[k]
+            )
+    return paths
+
+
+_MH_INCR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                   AS token,
+         generate_subscripts(string_split(text, ' '), 1)   AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+mh AS (
+  SELECT doc_id, s.i AS seed,
+         MIN(CAST(concat('0x',
+               substr(md5(CAST(s.i AS VARCHAR) || ':' || shingle), 1, 15))
+             AS BIGINT)) AS v
+  FROM shd, range(32) s(i)
+  GROUP BY doc_id, s.i
+),
+sig AS (
+  SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS ep, md5(d.text) AS chash,
+         list(mh.v ORDER BY mh.seed) AS mhs
+  FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id
+  GROUP BY d.doc_id, d.text
+),
+bands AS (
+  SELECT doc_id, ep, b.b AS band, mhs[2*b.b + 1] AS s1, mhs[2*b.b + 2] AS s2
+  FROM sig, range(16) b(b)
+),
+cand1 AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+  WHERE y.ep = 1 AND (x.ep = 0 OR (x.ep = 1 AND x.doc_id < y.doc_id))
+),
+rej1 AS (
+  SELECT DISTINCT b.doc_id FROM sig b JOIN sig h ON b.chash = h.chash
+   WHERE b.ep = 1 AND (h.ep = 0 OR (h.ep = 1 AND h.doc_id < b.doc_id))
+  UNION
+  SELECT DISTINCT c.db AS doc_id
+  FROM cand1 c JOIN sig a ON a.doc_id = c.da JOIN sig b ON b.doc_id = c.db
+  WHERE len(list_filter(range(1, 33), i -> a.mhs[i] = b.mhs[i])) >= 16
+),
+idx1 AS (
+  SELECT doc_id FROM sig WHERE ep = 0
+  UNION ALL
+  SELECT doc_id FROM sig
+  WHERE ep = 1 AND doc_id NOT IN (SELECT doc_id FROM rej1)
+),
+cand2 AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+  WHERE y.ep = 2
+    AND ((x.ep <= 1 AND x.doc_id IN (SELECT doc_id FROM idx1))
+         OR (x.ep = 2 AND x.doc_id < y.doc_id))
+),
+rej2 AS (
+  SELECT DISTINCT b.doc_id FROM sig b JOIN sig h ON b.chash = h.chash
+   WHERE b.ep = 2
+     AND ((h.ep <= 1 AND h.doc_id IN (SELECT doc_id FROM idx1))
+          OR (h.ep = 2 AND h.doc_id < b.doc_id))
+  UNION
+  SELECT DISTINCT c.db AS doc_id
+  FROM cand2 c JOIN sig a ON a.doc_id = c.da JOIN sig b ON b.doc_id = c.db
+  WHERE len(list_filter(range(1, 33), i -> a.mhs[i] = b.mhs[i])) >= 16
+),
+final AS (
+  SELECT doc_id FROM idx1
+  UNION ALL
+  SELECT doc_id FROM sig
+  WHERE ep = 2 AND doc_id NOT IN (SELECT doc_id FROM rej2)
+)
+SELECT s.doc_id, s.ep AS epoch,
+       md5(array_to_string(s.mhs, ',')) AS sig_check
+FROM sig s JOIN final f ON s.doc_id = f.doc_id
+"""
+
+
+@query("q_dedup_minhash_incremental", oracle=_MH_INCR_ORACLE)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH index MAINTENANCE — the persisted-signature refresh that
+    completes q_dedup_incremental's story. That operator recomputes both
+    sides' sketches from text every run; this one maintains a PERSISTED doc-grain
+    signature index (doc_id, epoch, chash, mh0..mh31 — ~280 B/doc) across
+    two refresh epochs: v0 = history build (doc_id%3==0, signatures computed
+    ONCE), v1 = v0 + admitted batch1 (%3==1), v2 = v1 + admitted batch2
+    (%3==2). Each refresh reads ONLY the previous index version's parquet —
+    history text is never re-shingled (plan-pinned via mh_refresh_frame) —
+    computes signatures for the arriving batch alone, and admits a batch doc
+    iff it has no exact (chash) or near (>=16 of 32 minhashes agreeing ⇔
+    estimated Jaccard >= 0.5) duplicate in the index or in a lower-id doc of
+    its own batch (keep-lowest, single-pass, no transitive chaining — the
+    deterministic rule the oracle replays).
+
+    Near-candidates come only from 16x2 band-bucket collisions on the
+    signature columns — index×batch never materializes, and the verify step
+    is signature arithmetic (32 integer compares in-row), NOT a text re-read:
+    at 100 TB the refresh touches O(batch) text + O(index) signature bytes.
+    Minhashes are md5-seeded (low 60 bits of md5('<i>:'||shingle)), so the
+    returned index — including a sig_check digest over the persisted
+    signature values themselves — is byte-replayable in DuckDB: a FULL hash
+    oracle over the sketch content, not just over admission decisions."""
+    v2 = _mh_index_versions(spark, sf_dir)[2]
+    idx = spark.read.parquet(v2)
+    return idx.select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.encode(
+                F.concat_ws(",", *[F.col(f"mh{i}") for i in range(_MH_N)]), "UTF-8"
+            )
+        ).alias("sig_check"),
+    )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (doc_id, simhash) — shared by
     q_dedup_simhash and the banding-completeness property test, so the test

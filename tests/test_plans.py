@@ -872,3 +872,25 @@ def test_cc_doubling_rounds_consume_checkpointed_frontier(plans):
     # through a sort-merge join
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_mh_incremental_refresh_never_rescans_history_text(spark, sf_dir):
+    """q_dedup_minhash_incremental's refresh step must be signature-only:
+    the epoch-2 refresh plan reads the PERSISTED index parquet plus the
+    (checkpointed) batch signature table — zero documents.parquet scans,
+    i.e. neither history nor batch text is touched at screen time — and
+    the batch signature build itself scans documents exactly once."""
+    from data_pipeline_aws_spark.operators.dedup import (
+        _mh_sig_table,
+        mh_refresh_frame,
+    )
+    from data_pipeline_aws_spark.tables import table
+
+    p = _executed_plan(mh_refresh_frame(spark, sf_dir, 2))
+    final = p.split("== Initial Plan ==")[0]
+    assert "documents.parquet" not in final, final
+    assert "dpas_mh_index_v1" in final, final  # the persisted index scan
+    assert "Scan ExistingRDD" in final, final  # checkpointed batch sigs
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    sp = _executed_plan(_mh_sig_table(d)).split("== Initial Plan ==")[0]
+    assert sp.count("documents.parquet") == 1, sp

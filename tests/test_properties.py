@@ -1102,3 +1102,71 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
         for r in all_queries()["q_bpe_train"](spark, sf_dir).orderBy("step").collect()
     ]
     assert got == want, (got, want)
+
+
+def test_mh_incremental_index_matches_python_replay(spark, sf_dir):
+    """q_dedup_minhash_incremental's maintained index must EXACTLY match an
+    independent pure-Python replay of the whole protocol — md5-seeded
+    minhash signatures, 16x2 banding, >=16/32 near rule, chash exact rule,
+    keep-lowest single-pass batch semantics, two refresh epochs — down to
+    the sig_check digest of the persisted signature values (third engine
+    after Spark and the DuckDB oracle)."""
+    from hashlib import md5
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def signature(text):
+        toks = text.split(" ")
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if not sh:
+            return None
+        return [
+            min(
+                int(md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) for s in sh
+            )
+            for i in range(32)
+        ]
+
+    def near(a, b):
+        if a is None or b is None:
+            return False
+        banded = any(
+            a[2 * i] == b[2 * i] and a[2 * i + 1] == b[2 * i + 1]
+            for i in range(16)
+        )
+        return banded and sum(x == y for x, y in zip(a, b)) >= 16
+
+    info = {
+        r.doc_id: (md5(r.text.encode()).hexdigest(), signature(r.text))
+        for r in docs
+    }
+    index = [(i, 0) for i in sorted(info) if i % 3 == 0]
+    for ep in (1, 2):
+        batch = [i for i in sorted(info) if i % 3 == ep]
+        admitted = []
+        for b in batch:
+            ch, sg = info[b]
+            others = [i for (i, _) in index] + [x for x in batch if x < b]
+            if any(info[o][0] == ch for o in others):
+                continue
+            if any(near(info[o][1], sg) for o in others):
+                continue
+            admitted.append((b, ep))
+        index += admitted
+
+    want = {
+        (i, ep): md5(
+            ",".join(str(v) for v in (info[i][1] or [])).encode()
+        ).hexdigest()
+        for (i, ep) in index
+    }
+    got = {
+        (r.doc_id, r.epoch): r.sig_check
+        for r in all_queries()["q_dedup_minhash_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want

@@ -306,3 +306,77 @@ def test_late_rows_dropped_one_batch_after_watermark(spark, arrival_dir):
     assert ("2024-01-01 10:00:00", 2) in rows, rows
     assert all(n == 2 for s, n in rows if s == "2024-01-01 10:00:00"), rows
     assert len([s for s, _ in rows if s == "2024-01-01 10:00:00"]) == 1, rows
+
+
+def test_sink_replay_after_midepoch_kill_is_idempotent(spark, arrival_dir):
+    """The exactly-once contract q_stream_sink claims, driven through an
+    actual failure: the foreachBatch sink WRITES its epoch directory and
+    then the job dies before the epoch commits to the checkpoint (the
+    at-least-once window). On restart the SAME epoch id must be replayed —
+    not skipped — and its mode=overwrite epoch=<id> write must land on top
+    of the orphaned directory, so the final table has no duplicate and no
+    missing rows even though that epoch's sink ran twice."""
+    src = os.path.join(arrival_dir, "src")
+    out = os.path.join(arrival_dir, "out")
+    ckpt = os.path.join(arrival_dir, "ckpt")
+    os.makedirs(src)
+    rows_by_file = {
+        "f0": [(1, 1, "2024-01-01 00:00:00", 10.0), (2, 1, "2024-01-01 00:01:00", 20.0)],
+        "f1": [(3, 2, "2024-01-01 00:02:00", 5.0)],
+        "f2": [(4, 2, "2024-01-01 00:03:00", 7.0), (5, 3, "2024-01-01 00:04:00", 9.0)],
+    }
+    for name, rows in rows_by_file.items():
+        _write_batch(spark, src, name, rows)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    attempts: list[int] = []
+    poisoned: list[int] = []
+
+    def run(poison: bool):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def land(batch_df, epoch_id):
+            attempts.append(epoch_id)
+            # the sink itself SUCCEEDS...
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch={epoch_id}")
+            )
+            # ...then the driver dies before the checkpoint commit
+            if poison and epoch_id == 1 and 1 not in poisoned:
+                poisoned.append(epoch_id)
+                raise RuntimeError("injected crash after sink write, before commit")
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces as StreamingQueryException
+        finally:
+            q.stop()
+
+    run(poison=True)
+    assert poisoned == [1], f"epoch 1 never reached: {attempts}"
+    first = list(attempts)
+    assert first == [0, 1], first  # died mid-epoch-1; epoch 2 never started
+
+    run(poison=False)
+    replayed = attempts[len(first):]
+    # the uncommitted epoch REPLAYS under the same id (not skipped, not
+    # renumbered) and the stream then advances
+    assert replayed[0] == 1, replayed
+    assert attempts.count(1) == 2, attempts
+    assert attempts.count(0) == 1, attempts  # committed epochs never rerun
+
+    back = spark.read.parquet(out)
+    got = sorted(r.event_id for r in back.select("event_id").collect())
+    assert got == [1, 2, 3, 4, 5], got  # no loss, no duplication
