@@ -78,17 +78,20 @@ def _loadavg_1min() -> float:
 
 def _clear_sink_caches(sf_dir: str) -> None:
     """Remove ONLY this sf_dir's sink caches. The cache dirs are named
-    ``dpas_{kind}_{md5(sf_dir)[:10]}_{version}`` (ingest._cache_dir), so
-    scoping the glob to the active tag leaves other SF dirs' caches, the
-    ship_package zips, and any concurrent test/driver session's fixtures
-    untouched — a blanket ``dpas_*`` rmtree raced those mid-run."""
+    ``dpas_{kind}_{tag}_{version}`` (caches.versioned_cache_dir /
+    ingest._cache_dir), so scoping the glob to the active tag leaves other
+    SF dirs' caches, the ship_package zips, and any concurrent test/driver
+    session's fixtures untouched — a blanket ``dpas_*`` rmtree raced those
+    mid-run. The tag comes from the caches module itself so the two can't
+    silently drift (a mismatched glob would record warm read-backs as
+    'cold')."""
     import glob
-    import hashlib
     import shutil
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"dpas_*_{tag}*")):
+    from data_pipeline_aws_spark.caches import sf_tag
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"dpas_*_{sf_tag(sf_dir)}*")):
         shutil.rmtree(d, ignore_errors=True)
 
 

@@ -1233,11 +1233,16 @@ def exact_median(
             [(0, 0, None)], f"n_rows long, k long, {out} double"
         )
     k = (n + 1) // 2
-    mn, mx = float(pre.mn), float(pre.mx)
-    if mn == mx:  # constant column: every rank selects the same value
-        return spark.createDataFrame(
-            [(n, k, mn)], f"n_rows long, k long, {out} double"
+    if pre.mn == pre.mx:  # constant column (RAW equality — float() first
+        # would collapse e.g. bigints differing by less than one double
+        # ulp): every rank selects the stored value, emitted as a literal
+        # so its type and exact value survive (no double rounding).
+        return spark.range(1).select(
+            F.lit(n).cast("long").alias("n_rows"),
+            F.lit(k).cast("long").alias("k"),
+            F.lit(pre.mn).alias(out),
         )
+    mn, mx = float(pre.mn), float(pre.mx)
     # Buckets are keyed by floor((x - mn)/W), NOT floor(x/W): the shift
     # pins level-0 indexes to [0, budget] however large |x| is, and the
     # subtraction is monotone under IEEE rounding, so the cumulative walk
@@ -1259,7 +1264,14 @@ def exact_median(
             cum += r.c
         raise AssertionError("rank exceeds histogram total")
 
-    width = (mx - mn) / _KTH_BUCKET_BUDGET
+    # Nominal width when the raw-distinct values collapse under float()
+    # (sub-ulp integer/decimal domain, e.g. bigints at 2^62 where double
+    # spacing is 512, so mx-mn == 0.0): no histogram width can
+    # discriminate — with ANY positive width every row keys bucket 0
+    # (shifted is identically 0.0) and the loop degrades to the
+    # documented massive-tie path: the final window ranks the RAW column,
+    # still exact, no longer cap-bounded.
+    width = (mx - mn) / _KTH_BUCKET_BUDGET or 1.0
     hist = _hist(df, width)
     rank = k
     member = None  # conjunction of per-level floor-equality constraints

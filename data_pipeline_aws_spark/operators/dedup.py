@@ -44,6 +44,20 @@ SHINGLE_WIDTH = 3
 JACCARD_THRESHOLD = 0.5
 
 
+def _shingle_array(text_col: str = "text"):
+    """In-row distinct 3-token shingle array over a text column — the ONE
+    definition every shingle-set operator derives from (explode here,
+    explode_outer in _mh_sig_table): zip_with over the token array and its
+    shift-by-1/shift-by-2 slices, array_distinct in-row, zero shuffles."""
+    toks = F.split(text_col, " ")
+    n = F.greatest(F.size(toks) - F.lit(SHINGLE_WIDTH - 1), F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    sh = F.zip_with(pair, F.slice(toks, 3, n), lambda p, z: F.concat_ws(" ", p, z))
+    return F.array_distinct(sh)
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — 3-token shingles, entirely map-side.
 
@@ -56,15 +70,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the downstream inverted-index join is unchanged.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - F.lit(SHINGLE_WIDTH - 1), F.lit(0))
-    pair = F.zip_with(
-        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)
-    )
-    sh = F.zip_with(
-        pair, F.slice(toks, 3, n), lambda p, z: F.concat_ws(" ", p, z)
-    )
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return d.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
 
 
 def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +474,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the production story: signatures are computed ONCE per document, persisted
 # at the doc grain (doc_id, epoch, chash, mh0..mh31 — ~280 B/doc), and every
 # later refresh reads the INDEX, never history text. Portability: minhashes
-# are md5-seeded (min over shingles of the low 60 bits of md5('<i>:'||
+# are md5-seeded (min over shingles of the HIGH 60 bits of md5('<i>:'||
 # shingle))), so the full signature content — not just admission decisions —
 # is byte-replayable in the DuckDB oracle (the round-5 cross-engine
 # technique; Spark-private murmur3/xxhash64 would force a rows-only check).
@@ -478,35 +484,10 @@ _MH_BANDS = 16  # 16 bands x 2 rows: P(candidate | J=0.9) ≈ 1-1e-12
 _MH_MATCH_MIN = 16  # admitted iff est. Jaccard < 0.5 ⇔ < 16 of 32 agree
 
 
-def _mh_cache_dir(kind: str, sf_dir: str) -> str:
-    """Tempdir cache path for a persisted index version, keyed like
-    ingest._cache_dir (md5(sf_dir) tag) but versioned by THIS module's
-    code hash — an index written by older dedup code can never satisfy a
-    newer read path (and bench --cold's tag-scoped clear still finds it)."""
-    import hashlib
-    import os
-    import tempfile
-
-    with open(__file__, "rb") as f:
-        ver = hashlib.md5(f.read()).hexdigest()[:8]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    prefix = os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
-    # evict siblings minted by other code versions (ingest.py precedent)
-    parent, base = tempfile.gettempdir(), os.path.basename(prefix)
-    try:
-        for name in os.listdir(parent):
-            if name.startswith(base + "_") and name != f"{base}_{ver}":
-                import shutil
-
-                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
-    except OSError:
-        pass
-    return f"{prefix}_{ver}"
-
-
-def _md5_low60(c):
-    """Low 60 bits of md5 as a non-negative BIGINT — byte-identical in
-    DuckDB via CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)."""
+def _md5_hi60(c):
+    """HIGH 60 bits of md5 (first 15 hex chars) as a non-negative BIGINT —
+    byte-identical in DuckDB via CAST(concat('0x', substr(md5(s),1,15)) AS
+    BIGINT) and in Python via int(hexdigest()[:15], 16)."""
     return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -521,20 +502,14 @@ def _mh_sig_table(d: DataFrame) -> DataFrame:
     same projection and explode_outer keeps shingle-less docs as a single
     NULL-shingle row, whose seeded concat/md5/min all stay NULL — the
     doc keeps a NULL signature and still dedups exactly by chash."""
-    toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - F.lit(SHINGLE_WIDTH - 1), F.lit(0))
-    pair = F.zip_with(
-        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda x, y: F.concat_ws(" ", x, y)
-    )
-    sh3 = F.zip_with(pair, F.slice(toks, 3, n), lambda p, z: F.concat_ws(" ", p, z))
     sh = d.select(
         "doc_id",
         F.md5(F.encode("text", "UTF-8")).alias("chash"),
-        F.explode_outer(F.array_distinct(sh3)).alias("shingle"),
+        F.explode_outer(_shingle_array()).alias("shingle"),
     )
     return sh.groupBy("doc_id", "chash").agg(
         *[
-            F.min(_md5_low60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+            F.min(_md5_hi60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
                 f"mh{i}"
             )
             for i in range(_MH_N)
@@ -627,40 +602,56 @@ def mh_refresh_frame(spark: SparkSession, sf_dir: str, epoch: int) -> DataFrame:
     plan property (exactly one documents scan: the batch; index text is
     never re-shingled)."""
     d = table(spark, sf_dir, "documents")
-    prev = _mh_index_versions(spark, sf_dir)[epoch - 1]
+    prev = _mh_index_versions(spark, sf_dir, upto=epoch - 1)[epoch - 1]
     batch_sig = _mh_sig_table(d.where(F.col("doc_id") % 3 == epoch))
     return mh_index_refresh(batch_sig, spark.read.parquet(prev)).withColumn(
         "epoch", F.lit(epoch).cast("int")
     )
 
 
-def _mh_index_versions(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Materialize (once per sf_dir+code version) the three persisted index
-    versions: v0 = history build, v1 = v0 + admitted batch1, v2 = v1 +
-    admitted batch2. Returns their paths; each write is skipped when its
-    _SUCCESS sentinel exists (the sink-fixture idempotence pattern)."""
+def _mh_index_versions(
+    spark: SparkSession, sf_dir: str, upto: int = 2
+) -> list[str]:
+    """Materialize (once per sf_dir+code version) the persisted index
+    versions 0..upto: v0 = history build, v1 = v0 + admitted batch1, v2 =
+    v1 + admitted batch2. Returns their paths; each write is skipped when
+    its _SUCCESS sentinel exists (the sink-fixture idempotence pattern)."""
     import os
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir, versioned_cache_dir
 
     d = table(spark, sf_dir, "documents")
     cols = ["doc_id", "epoch", "chash"] + [f"mh{i}" for i in range(_MH_N)]
-    paths = [_mh_cache_dir(f"mh_index_v{k}", sf_dir) for k in range(3)]
+    paths = [
+        versioned_cache_dir(f"mh_index_v{k}", sf_dir, __file__)
+        for k in range(upto + 1)
+    ]
+    # Every version is built in a per-process staging dir and published
+    # atomically — a concurrent same-version session can never interleave
+    # part files into a half-written index (the persisted layout IS the
+    # oracle-compared output, so a corrupted cache would fail parity on
+    # every warm run until the code hash moved).
     if not os.path.exists(os.path.join(paths[0], "_SUCCESS")):
         hist = (
             _mh_sig_table(d.where(F.col("doc_id") % 3 == 0))
             .withColumn("epoch", F.lit(0).cast("int"))
             .select(cols)
         )
-        hist.write.mode("overwrite").parquet(paths[0])
-    for k in (1, 2):
+        stage = staging_dir(paths[0])
+        hist.write.mode("overwrite").parquet(stage)
+        publish(stage, paths[0])
+    for k in range(1, upto + 1):
         if not os.path.exists(os.path.join(paths[k], "_SUCCESS")):
             prev = spark.read.parquet(paths[k - 1])
             batch_sig = _mh_sig_table(d.where(F.col("doc_id") % 3 == k))
             adm = mh_index_refresh(batch_sig, prev).withColumn(
                 "epoch", F.lit(k).cast("int")
             )
+            stage = staging_dir(paths[k])
             prev.unionByName(adm.select(cols)).write.mode("overwrite").parquet(
-                paths[k]
+                stage
             )
+            publish(stage, paths[k])
     return paths
 
 
@@ -765,7 +756,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature columns — index×batch never materializes, and the verify step
     is signature arithmetic (32 integer compares in-row), NOT a text re-read:
     at 100 TB the refresh touches O(batch) text + O(index) signature bytes.
-    Minhashes are md5-seeded (low 60 bits of md5('<i>:'||shingle)), so the
+    Minhashes are md5-seeded (high 60 bits of md5('<i>:'||shingle)), so the
     returned index — including a sig_check digest over the persisted
     signature values themselves — is byte-replayable in DuckDB: a FULL hash
     oracle over the sketch content, not just over admission decisions."""

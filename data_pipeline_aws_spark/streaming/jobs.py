@@ -247,12 +247,20 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain — the same warm/cold semantics as q_partitioned_sink. The earlier
     write-every-run shape was the one key drifting toward the 2x-of-r1
     perf contract (0.51 → 1.02 s) purely on repeated tempdir writes."""
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+
     out = _stream_sink_cache_dir(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # Build the whole multi-epoch layout in a per-process STAGING dir
+        # and publish it atomically: partial drains never become visible
+        # at the cache path, and two concurrent sessions can't interleave
+        # epoch dirs (the loser's complete build is simply discarded —
+        # content is deterministic either way).
+        stage = staging_dir(out)
         stream = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
 
         def land(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
+            batch_df.write.mode("overwrite").parquet(os.path.join(stage, f"epoch={epoch_id}"))
 
         with _stream_partitions(spark):
             q = stream.writeStream.foreachBatch(land).start()
@@ -262,8 +270,9 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
                 q.awaitTermination(30)
         # the sentinel marks the whole multi-epoch layout complete
-        with open(os.path.join(out, "_SUCCESS"), "w"):
+        with open(os.path.join(stage, "_SUCCESS"), "w"):
             pass
+        publish(stage, out)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -273,26 +282,12 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_sink_cache_dir(sf_dir: str) -> str:
     """Cache path for the landed stream-sink layout — md5(sf_dir) tag (so
-    bench --cold's tag-scoped clear finds it) + this module's code hash (a
-    layout written by older streaming code can't satisfy a newer read)."""
-    import hashlib
-    import shutil
-    import tempfile
+    bench --cold's tag-scoped clear finds it) + the module code hash (a
+    layout written by older streaming/read-path code can't satisfy a newer
+    read); one canonical implementation in caches.versioned_cache_dir."""
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
 
-    with open(__file__, "rb") as f:
-        ver = hashlib.md5(f.read()).hexdigest()[:8]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    prefix = os.path.join(tempfile.gettempdir(), f"dpas_stream_sink_{tag}")
-    parent, base = tempfile.gettempdir(), os.path.basename(prefix)
-    try:
-        for name in os.listdir(parent):
-            if name.startswith(base + "_") and name != f"{base}_{ver}":
-                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
-    except OSError:
-        pass
-    path = f"{prefix}_{ver}"
-    os.makedirs(path, exist_ok=True)
-    return path
+    return versioned_cache_dir("stream_sink", sf_dir, __file__)
 
 
 @query(

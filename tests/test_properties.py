@@ -1170,3 +1170,19 @@ def test_mh_incremental_index_matches_python_replay(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_exact_median_sub_ulp_and_constant_integer_domains(spark):
+    """Round-6 review regressions: (a) a bigint domain whose min/max
+    collapse under float() (2^62 span 2 — double spacing there is 512)
+    must still select the exact stored median via the raw-typed window,
+    and (b) a constant integer column must return the stored value, not
+    a rounded double."""
+    from data_pipeline_aws_spark.operators.aggregates import exact_median
+
+    df = spark.createDataFrame([(2**62,), (2**62 + 1,), (2**62 + 2,)], "x long")
+    row = exact_median(spark, df, "x").collect()[0]
+    assert (row.n_rows, row.k, row.median) == (3, 2, 2**62 + 1), row
+    df = spark.createDataFrame([(7,)] * 5, "x long")
+    row = exact_median(spark, df, "x").collect()[0]
+    assert (row.n_rows, row.k, row.median) == (5, 3, 7), row

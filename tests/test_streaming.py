@@ -380,3 +380,41 @@ def test_sink_replay_after_midepoch_kill_is_idempotent(spark, arrival_dir):
     back = spark.read.parquet(out)
     got = sorted(r.event_id for r in back.select("event_id").collect())
     assert got == [1, 2, 3, 4, 5], got  # no loss, no duplication
+
+
+def test_stream_sink_cache_self_heals_after_partial_drain(spark, sf_dir):
+    """A drain that crashed before the _SUCCESS sentinel leaves orphan
+    epoch=N dirs in the versioned cache; the rebuilt layout must clear
+    them (a re-drain's epoch numbering is not guaranteed to reproduce the
+    orphan ids) so the warm read-back never aggregates duplicates."""
+    from data_pipeline_aws_spark.streaming.jobs import (
+        _stream_sink_cache_dir,
+        q_stream_sink,
+    )
+    from data_pipeline_aws_spark.tables import table
+
+    out = _stream_sink_cache_dir(sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(os.path.join(out, "epoch=999"))
+    # orphan rows that would double-count event_type='click' if kept
+    table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).limit(50).write.mode("overwrite").parquet(os.path.join(out, "epoch=999"))
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in q_stream_sink(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert not os.path.exists(os.path.join(out, "epoch=999"))
