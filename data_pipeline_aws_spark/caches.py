@@ -56,7 +56,16 @@ def versioned_cache_dir(kind: str, sf_dir: str, module_file: str) -> str:
     parent, base = tempfile.gettempdir(), os.path.basename(prefix)
     try:
         for name in os.listdir(parent):
-            if name.startswith(base + "_") and not name.startswith(f"{base}_{ver}"):
+            # spare ANY .build staging (a live session on a different code
+            # version may be mid-drain; deleting its staging kills its
+            # write tasks) — orphaned stagings from crashes are reaped by
+            # bench --cold's tag-scoped clear instead
+            if (
+                name.startswith(base + "_")
+                and not name.startswith(f"{base}_{ver}")
+                and ".build" not in name
+                and ".lock" not in name
+            ):
                 shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     except OSError:
         pass
@@ -80,19 +89,40 @@ def publish(staging: str, final: str, sentinel: str = "_SUCCESS") -> None:
     """Atomically adopt ``staging`` as ``final`` via rename. If another
     session already published a complete layout (sentinel present), the
     local build is discarded — content is deterministic, so either
-    winner serves identical data. A non-empty ``final`` WITHOUT the
-    sentinel (pre-staging writer, crashed mid-rename edge) is cleared and
-    the rename retried once."""
+    winner serves identical data.
+
+    Recovery: a non-empty ``final`` WITHOUT the sentinel (a pre-staging
+    writer's leftovers or a manually corrupted dir — the staging protocol
+    itself never exposes that state) is cleared and the rename retried.
+    Recoverers serialize on an O_EXCL lockfile and RE-CHECK the sentinel
+    under the lock, so no recoverer can rmtree a layout another session
+    just published (a session crashing while holding the lock leaves the
+    corrupt dir in place until the next code-version move / --cold clear
+    — accepted for a state normal operation cannot produce)."""
     try:
         os.rename(staging, final)
         return
     except OSError:
         pass
     if not os.path.exists(os.path.join(final, sentinel)):
-        shutil.rmtree(final, ignore_errors=True)
+        lock = f"{final}.lock"
         try:
-            os.rename(staging, final)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:  # another session is recovering; let it publish
+            shutil.rmtree(staging, ignore_errors=True)
             return
-        except OSError:  # lost the re-publish race — the winner is complete
-            pass
+        try:
+            if not os.path.exists(os.path.join(final, sentinel)):
+                shutil.rmtree(final, ignore_errors=True)
+                try:
+                    os.rename(staging, final)
+                    return
+                except OSError:
+                    pass
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
     shutil.rmtree(staging, ignore_errors=True)

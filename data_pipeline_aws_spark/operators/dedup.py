@@ -638,7 +638,13 @@ def _mh_index_versions(
             .select(cols)
         )
         stage = staging_dir(paths[0])
-        hist.write.mode("overwrite").parquet(stage)
+        try:
+            hist.write.mode("overwrite").parquet(stage)
+        except BaseException:  # never strand a partial staging in tempdir
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         publish(stage, paths[0])
     for k in range(1, upto + 1):
         if not os.path.exists(os.path.join(paths[k], "_SUCCESS")):
@@ -648,9 +654,15 @@ def _mh_index_versions(
                 "epoch", F.lit(k).cast("int")
             )
             stage = staging_dir(paths[k])
-            prev.unionByName(adm.select(cols)).write.mode("overwrite").parquet(
-                stage
-            )
+            try:
+                prev.unionByName(adm.select(cols)).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
             publish(stage, paths[k])
     return paths
 
@@ -731,9 +743,14 @@ final AS (
   WHERE ep = 2 AND doc_id NOT IN (SELECT doc_id FROM rej2)
 )
 SELECT s.doc_id, s.ep AS epoch,
-       md5(array_to_string(s.mhs, ',')) AS sig_check
+       md5(COALESCE(array_to_string(s.mhs, ','), '')) AS sig_check
 FROM sig s JOIN final f ON s.doc_id = f.doc_id
 """
+# COALESCE on sig_check: a shingle-less doc's mhs is [NULL], and DuckDB's
+# array_to_string([NULL]) is NULL while Spark's concat_ws over all-NULL
+# columns is '' (md5('') both engines after the coalesce) — verified
+# divergence, latent on the >=10-token fixtures but the NULL-signature
+# path is a documented contract (and the Python replay agrees with Spark).
 
 
 @query("q_dedup_minhash_incremental", oracle=_MH_INCR_ORACLE)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_aws_spark.caches import sf_tag
 from data_pipeline_aws_spark.registry import query
 from data_pipeline_aws_spark.tables import table
 
@@ -74,7 +75,7 @@ def _evict_stale_caches(prefix: str) -> None:
 
 
 def _json_cache_dir(sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = sf_tag(sf_dir)
     prefix = os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}")
     _evict_stale_caches(prefix)
     return f"{prefix}_{_CODE_VERSION}"
@@ -144,7 +145,7 @@ ORDERS_CSV_SCHEMA = T.StructType(
 
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = sf_tag(sf_dir)
     prefix = os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
     _evict_stale_caches(prefix)
     return f"{prefix}_{_CODE_VERSION}"
@@ -375,7 +376,7 @@ def q_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucketed_name(kind: str, sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = sf_tag(sf_dir)
     return f"dpas_{kind}_{tag}"
 
 

@@ -247,6 +247,8 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain — the same warm/cold semantics as q_partitioned_sink. The earlier
     write-every-run shape was the one key drifting toward the 2x-of-r1
     perf contract (0.51 → 1.02 s) purely on repeated tempdir writes."""
+    import shutil
+
     from data_pipeline_aws_spark.caches import publish, staging_dir
 
     out = _stream_sink_cache_dir(sf_dir)
@@ -257,21 +259,32 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # epoch dirs (the loser's complete build is simply discarded —
         # content is deterministic either way).
         stage = staging_dir(out)
-        stream = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+        try:
+            stream = _stream_events(spark, sf_dir).select(
+                "event_id", "event_type", "value"
+            )
 
-        def land(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(os.path.join(stage, f"epoch={epoch_id}"))
+            def land(batch_df: DataFrame, epoch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(stage, f"epoch={epoch_id}")
+                )
 
-        with _stream_partitions(spark):
-            q = stream.writeStream.foreachBatch(land).start()
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-                q.awaitTermination(30)
-        # the sentinel marks the whole multi-epoch layout complete
-        with open(os.path.join(stage, "_SUCCESS"), "w"):
-            pass
+            with _stream_partitions(spark):
+                q = stream.writeStream.foreachBatch(land).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination(30)
+            # the sentinel marks the whole multi-epoch layout complete
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            # a crashed drain must not strand a partial fixture copy in
+            # tempdir (the leak-free guarantee the old per-run tempdir paid
+            # an eager collect to keep)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         publish(stage, out)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
