@@ -80,6 +80,9 @@ _PRIORITY = [
     # (c) new in round 6 (never graded, completes the 50-key prefix)
     "q_dedup_minhash_incremental",
     # --- ~50-entry grading cap lands here ---
+    # round-7 queue: the second round-6 operator (parity-green at 3 SFs,
+    # misses the cap by one slot)
+    "q_sim_pq_search",
     # fully-graded keys follow in registration order; nothing below this
     # line needs a round-6 row (q_item_item_recs & friends received their
     # oracle-side-only upgrades against unchanged Spark output, and every

@@ -894,3 +894,19 @@ def test_mh_incremental_refresh_never_rescans_history_text(spark, sf_dir):
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
     sp = _executed_plan(_mh_sig_table(d)).split("== Initial Plan ==")[0]
     assert sp.count("documents.parquet") == 1, sp
+
+
+def test_pq_search_plan_heaps_broadcasts_never_smj(plans):
+    """q_sim_pq_search's two-stage probe must compile to the bounded
+    shapes: WindowGroupLimit heaps for both the shortlist and final
+    top-k (never a full sort of the scored stream), broadcast joins for
+    the query gather and recall verdict (the corpus side never
+    re-shuffles through a sort-merge join), and exactly two Python
+    stages (encode + ADC score) — the scorer consuming the 16-byte code
+    relation, not the float corpus."""
+    p = plans("q_sim_pq_search")
+    final = p.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final
+    assert final.count("BroadcastHashJoin") >= 3, final
+    assert "WindowGroupLimit" in final, final
+    assert final.count("MapInPandas") == 2, final

@@ -1186,3 +1186,48 @@ def test_exact_median_sub_ulp_and_constant_integer_domains(spark):
     df = spark.createDataFrame([(7,)] * 5, "x long")
     row = exact_median(spark, df, "x").collect()[0]
     assert (row.n_rows, row.k, row.median) == (5, 3, 7), row
+
+
+def test_pq_search_rerank_is_exact_and_meets_recall_floor(spark, sf_dir):
+    """q_sim_pq_search's two-stage probe: the re-ranked distances must be
+    the EXACT L2 of the returned pairs (verified against numpy on the raw
+    vectors — the rerank stage may not inherit any quantization error),
+    each query returns exactly 5 ascending-ranked rows, and per-query
+    overlap with the numpy exact top-5 meets the operator's >=2/5 floor."""
+    import numpy as np
+
+    from data_pipeline_aws_spark.operators.similarity import (
+        N_QUERIES,
+        pq_search_topk,
+    )
+    from data_pipeline_aws_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    ids = np.array(sorted(vecs))
+    m = np.stack([vecs[i] for i in ids])
+
+    got = pq_search_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.l2_sq))
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == [1, 2, 3, 4, 5]
+        dists = [d for _, _, d in lst]
+        assert dists == sorted(dists)
+        for _, n, d in lst:
+            want = round(float(((vecs[q] - vecs[n]) ** 2).sum()), 6)
+            assert abs(d - want) < 1e-9, (q, n, d, want)
+        # numpy exact top-5 (same (l2, id) tiebreak) — floor >= 2 overlap
+        l2 = ((m - vecs[q][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, np.round(l2, 6)))
+        exact5 = [int(i) for i in ids[order] if i != q][:5]
+        overlap = len({n for _, n, _ in lst} & set(exact5))
+        assert overlap >= 2, (q, overlap, exact5, lst)
