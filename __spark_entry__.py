@@ -55,9 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale re-grades first, then (b) the 46 oracle-backed keys the driver
 # has NEVER sampled (q_dp_release's Spark output also changed this round
 # — mechanism/epsilon_nominal columns — so its first grade lands on the
-# new shape) — plus (c) the one operator new in round 6, filling the
-# 50-key cap and lifting cumulative driver coverage to 261/261 with zero
-# stale rows. Everything unlisted follows in registration order.
+# new shape) — plus (c) the first of round 6's two new operators, filling
+# the 50-key cap and lifting cumulative driver coverage to 261 of the 262
+# registered keys with zero stale rows (the second round-6 operator,
+# q_sim_pq_search, misses the cap by one and leads the round-7 queue).
+# Everything unlisted follows in registration order.
 _PRIORITY = [
     # (a) stale no_oracle re-grades (upgraded oracles: HLL ±2.5% bound
     # verdicts r4, PCA trace-identity bound verdict r5)
