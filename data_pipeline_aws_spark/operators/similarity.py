@@ -917,7 +917,7 @@ PQ_SUBDIM = 8  # 64 dims / 8 subspaces
 PQ_CODEBOOK = 16  # 4-bit codes per subspace
 
 
-def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_encode(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
     """Product quantization (FAISS PQ8x4 shape): split each 64-d embedding
     into 8 subvectors of 8 dims, train a 16-centroid codebook per subspace
     (2 Lloyd iterations, deterministic init from the first 16 vectors), and
@@ -936,12 +936,16 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer code checksum per vector plus reconstruction error — the
     detail grain tests/test_properties.py pins code-for-code against a
     numpy replay. q_pq_quantize wraps this with a bound-assertion
-    oracle; q_sim_pq_search scans the emitted codes with ADC."""
+    oracle; q_sim_pq_search scans the emitted codes with ADC (passing the
+    codebooks it already trained for its lookup tables — within ONE
+    operator call the model is reused, it is only cross-call caching
+    that stays deliberately off)."""
     import numpy as np
     import pandas as pd
 
     m_sub, d_sub, k_cb = PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK
-    books = pq_codebooks(spark, sf_dir)
+    if books is None:
+        books = pq_codebooks(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def make_encode(bk):
@@ -1203,9 +1207,9 @@ def pq_adc_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    partials = pq_encode(spark, sf_dir).select("vec_id", "code_key").mapInPandas(
-        score, "query_id long, neighbor_id long, adc_dist double"
-    )
+    partials = pq_encode(spark, sf_dir, books=books).select(
+        "vec_id", "code_key"
+    ).mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         partials.withColumn("r", F.row_number().over(w))
