@@ -1011,3 +1011,244 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+# --- URL canonicalization dedup -----------------------------------------
+# The documents fixture carries no URL column, so (as with the multimodal
+# fake codec) each doc derives a deterministic *messy* URL from its stable
+# columns — same derivation in both engines — and the operator under test
+# is the canonicalizer. The variants cover every normalization rule:
+# scheme/host case, www. prefix, default :443 port, trailing slash,
+# tracking params, param order, missing query, fragments.
+_RAW_URL_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+|| CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+|| CASE WHEN doc_id % 7 = 0 THEN UPPER(source) ELSE source END
+|| '.Example.COM'
+|| CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+|| '/' || lang || '/page-' || CAST(doc_id % 40 AS STRING)
+|| CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 11 = 0 THEN ''
+        WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+        ELSE '?a=1&b=2' END
+|| CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END
+"""
+
+
+@query(
+    "q_url_normalize",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, ({_RAW_URL_SQL}) AS raw_url FROM documents
+),
+parts AS (
+  SELECT doc_id, raw_url,
+         lower(split_part(split_part(raw_url, '#', 1), '://', 1)) AS scheme,
+         split_part(split_part(raw_url, '#', 1), '://', 2) AS rest
+  FROM raw
+),
+hp AS (
+  SELECT *,
+         regexp_replace(
+           regexp_replace(lower(split_part(rest, '/', 1)), ':443$', ''),
+           '^www\\.', '') AS host,
+         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM parts
+),
+pq AS (
+  SELECT *,
+         CASE WHEN split_part(pathq, '?', 1) <> '/'
+              THEN regexp_replace(split_part(pathq, '?', 1), '/$', '')
+              ELSE '/' END AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(CASE WHEN contains(pathq, '?')
+                               THEN split_part(pathq, '?', 2)
+                               ELSE '' END, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qs
+  FROM hp
+),
+canon AS (
+  SELECT doc_id, raw_url,
+         scheme || '://' || host || path
+         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM pq
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_aliases,
+       CAST(len(list_distinct(list(raw_url))) AS BIGINT) AS n_variants,
+       md5(array_to_string(list_sort(list(raw_url)), '|')) AS alias_md5,
+       MIN(doc_id) AS keep_doc_id
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first gate of every web-scale
+    corpus pipeline (CommonCrawl-style): the same page arrives under
+    scheme/host case variants, `www.` prefixes, default `:443` ports,
+    trailing slashes, reordered query params, `utm_*` tracking params,
+    and fragments. Canonicalize, then keep one doc per canonical URL.
+
+    Rules applied (each exercised by the derived variants): lowercase
+    scheme+host, strip `www.`, strip the https default port, strip the
+    fragment, strip a non-root trailing slash, drop `utm_*` params, and
+    byte-sort the surviving params. All pure JVM string/array
+    expressions (split_part / regexp_replace / filter / array_sort —
+    no regex split, no Python): the canonicalization is map-only inside
+    the scan partition, and the only shuffle is the final groupBy on
+    the canonical string. At 100 TB that shuffle carries one short URL
+    + 3 numbers per input row; in production you'd hash the canonical
+    URL to 16 bytes first (exactly `q_dedup_exact`'s md5 trick) so the
+    exchange never moves raw strings. The alias/variant counts grade
+    WHICH raws collapsed, not just how many."""
+    d = table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_RAW_URL_SQL).alias("raw_url"))
+    nofrag = "split_part(raw_url, '#', 1)"
+    parts = raw.select(
+        "doc_id",
+        "raw_url",
+        F.expr(f"lower(split_part({nofrag}, '://', 1))").alias("scheme"),
+        F.expr(f"split_part({nofrag}, '://', 2)").alias("rest"),
+    )
+    hp = parts.select(
+        "doc_id",
+        "raw_url",
+        "scheme",
+        F.expr(
+            "regexp_replace(regexp_replace(lower(split_part(rest, '/', 1)),"
+            " ':443$', ''), '^www\\\\.', '')"
+        ).alias("host"),
+        F.expr(
+            "substring(rest, length(split_part(rest, '/', 1)) + 1)"
+        ).alias("pathq"),
+    )
+    pq = hp.select(
+        "doc_id",
+        "raw_url",
+        "scheme",
+        "host",
+        F.expr(
+            "CASE WHEN split_part(pathq, '?', 1) <> '/' THEN"
+            " regexp_replace(split_part(pathq, '?', 1), '/$', '')"
+            " ELSE '/' END"
+        ).alias("path"),
+        F.expr(
+            "array_join(array_sort(filter(split(CASE WHEN"
+            " contains(pathq, '?') THEN split_part(pathq, '?', 2)"
+            " ELSE '' END, '&'),"
+            " x -> x <> '' AND NOT startswith(x, 'utm_'))), '&')"
+        ).alias("qs"),
+    )
+    canon = pq.select(
+        "doc_id",
+        "raw_url",
+        F.expr(
+            "scheme || '://' || host || path ||"
+            " CASE WHEN qs <> '' THEN '?' || qs ELSE '' END"
+        ).alias("canonical_url"),
+    )
+    # one exchange total: variants + membership checksum both derive from
+    # the collect_list riding the same canonical-key aggregate (a distinct
+    # count would add a second (canonical, raw)-grain shuffle)
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.collect_list("raw_url").alias("_raws"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .select(
+            "canonical_url",
+            "n_aliases",
+            F.size(F.array_distinct(F.col("_raws"))).cast("long")
+            .alias("n_variants"),
+            F.md5(
+                F.encode(F.concat_ws("|", F.array_sort(F.col("_raws"))), "UTF-8")
+            ).alias("alias_md5"),
+            "keep_doc_id",
+        )
+    )
+
+
+# --- Wildcard-suffix domain blocklist -----------------------------------
+# Host derived deterministically from stable columns (same in both
+# engines); a rule blocks the named domain AND every subdomain of it.
+_HOST_SQL = """
+lower(source) || CASE lang
+  WHEN 'en' THEN '.news.example.com'
+  WHEN 'de' THEN '.blog.example.org'
+  WHEN 'fr' THEN '.example.net'
+  WHEN 'es' THEN '.ads.tracker.io'
+  ELSE '.example.com' END
+"""
+_BLOCK_RULES = ("ads.tracker.io", "blog.example.org", "src3.news.example.com")
+_BLOCK_VALUES = ", ".join(f"('{r}')" for r in _BLOCK_RULES)
+
+
+@query(
+    "q_domain_blocklist",
+    oracle=f"""
+WITH hosts AS (
+  SELECT doc_id, source, lang, ({_HOST_SQL}) AS host FROM documents
+),
+flagged AS (
+  SELECT source, lang,
+         EXISTS (SELECT 1 FROM (VALUES {_BLOCK_VALUES}) r(rule)
+                 WHERE host = rule OR host LIKE '%.' || rule) AS blocked
+  FROM hosts
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM flagged
+GROUP BY source, lang
+""",
+)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate with wildcard-subdomain semantics — the
+    spam/adult/tracker-domain filter every web-corpus pipeline runs: a
+    rule `ads.tracker.io` must block that host AND every subdomain
+    (`x.ads.tracker.io`), i.e. suffix-on-dot-boundary matching, not
+    substring matching (`badads.tracker.io` must NOT match).
+
+    Shape: the host explodes in-row into its dot-boundary suffix chain
+    (`a.b.c` → {{a.b.c, b.c, c}}, ≤ host-depth elements) via a JVM
+    `transform`, and membership is one `arrays_overlap` against the
+    rule array shipped as a broadcast 1-row aggregate (a list of
+    domains is KBs–MBs even at 100k rules — always broadcastable, like
+    every dim side here). No explode ever hits the row stream, no
+    doc-grain shuffle exists anywhere: the whole gate is map-side, and
+    the only exchange is the bounded (source, lang) report aggregate.
+    For rule sets too large to broadcast (billions), the fallback is
+    the exploded-suffix broadcast join — same suffix trick, same
+    no-substring guarantee. Counts per (source, lang) grade exactly
+    which strata the rules hit."""
+    d = table(spark, sf_dir, "documents")
+    rules = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(r) for r in _BLOCK_RULES]).alias("rules")
+        )
+    )
+    sufs = F.expr(
+        "transform(sequence(1, size(split(host, '\\\\.'))), i ->"
+        " array_join(slice(split(host, '\\\\.'), i,"
+        " size(split(host, '\\\\.')) - i + 1), '.'))"
+    )
+    return (
+        d.select("doc_id", "source", "lang", F.expr(_HOST_SQL).alias("host"))
+        .crossJoin(F.broadcast(rules))
+        .select(
+            "source",
+            "lang",
+            F.arrays_overlap(sufs, F.col("rules")).alias("blocked"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("n_blocked"),
+            F.sum(F.when(F.col("blocked"), 0).otherwise(1)).alias("n_kept"),
+        )
+    )

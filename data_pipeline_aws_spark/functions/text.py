@@ -1580,3 +1580,148 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_f long"
     )
+
+
+_RRF_K = 60        # standard reciprocal-rank-fusion constant (Cormack'09)
+_RRF_DEPTH = 50    # retrieval depth per ranker
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN {_BM25_IN}
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+dl AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) * 1.0 / COUNT(*)
+           AS avgdl
+  FROM documents
+),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+cs AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(tf * LN(n_docs * 1.0 / df))
+               / (SQRT(3.0) * SQRT(SUM(POW(tf * LN(n_docs * 1.0 / df), 2)))),
+               6) AS cosq
+  FROM tf JOIN df USING (token) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+rb AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM bm
+  ) WHERE rn <= {_RRF_DEPTH}
+),
+rc AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosq DESC, doc_id) AS rn FROM cs
+  ) WHERE rn <= {_RRF_DEPTH}
+)
+SELECT COALESCE(rb.doc_id, rc.doc_id)       AS doc_id,
+       CAST(rb.rn AS BIGINT)                AS bm25_rank,
+       CAST(rc.rn AS BIGINT)                AS cos_rank,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + rb.rn), 0)
+             + COALESCE(1.0 / ({_RRF_K} + rc.rn), 0), 9) AS rrf_score
+FROM rb FULL JOIN rc ON rb.doc_id = rc.doc_id
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (RRF, Cormack et al.
+    SIGIR'09 — the fusion rule behind every lexical+vector hybrid search
+    stack): run TWO rankers for the fixed query {hash, join, scan} —
+    BM25 (exactly q_text_bm25's scorer) and query-subspace TF-IDF
+    cosine — take each ranker's top-50, and fuse by
+    sum(1 / (60 + rank)), keeping docs surfaced by either list.
+
+    Scale shape: both scorers share ONE term-filtered tf pass (the
+    filter-before-explode trick, so only query-term hits become rows) —
+    tf and dl are localCheckpoint'ed (the q_item_item_recs shared-
+    relation rule) so their three/two consumer branches read executor
+    storage and the corpus text is scanned exactly twice, not per
+    branch; df (≤3 rows) and corpus stats (1 row) broadcast. Each
+    top-50 is an
+    `orderBy(...).limit(50)` — compiled to TakeOrderedAndProject, a
+    per-partition heap + driver merge of 50-row partials, NOT a global
+    sort (plan-pinned). Rank assignment then windows over an
+    already-materialized ≤50-row list (bounded by the literal depth),
+    and the full-outer fuse joins two ≤50-row sides. Ranking on the
+    ROUNDED scores with doc_id tiebreaks makes the rank permutation —
+    and therefore the fused output — reproducible cross-engine; the
+    oracle hash grades the entire fused ranking, not just its size."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.expr(f"filter(split(text, ' '), t -> t IN {_BM25_IN})")
+    # the q_pagerank/q_item_item_recs localCheckpoint rule: tf feeds three
+    # consumers (df, bm25, cosine) and dl feeds two (bm25 join + corpus
+    # stats) — checkpoint both so the corpus text is scanned exactly twice
+    # (once per derivation) instead of once per consumer branch.
+    tf = (
+        d.select("doc_id", F.explode(hits).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = tf.join(F.broadcast(df_t), "token").crossJoin(F.broadcast(stats))
+    term_bm25 = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        scored.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_bm25), 6).alias("bm25"))
+    )
+    w_t = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
+    cs = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(w_t) / (F.sqrt(F.lit(3.0)) * F.sqrt(F.sum(F.pow(w_t, 2)))), 6
+        ).alias("cosq")
+    )
+
+    def _ranked(frame: DataFrame, score: str) -> DataFrame:
+        # literal 50 == _RRF_DEPTH (the AST policy requires a literal here)
+        top = frame.orderBy(F.desc(score), F.asc("doc_id")).limit(50)
+        # window over the ≤_RRF_DEPTH-row materialized top list only
+        return top.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc(score), F.asc("doc_id")))
+            .cast("long")
+            .alias("rn"),
+        )
+
+    rb = _ranked(bm, "bm25").withColumnsRenamed({"rn": "rb"})
+    rc = _ranked(cs, "cosq").withColumnsRenamed({"rn": "rc"})
+    return rb.join(rc, "doc_id", "full").select(
+        "doc_id",
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cos_rank"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rc")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )

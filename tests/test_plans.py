@@ -910,3 +910,56 @@ def test_pq_search_plan_heaps_broadcasts_never_smj(plans):
     assert final.count("BroadcastHashJoin") >= 3, final
     assert "WindowGroupLimit" in final, final
     assert final.count("MapInPandas") == 2, final
+
+
+def test_url_normalize_single_exchange_map_only_canon(plans):
+    """q_url_normalize's canonicalizer must run entirely inside the scan
+    partition (pure split_part/regexp/array_sort expressions — no
+    Python stage, no Generate): the ONLY exchange in the plan is the
+    final groupBy on the canonical string, so at 100 TB exactly one
+    short URL + 3 numbers per row ever move."""
+    p = plans("q_url_normalize")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    assert "Generate" not in final, final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
+    assert final.count("FileScan parquet") == 1, final
+    # pruned scan: text/n_chars never read
+    assert "struct<doc_id:bigint,lang:string,source:string>" in final, final
+
+
+def test_domain_blocklist_broadcast_rules_no_doc_shuffle(plans):
+    """q_domain_blocklist must gate map-side: the rule array arrives via
+    a broadcast 1-row side (BroadcastNestedLoopJoin of the aggregate),
+    suffix membership is in-row arrays_overlap (no Generate explode of
+    the host chain into the row stream), and the only exchange is the
+    bounded (source, lang) report aggregate."""
+    p = plans("q_domain_blocklist")
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final, final
+    # one shuffle (the report agg); BroadcastExchange rows don't count
+    n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
+    assert n_shuffles == 1, final
+    assert "Generate" not in final, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_hybrid_rrf_heap_topk_and_broadcast_model_sides(plans):
+    """q_hybrid_rrf's two per-ranker top-50s must compile to
+    TakeOrderedAndProject (per-partition heap + driver merge — never a
+    global Sort of the candidate stream), with the df/stats model sides
+    broadcast into the shared tf pass. The tf/dl relations are
+    localCheckpoint'ed, so the corpus text is scanned exactly twice
+    (tf explode + doc lengths) no matter how many scorer branches
+    consume them; the single SortMergeJoin is the final full-outer
+    fuse of the two ≤50-row rank lists — bounded by the literal
+    retrieval depth, never a corpus-side merge."""
+    p = plans("q_hybrid_rrf")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("TakeOrderedAndProject") == 2, final
+    assert final.count("BroadcastHashJoin") >= 1, final
+    # the two corpus scans ran eagerly inside the checkpoints, so the
+    # fused plan reads ONLY executor storage — zero parquet re-scans
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final  # checkpointed tf/dl
+    assert final.count("SortMergeJoin") <= 1, final

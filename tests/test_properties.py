@@ -1231,3 +1231,159 @@ def test_pq_search_rerank_is_exact_and_meets_recall_floor(spark, sf_dir):
         exact5 = [int(i) for i in ids[order] if i != q][:5]
         overlap = len({n for _, n, _ in lst} & set(exact5))
         assert overlap >= 2, (q, overlap, exact5, lst)
+
+
+def _py_canonicalize(raw: str) -> str:
+    """Straight-line Python reference of q_url_normalize's rule set."""
+    import re
+
+    nofrag = raw.split("#")[0]
+    scheme, _, rest = nofrag.partition("://")
+    hostport, slash, pathq = rest.partition("/")
+    host = re.sub(r"^www\.", "", re.sub(r":443$", "", hostport.lower()))
+    pathq = slash + pathq
+    path, _, qs = pathq.partition("?")
+    if path != "/":
+        path = re.sub(r"/$", "", path)
+    params = sorted(
+        p for p in qs.split("&") if p and not p.startswith("utm_")
+    )
+    return (
+        scheme.lower()
+        + "://"
+        + host
+        + path
+        + ("?" + "&".join(params) if params else "")
+    )
+
+
+def _py_raw_url(doc_id: int, source: str, lang: str) -> str:
+    return (
+        ("HTTPS" if doc_id % 2 == 0 else "https")
+        + "://"
+        + ("WWW." if doc_id % 3 == 0 else "")
+        + (source.upper() if doc_id % 7 == 0 else source)
+        + ".Example.COM"
+        + (":443" if doc_id % 5 == 0 else "")
+        + f"/{lang}/page-{doc_id % 40}"
+        + ("/" if doc_id % 4 == 0 else "")
+        + (
+            ""
+            if doc_id % 11 == 0
+            else ("?b=2&utm_source=feed&a=1" if doc_id % 2 == 0 else "?a=1&b=2")
+        )
+        + ("#sec" if doc_id % 9 == 0 else "")
+    )
+
+
+def test_url_normalize_matches_python_replay(spark, sf_dir):
+    """Full Python replay of q_url_normalize at sf0.001: re-derive every
+    messy URL, canonicalize with an independent straight-line reference,
+    and compare group counts, variant counts, membership checksums, and
+    keep choices exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    rows = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        raw = _py_raw_url(r.doc_id, r.source, r.lang)
+        groups[_py_canonicalize(raw)].append((r.doc_id, raw))
+    want = {
+        canon: (
+            len(members),
+            len({raw for _, raw in members}),
+            hashlib.md5(
+                "|".join(sorted(raw for _, raw in members)).encode()
+            ).hexdigest(),
+            min(d for d, _ in members),
+        )
+        for canon, members in groups.items()
+    }
+    got = {
+        r.canonical_url: (r.n_aliases, r.n_variants, r.alias_md5, r.keep_doc_id)
+        for r in all_queries()["q_url_normalize"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # canonicalization is idempotent: canonical outputs are fixed points
+    assert all(_py_canonicalize(c) == c for c in want)
+
+
+def test_domain_blocklist_matches_python_replay(spark, sf_dir):
+    """Python replay of the wildcard-suffix gate, including the negative
+    substring case: a host merely CONTAINING a rule as a substring
+    (not on a dot boundary) must not be blocked."""
+    from collections import defaultdict
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.functions.curation import _BLOCK_RULES
+    from data_pipeline_aws_spark.tables import table
+
+    suffix_map = {
+        "en": ".news.example.com",
+        "de": ".blog.example.org",
+        "fr": ".example.net",
+        "es": ".ads.tracker.io",
+    }
+    rows = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        host = r.source.lower() + suffix_map.get(r.lang, ".example.com")
+        parts = host.split(".")
+        sufs = {".".join(parts[i:]) for i in range(len(parts))}
+        blocked = bool(sufs & set(_BLOCK_RULES))
+        cell = agg[(r.source, r.lang)]
+        cell[0] += 1
+        cell[1] += int(blocked)
+        cell[2] += int(not blocked)
+    got = {
+        (r.source, r.lang): [r.n_docs, r.n_blocked, r.n_kept]
+        for r in all_queries()["q_domain_blocklist"](spark, sf_dir).collect()
+    }
+    assert got == dict(agg)
+    # dot-boundary semantics: a substring hit is NOT a suffix hit —
+    # 'xads.tracker.io' contains rule 'ads.tracker.io' but its suffix
+    # chain is {xads.tracker.io, tracker.io, io}, none of which match
+    parts = "xads.tracker.io".split(".")
+    sufs = {".".join(parts[i:]) for i in range(len(parts))}
+    assert "ads.tracker.io" not in sufs
+    assert not sufs & set(_BLOCK_RULES)
+
+
+def test_hybrid_rrf_ranks_consistent_with_bm25_and_formula(spark, sf_dir):
+    """q_hybrid_rrf's bm25 leg must reproduce q_text_bm25's own verified
+    scores: the docs holding bm25_rank 1..k are exactly the top-k of
+    q_text_bm25's output under (bm25 DESC, doc_id), in that order. The
+    fused score must equal the RRF formula of the emitted ranks, and
+    each rank column must be a prefix permutation 1..k with k ≤ 50."""
+    from data_pipeline_aws_spark import all_queries
+
+    out = all_queries()["q_hybrid_rrf"](spark, sf_dir).collect()
+    bm = all_queries()["q_text_bm25"](spark, sf_dir).collect()
+
+    for col in ("bm25_rank", "cos_rank"):
+        ranks = sorted(getattr(r, col) for r in out if getattr(r, col))
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 50
+    for r in out:
+        assert r.bm25_rank or r.cos_rank
+        want = round(
+            (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0)
+            + (1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0),
+            9,
+        )
+        assert abs(r.rrf_score - want) < 1e-12, (r, want)
+
+    k = sum(1 for r in out if r.bm25_rank)
+    top_bm = [r.doc_id for r in sorted(bm, key=lambda r: (-r.bm25, r.doc_id))][:k]
+    got_bm = [
+        r.doc_id
+        for r in sorted((x for x in out if x.bm25_rank), key=lambda x: x.bm25_rank)
+    ]
+    assert got_bm == top_bm
