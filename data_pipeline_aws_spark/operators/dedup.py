@@ -1618,3 +1618,175 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("n_parts").alias("total_parts"),
     )
+
+
+# --- Sketch-quality audit: LSH candidates vs exact ground truth -----------
+_MH_EVAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                   AS token,
+         generate_subscripts(string_split(text, ' '), 1)   AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt ca ON d1 = ca.doc_id
+  JOIN cnt cb ON d2 = cb.doc_id
+  WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
+),
+mh AS (
+  SELECT doc_id, s.i AS seed,
+         MIN(CAST(concat('0x',
+               substr(md5(CAST(s.i AS VARCHAR) || ':' || shingle), 1, 15))
+             AS BIGINT)) AS v
+  FROM shd, range(32) s(i)
+  GROUP BY doc_id, s.i
+),
+sig AS (
+  SELECT d.doc_id, list(mh.v ORDER BY mh.seed) AS mhs
+  FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id
+  GROUP BY d.doc_id
+),
+bands AS (
+  SELECT doc_id, b.b AS band, mhs[2*b.b + 1] AS s1, mhs[2*b.b + 2] AS s2
+  FROM sig, range(16) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.d1, c.d2,
+         len(list_filter(range(1, 33), i -> a.mhs[i] = b.mhs[i])) >= 16 AS acc
+  FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+),
+cells AS (
+  SELECT t.d1 IS NOT NULL AS is_true,
+         e.d1 IS NOT NULL AS is_cand,
+         COALESCE(e.acc, FALSE) AS acc
+  FROM est e FULL JOIN truth t ON e.d1 = t.d1 AND e.d2 = t.d2
+)
+SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_caught_accepted,
+       CAST(SUM(CASE WHEN is_true AND is_cand AND NOT acc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_caught_rejected,
+       CAST(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_missed,
+       CAST(SUM(CASE WHEN NOT is_true AND acc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_accepted,
+       CAST(SUM(CASE WHEN NOT is_true AND is_cand AND NOT acc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_rejected,
+       ROUND(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END) * 1.0
+             / NULLIF(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 6)
+         AS recall,
+       ROUND(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END) * 1.0
+             / NULLIF(SUM(CASE WHEN acc THEN 1 ELSE 0 END), 0), 6)
+         AS precision
+FROM cells
+"""
+
+
+@query("q_dedup_eval", oracle=_MH_EVAL_ORACLE)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit — grade the MinHash-LSH sketch against exact
+    shingle-Jaccard ground truth BEFORE trusting it at scale. q_dedup_minhash
+    verifies its candidates exactly, so its OUTPUT can't reveal sketch error;
+    what needs measuring is the candidate/estimate stage itself: recall (did
+    every true J>=0.5 pair band-collide and pass the 16-of-32 screen?),
+    precision (how many accepted pairs are below threshold?), and the wasted-
+    verify rate (candidates the screen correctly rejects). One confusion row:
+    n_true / caught-accepted / caught-rejected / missed / false-accepted /
+    false-rejected + recall/precision.
+
+    Built from the two established rails: exact truth = the shingle inverted-
+    index join (q_dedup_ngram's baseline), sketch = the md5-seeded portable
+    signatures of q_dedup_minhash_incremental (byte-replayable, so the oracle
+    replays the ACTUAL sketch decisions, not a reimplementation). sig is
+    localCheckpoint'ed — it feeds the band self-join and both estimate sides.
+
+    At 100 TB the truth side is the quadratic-ish baseline, so production
+    runs this audit on a sampled stratum (hash-mod of doc_id, the
+    q_sample_stratified trick) and extrapolates — the sketch side's
+    calibration is sample-invariant because banding probability depends only
+    on pair similarity. The audit verb and its plan shape are what matter:
+    banded candidate join (never all-pairs on the sketch side), in-row
+    32-compare screen, single bounded report row."""
+    sig = _mh_sig_table(table(spark, sf_dir, "documents")).localCheckpoint()
+    band = _mh_band_rows(sig).alias("a")
+    bandb = _mh_band_rows(sig).alias("b")
+    cand = (
+        band.join(
+            bandb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.s1") == F.col("b.s1"))
+            & (F.col("a.s2") == F.col("b.s2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    )
+    est = (
+        cand.join(sig.alias("x"), cand.d1 == F.col("x.doc_id"))
+        .join(sig.alias("y"), cand.d2 == F.col("y.doc_id"))
+        .select("d1", "d2", (matches >= _MH_MATCH_MIN).alias("acc"))
+    )
+    # the truth side's fingerprint relation feeds three consumers (per-doc
+    # counts + both inverted-index join sides): checkpoint the 12 B/shingle
+    # rows once instead of re-scanning and re-shingling text per consumer
+    truth = _exact_jaccard_pairs(
+        shingle_fingerprints(spark, sf_dir).localCheckpoint()
+    ).select("d1", "d2", F.lit(True).alias("is_true"))
+    cells = (
+        est.withColumnsRenamed({"d1": "e1", "d2": "e2"})
+        .join(
+            truth,
+            (F.col("e1") == F.col("d1")) & (F.col("e2") == F.col("d2")),
+            "full",
+        )
+        .select(
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+            F.col("e1").isNotNull().alias("is_cand"),
+            F.coalesce("acc", F.lit(False)).alias("acc"),
+        )
+    )
+    it, ic, acc = F.col("is_true"), F.col("is_cand"), F.col("acc")
+    n = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).alias(name)  # noqa: E731
+    return cells.agg(
+        n(it, "n_true"),
+        n(it & ic & acc, "n_true_caught_accepted"),
+        n(it & ic & ~acc, "n_true_caught_rejected"),
+        n(it & ~ic, "n_true_missed"),
+        n(~it & acc, "n_false_accepted"),
+        n(~it & ic & ~acc, "n_false_rejected"),
+        F.round(
+            F.sum(F.when(it & ic & acc, 1).otherwise(0))
+            * 1.0
+            / F.nullif(F.sum(F.when(it, 1).otherwise(0)), F.lit(0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(F.when(it & ic & acc, 1).otherwise(0))
+            * 1.0
+            / F.nullif(F.sum(F.when(acc, 1).otherwise(0)), F.lit(0)),
+            6,
+        ).alias("precision"),
+    )

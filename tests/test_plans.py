@@ -963,3 +963,19 @@ def test_hybrid_rrf_heap_topk_and_broadcast_model_sides(plans):
     assert final.count("FileScan parquet") == 0, final
     assert "Scan ExistingRDD" in final, final  # checkpointed tf/dl
     assert final.count("SortMergeJoin") <= 1, final
+
+
+def test_dedup_eval_banded_candidates_checkpointed_sig(plans):
+    """q_dedup_eval's sketch side must read the checkpointed signature
+    relation (Scan ExistingRDD — the 32-min aggregation runs once, not
+    per consumer), generate candidates ONLY through the band equi-join
+    (a band/s1/s2 HashJoin key, never a doc×doc cross product). The
+    truth side's fingerprint relation is checkpointed too, so documents
+    text is scanned exactly twice — once per checkpoint build, both
+    eager — and the fused plan re-reads ONLY executor storage."""
+    p = plans("q_dedup_eval")
+    final = p.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    assert final.count("FileScan parquet") == 0, final

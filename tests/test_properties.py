@@ -1387,3 +1387,74 @@ def test_hybrid_rrf_ranks_consistent_with_bm25_and_formula(spark, sf_dir):
         for r in sorted((x for x in out if x.bm25_rank), key=lambda x: x.bm25_rank)
     ]
     assert got_bm == top_bm
+
+
+def test_dedup_eval_confusion_row_matches_python_replay(spark, sf_dir):
+    """Full Python replay of q_dedup_eval at sf0.001: recompute md5-seeded
+    minhash signatures, 16x2 band collisions, the 16-of-32 screen, and
+    exact shingle-Jaccard truth, then rebuild the confusion row."""
+    import hashlib
+    from itertools import combinations
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shingle_sets, sigs = {}, {}
+    for r in rows:
+        toks = r.text.split(" ")
+        ss = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+        shingle_sets[r.doc_id] = ss
+        if ss:
+            sigs[r.doc_id] = [
+                min(
+                    int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+                    for s in ss
+                )
+                for i in range(32)
+            ]
+    # band collisions (16 bands x 2 rows)
+    buckets = {}
+    for d, mh in sigs.items():
+        for b in range(16):
+            buckets.setdefault((b, mh[2 * b], mh[2 * b + 1]), []).append(d)
+    cand = set()
+    for ds in buckets.values():
+        for a, b in combinations(sorted(ds), 2):
+            cand.add((a, b))
+    acc = {
+        (a, b)
+        for a, b in cand
+        if sum(x == y for x, y in zip(sigs[a], sigs[b])) >= 16
+    }
+    truth = set()
+    ids = sorted(d for d in shingle_sets if shingle_sets[d])
+    inv = {}
+    for d in ids:
+        for s in shingle_sets[d]:
+            inv.setdefault(s, set()).add(d)
+    pair_common = {}
+    for s, ds in inv.items():
+        for a, b in combinations(sorted(ds), 2):
+            pair_common[(a, b)] = pair_common.get((a, b), 0) + 1
+    for (a, b), c in pair_common.items():
+        if c / (len(shingle_sets[a]) + len(shingle_sets[b]) - c) >= 0.5:
+            truth.add((a, b))
+
+    want = {
+        "n_true": len(truth),
+        "n_true_caught_accepted": len(truth & acc),
+        "n_true_caught_rejected": len((truth & cand) - acc),
+        "n_true_missed": len(truth - cand),
+        "n_false_accepted": len(acc - truth),
+        "n_false_rejected": len((cand - acc) - truth),
+    }
+    [got] = all_queries()["q_dedup_eval"](spark, sf_dir).collect()
+    for k, v in want.items():
+        assert getattr(got, k) == v, (k, getattr(got, k), v)
+    assert got.recall == round(want["n_true_caught_accepted"] / want["n_true"], 6)
+    assert got.precision == round(
+        want["n_true_caught_accepted"] / len(acc), 6
+    )
