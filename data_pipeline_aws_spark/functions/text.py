@@ -1725,3 +1725,87 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rrf_score"),
     )
+
+
+_KN_D = 0.75  # absolute discount (the standard Kneser-Ney setting)
+
+
+@query(
+    "q_kn_bigram",
+    oracle="""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT lang, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+),
+c12 AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT lang, w1, w2, c,
+         SUM(c)   OVER (PARTITION BY lang, w1) AS c1,
+         COUNT(*) OVER (PARTITION BY lang, w1) AS n1fw,
+         COUNT(*) OVER (PARTITION BY lang, w2) AS n1bw,
+         COUNT(*) OVER (PARTITION BY lang)     AS n1all
+  FROM c12
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT)   AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       ROUND(-SUM(c * LN(GREATEST(c - 0.75, 0) / c1
+                         + (0.75 * n1fw / c1) * (n1bw * 1.0 / n1all)))
+             / SUM(c), 4) AS cross_entropy
+FROM stats
+GROUP BY lang
+""",
+)
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney '95 / Chen &
+    Goodman '99 — THE n-gram smoother), reported as per-language corpus
+    cross-entropy: P(w2|w1) = max(c-D,0)/c1 + (D·N1+(w1,·)/c1) ·
+    N1+(·,w2)/N1+(·,·) with D = 0.75. The add-one model (q_bigram_lm)
+    steals mass proportional to vocab size and backs off to nothing;
+    KN discounts every seen bigram by a constant and backs off to the
+    CONTINUATION distribution — 'how many contexts does w2 follow' —
+    which is what production perplexity filters actually run (a
+    frequent-but-context-locked token like 'Francisco' stops looking
+    probable everywhere).
+
+    Scale shape: identical rails to q_bigram_lm — map-side bigram build
+    (slice+arrays_zip, no position window), partial-combine count
+    aggregation so the wire carries vocab-bounded (lang, w1, w2) type
+    counts, never the occurrence stream. ALL four KN statistics (c1 and
+    N1+ forward/backward/total) are windows over that bounded
+    bigram-type table: three small exchanges of type counts, zero
+    corpus re-shuffles, no second corpus pass (the add-one model needs
+    a separate vocab scan; continuation counts come free from the type
+    table). Per-term arithmetic is identical double expressions in both
+    engines; the summation-order ulp risk rides under ROUND(.,4) as
+    everywhere."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", F.split("text", " ").alias("t"))
+    bg = _adjacent_pairs(t, "t").selectExpr("lang", "lhs as w1", "rhs as w2")
+    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    stats = (
+        c12.withColumn("c1", F.sum("c").over(Window.partitionBy("lang", "w1")))
+        .withColumn(
+            "n1fw", F.count(F.lit(1)).over(Window.partitionBy("lang", "w1"))
+        )
+        .withColumn(
+            "n1bw", F.count(F.lit(1)).over(Window.partitionBy("lang", "w2"))
+        )
+        .withColumn("n1all", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    p_kn = F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("c1") + (
+        _KN_D * F.col("n1fw") / F.col("c1")
+    ) * (F.col("n1bw") * 1.0 / F.col("n1all"))
+    return stats.groupBy("lang").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(-F.sum(F.col("c") * F.log(p_kn)) / F.sum("c"), 4).alias(
+            "cross_entropy"
+        ),
+    )

@@ -979,3 +979,20 @@ def test_dedup_eval_banded_candidates_checkpointed_sig(plans):
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
     assert final.count("FileScan parquet") == 0, final
+
+
+def test_kn_bigram_partial_agg_windows_on_type_table(plans):
+    """q_kn_bigram must keep q_bigram_lm's shuffle contract: bigram
+    occurrences partial-combine BELOW the exchange (the wire carries
+    vocab-bounded type counts, never the occurrence stream), and every
+    KN statistic is a Window over that bounded type table — no second
+    corpus scan (the add-one model's separate vocab pass is exactly
+    what continuation counts make unnecessary)."""
+    p = plans("q_kn_bigram")
+    final = p.split("== Initial Plan ==")[0]
+    assert "partial_count" in final, final
+    first_exchange = final.index("Exchange")
+    assert "partial_count" in final[first_exchange:], final
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("Window") >= 3, final
+    assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final, final

@@ -1458,3 +1458,46 @@ def test_dedup_eval_confusion_row_matches_python_replay(spark, sf_dir):
     assert got.precision == round(
         want["n_true_caught_accepted"] / len(acc), 6
     )
+
+
+def test_kn_bigram_matches_python_replay(spark, sf_dir):
+    """Full Python replay of interpolated Kneser-Ney at sf0.001: bigram
+    type counts, continuation counts, discounted probabilities, corpus
+    cross-entropy per language."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    rows = table(spark, sf_dir, "documents").select("lang", "text").collect()
+    c12 = Counter()
+    for r in rows:
+        toks = r.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c12[(r.lang, a, b)] += 1
+    c1, n1fw, n1bw, n1all = Counter(), Counter(), Counter(), Counter()
+    for (lang, a, b), c in c12.items():
+        c1[(lang, a)] += c
+        n1fw[(lang, a)] += 1
+        n1bw[(lang, b)] += 1
+        n1all[lang] += 1
+    num, den, types = defaultdict(float), Counter(), Counter()
+    for (lang, a, b), c in c12.items():
+        p = max(c - 0.75, 0.0) / c1[(lang, a)] + (
+            0.75 * n1fw[(lang, a)] / c1[(lang, a)]
+        ) * (n1bw[(lang, b)] / n1all[lang])
+        num[lang] += c * math.log(p)
+        den[lang] += c
+        types[lang] += 1
+    got = {
+        r.lang: (r.n_bigrams, r.n_distinct_bigrams, r.cross_entropy)
+        for r in all_queries()["q_kn_bigram"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(den)
+    for lang in den:
+        nb, nd, ce = got[lang]
+        assert nb == den[lang] and nd == types[lang]
+        assert abs(ce - (-num[lang] / den[lang])) < 5e-4
+        # KN mass on seen types must stay a proper sub-distribution
+        assert 0 < ce
