@@ -1232,13 +1232,16 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(r) for r in _BLOCK_RULES]).alias("rules")
         )
     )
+    # the regex split is hoisted into its own projected column: Spark's
+    # subexpression elimination does not reach across higher-order-function
+    # lambdas, so inlining split(host) here would re-run it ~2x per suffix
     sufs = F.expr(
-        "transform(sequence(1, size(split(host, '\\\\.'))), i ->"
-        " array_join(slice(split(host, '\\\\.'), i,"
-        " size(split(host, '\\\\.')) - i + 1), '.'))"
+        "transform(sequence(1, size(parts)), i ->"
+        " array_join(slice(parts, i, size(parts) - i + 1), '.'))"
     )
     return (
         d.select("doc_id", "source", "lang", F.expr(_HOST_SQL).alias("host"))
+        .withColumn("parts", F.split("host", "\\."))
         .crossJoin(F.broadcast(rules))
         .select(
             "source",

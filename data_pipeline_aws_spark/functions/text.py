@@ -741,11 +741,11 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "join", "scan")
 _BM25_IN = "('hash', 'join', 'scan')"
 
-
-@query(
-    "q_text_bm25",
-    oracle=f"""
-WITH tf AS (
+# The ONE DuckDB definition of the BM25 scorer (term frequencies, document
+# frequencies, lengths, corpus stats, per-doc score body) — interpolated
+# verbatim into both the standalone scorer and the hybrid-RRF fuser so a
+# formula/tokenization fix edits exactly one string.
+_BM25_CTES = f"""tf AS (
   SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   WHERE token IN {_BM25_IN}
@@ -761,13 +761,21 @@ stats AS (
          CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) * 1.0 / COUNT(*)
            AS avgdl
   FROM documents
-)
-SELECT tf.doc_id,
+)"""
+
+_BM25_SCORE_BODY = """SELECT tf.doc_id,
        ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                  * (tf * 2.2)
                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
 FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
-GROUP BY tf.doc_id
+GROUP BY tf.doc_id"""
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+WITH {_BM25_CTES}
+{_BM25_SCORE_BODY}
 """,
 )
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1387,10 +1395,9 @@ def _adjacent_pairs(df: DataFrame, arr: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bigram_lm",
-    oracle="""
-WITH t AS (
+# The ONE DuckDB definition of the per-language bigram type-count relation
+# (t/bg/c12), shared by the add-one and Kneser-Ney LM oracles.
+_BIGRAM_CTES = """t AS (
   SELECT lang, string_split(text, ' ') AS toks FROM documents
   WHERE len(string_split(text, ' ')) >= 2
 ),
@@ -1400,7 +1407,13 @@ bg AS (
 ),
 c12 AS (
   SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3
-),
+)"""
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+WITH {_BIGRAM_CTES},
 withc1 AS (
   SELECT lang, w1, w2, c, SUM(c) OVER (PARTITION BY lang, w1) AS c1
   FROM c12
@@ -1589,30 +1602,9 @@ _RRF_DEPTH = 50    # retrieval depth per ranker
 @query(
     "q_hybrid_rrf",
     oracle=f"""
-WITH tf AS (
-  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-  WHERE token IN {_BM25_IN}
-  GROUP BY doc_id, token
-),
-df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
-dl AS (
-  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
-  FROM documents
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) * 1.0 / COUNT(*)
-           AS avgdl
-  FROM documents
-),
+WITH {_BM25_CTES},
 bm AS (
-  SELECT tf.doc_id,
-         ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                   * (tf * 2.2)
-                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
-  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
-  GROUP BY tf.doc_id
+  {_BM25_SCORE_BODY}
 ),
 cs AS (
   SELECT tf.doc_id,
@@ -1732,18 +1724,8 @@ _KN_D = 0.75  # absolute discount (the standard Kneser-Ney setting)
 
 @query(
     "q_kn_bigram",
-    oracle="""
-WITH t AS (
-  SELECT lang, string_split(text, ' ') AS toks FROM documents
-  WHERE len(string_split(text, ' ')) >= 2
-),
-bg AS (
-  SELECT lang, toks[u.i] AS w1, toks[u.i + 1] AS w2
-  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
-),
-c12 AS (
-  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3
-),
+    oracle=f"""
+WITH {_BIGRAM_CTES},
 stats AS (
   SELECT lang, w1, w2, c,
          SUM(c)   OVER (PARTITION BY lang, w1) AS c1,

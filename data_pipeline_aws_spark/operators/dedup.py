@@ -88,8 +88,11 @@ def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles(spark, sf_dir).select("doc_id", F.xxhash64("shingle").alias("h"))
 
 
-_SHINGLE_SQL = """
-WITH tok AS (
+# The ONE DuckDB definition of the distinct-shingle relation (tok/sh/shd),
+# shared verbatim by every shingle-set oracle below — the SQL twin of
+# _shingle_array being the one Spark-side definition. Editing the shingle
+# width/tokenization here updates every oracle in lockstep.
+_SHINGLE_CTES = """tok AS (
   SELECT doc_id,
          unnest(string_split(text, ' '))                   AS token,
          generate_subscripts(string_split(text, ' '), 1)   AS pos
@@ -100,7 +103,10 @@ sh AS (
          token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
   FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)"""
+
+_SHINGLE_SQL = f"""
+WITH {_SHINGLE_CTES},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -667,20 +673,12 @@ def _mh_index_versions(
     return paths
 
 
-_MH_INCR_ORACLE = """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' '))                   AS token,
-         generate_subscripts(string_split(text, ' '), 1)   AS pos
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
-  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
-mh AS (
+# The ONE DuckDB replay of the md5-seeded portable signatures (mh/sig/bands),
+# shared verbatim by the index-maintenance and sketch-audit oracles so both
+# grade against the SAME sketch definition Spark persists. sig's ep/chash
+# columns serve the incremental op; consumers that don't need them ignore
+# them.
+_MH_SIG_CTES = """mh AS (
   SELECT doc_id, s.i AS seed,
          MIN(CAST(concat('0x',
                substr(md5(CAST(s.i AS VARCHAR) || ':' || shingle), 1, 15))
@@ -697,7 +695,11 @@ sig AS (
 bands AS (
   SELECT doc_id, ep, b.b AS band, mhs[2*b.b + 1] AS s1, mhs[2*b.b + 2] AS s2
   FROM sig, range(16) b(b)
-),
+)"""
+
+_MH_INCR_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+{_MH_SIG_CTES},
 cand1 AS (
   SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
   FROM bands x JOIN bands y
@@ -1621,19 +1623,11 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Sketch-quality audit: LSH candidates vs exact ground truth -----------
-_MH_EVAL_ORACLE = """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' '))                   AS token,
-         generate_subscripts(string_split(text, ' '), 1)   AS pos
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
-  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+# Shares _SHINGLE_CTES (the one shingle definition) and _MH_SIG_CTES (the
+# one sketch definition) so the audit grades the SAME sketch the
+# incremental index persists; sig's ep/chash columns are unused here.
+_MH_EVAL_ORACLE = f"""
+WITH {_SHINGLE_CTES},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -1646,23 +1640,7 @@ truth AS (
   JOIN cnt cb ON d2 = cb.doc_id
   WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
 ),
-mh AS (
-  SELECT doc_id, s.i AS seed,
-         MIN(CAST(concat('0x',
-               substr(md5(CAST(s.i AS VARCHAR) || ':' || shingle), 1, 15))
-             AS BIGINT)) AS v
-  FROM shd, range(32) s(i)
-  GROUP BY doc_id, s.i
-),
-sig AS (
-  SELECT d.doc_id, list(mh.v ORDER BY mh.seed) AS mhs
-  FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id
-  GROUP BY d.doc_id
-),
-bands AS (
-  SELECT doc_id, b.b AS band, mhs[2*b.b + 1] AS s1, mhs[2*b.b + 2] AS s2
-  FROM sig, range(16) b(b)
-),
+{_MH_SIG_CTES},
 cand AS (
   SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
   FROM bands x JOIN bands y
@@ -1679,25 +1657,27 @@ cells AS (
          e.d1 IS NOT NULL AS is_cand,
          COALESCE(e.acc, FALSE) AS acc
   FROM est e FULL JOIN truth t ON e.d1 = t.d1 AND e.d2 = t.d2
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_caught_accepted,
+         CAST(SUM(CASE WHEN is_true AND is_cand AND NOT acc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_caught_rejected,
+         CAST(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_missed,
+         CAST(SUM(CASE WHEN NOT is_true AND acc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_accepted,
+         CAST(SUM(CASE WHEN NOT is_true AND is_cand AND NOT acc THEN 1 ELSE 0
+              END) AS BIGINT) AS n_false_rejected
+  FROM cells
 )
-SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-       CAST(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_true_caught_accepted,
-       CAST(SUM(CASE WHEN is_true AND is_cand AND NOT acc THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_true_caught_rejected,
-       CAST(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_true_missed,
-       CAST(SUM(CASE WHEN NOT is_true AND acc THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_false_accepted,
-       CAST(SUM(CASE WHEN NOT is_true AND is_cand AND NOT acc THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_false_rejected,
-       ROUND(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END) * 1.0
-             / NULLIF(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 6)
-         AS recall,
-       ROUND(SUM(CASE WHEN is_true AND is_cand AND acc THEN 1 ELSE 0 END) * 1.0
-             / NULLIF(SUM(CASE WHEN acc THEN 1 ELSE 0 END), 0), 6)
+SELECT *,
+       ROUND(n_true_caught_accepted * 1.0 / NULLIF(n_true, 0), 6) AS recall,
+       ROUND(n_true_caught_accepted * 1.0
+             / NULLIF(n_true_caught_accepted + n_false_accepted, 0), 6)
          AS precision
-FROM cells
+FROM counts
 """
 
 
@@ -1770,23 +1750,24 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     it, ic, acc = F.col("is_true"), F.col("is_cand"), F.col("acc")
     n = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).alias(name)  # noqa: E731
-    return cells.agg(
+    counts = cells.agg(
         n(it, "n_true"),
         n(it & ic & acc, "n_true_caught_accepted"),
         n(it & ic & ~acc, "n_true_caught_rejected"),
         n(it & ~ic, "n_true_missed"),
         n(~it & acc, "n_false_accepted"),
         n(~it & ic & ~acc, "n_false_rejected"),
+    )
+    # ratios derive from the emitted counts in a post-agg select (1 row),
+    # so the predicate definitions live in exactly one place; accepted
+    # total = caught_accepted + false_accepted because acc ⇒ is_cand
+    tca = F.col("n_true_caught_accepted")
+    return counts.select(
+        "*",
+        F.round(tca * 1.0 / F.nullif(F.col("n_true"), F.lit(0)), 6).alias(
+            "recall"
+        ),
         F.round(
-            F.sum(F.when(it & ic & acc, 1).otherwise(0))
-            * 1.0
-            / F.nullif(F.sum(F.when(it, 1).otherwise(0)), F.lit(0)),
-            6,
-        ).alias("recall"),
-        F.round(
-            F.sum(F.when(it & ic & acc, 1).otherwise(0))
-            * 1.0
-            / F.nullif(F.sum(F.when(acc, 1).otherwise(0)), F.lit(0)),
-            6,
+            tca * 1.0 / F.nullif(tca + F.col("n_false_accepted"), F.lit(0)), 6
         ).alias("precision"),
     )
