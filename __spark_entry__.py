@@ -60,10 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered keys with zero stale rows (the second round-6 operator,
 # q_sim_pq_search, misses the cap by one and leads the round-7 queue).
 # Everything unlisted follows in registration order. (Late round 6 added
-# five more keys — q_url_normalize, q_domain_blocklist, q_hybrid_rrf,
-# q_dedup_eval, q_kn_bigram — parity-green at 3 SFs; they join
-# q_sim_pq_search in the round-7 queue right behind the cap, so the
-# registry is now 267 keys with 261 in the graded-by-r6 set.)
+# eight more keys — q_url_normalize, q_domain_blocklist, q_hybrid_rrf,
+# q_dedup_eval, q_kn_bigram, q_langid_confusion, q_k_anonymity,
+# q_link_predict — parity-green at 3 SFs; they join q_sim_pq_search in
+# the round-7 queue right behind the cap, so the registry is now 270
+# keys with 261 in the graded-by-r6 set.)
 _PRIORITY = [
     # (a) stale no_oracle re-grades (upgraded oracles: HLL ±2.5% bound
     # verdicts r4, PCA trace-identity bound verdict r5)
@@ -87,10 +88,10 @@ _PRIORITY = [
     "q_dedup_minhash_incremental",
     # --- ~50-entry grading cap lands here ---
     # round-7 queue: the second round-6 operator (parity-green at 3 SFs,
-    # misses the cap by one slot) plus the five late-round-6 keys
+    # misses the cap by one slot) plus the eight late-round-6 keys
     "q_sim_pq_search",
     "q_url_normalize", "q_domain_blocklist", "q_hybrid_rrf", "q_dedup_eval",
-    "q_kn_bigram",
+    "q_kn_bigram", "q_langid_confusion", "q_k_anonymity", "q_link_predict",
     # fully-graded keys follow in registration order; nothing below this
     # line needs a round-6 row (q_item_item_recs & friends received their
     # oracle-side-only upgrades against unchanged Spark output, and every

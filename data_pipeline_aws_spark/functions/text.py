@@ -1791,3 +1791,74 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_entropy"
         ),
     )
+
+
+@query(
+    "q_langid_confusion",
+    oracle=f"""
+WITH tok AS ({_TOK_SQL}),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN token IN {_MARKERS_A!r} THEN 1 ELSE 0 END) AS BIGINT) AS score_a,
+         CAST(SUM(CASE WHEN token IN {_MARKERS_B!r} THEN 1 ELSE 0 END) AS BIGINT) AS score_b
+  FROM tok GROUP BY doc_id
+),
+pred AS (
+  SELECT d.lang,
+         CASE WHEN sc.score_a >= sc.score_b THEN 'dialect_a'
+              ELSE 'dialect_b' END AS predicted
+  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+)
+SELECT lang, predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+         AS share_of_lang
+FROM pred
+GROUP BY lang, predicted
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion table of q_text_langid's
+    marker-voting classifier against the labeled `lang` column — the
+    measure-the-classifier-before-filtering-with-it verb (a corpus gate
+    that silently drops one language's docs is a distribution bug no
+    downstream metric will surface). One row per (label, prediction)
+    cell with the within-label share.
+
+    Scale shape: the classifier pass is q_text_langid's own (token
+    explode → per-doc score agg), joined doc-grain to the labels and
+    re-aggregated to the |langs|×|classes| bounded cell grid; the share
+    column is a window over that bounded grid only. Evaluation adds one
+    doc-grain join to the classifier's cost — nothing corpus-quadratic,
+    and the eval subsamples freely at 100 TB (confusion shares are
+    sample-stable, the q_dedup_eval argument)."""
+    d = table(spark, sf_dir, "documents")
+    tok = tokens(spark, sf_dir)
+    sc = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("token").isin(*_MARKERS_A), 1).otherwise(0)).alias(
+            "score_a"
+        ),
+        F.sum(F.when(F.col("token").isin(*_MARKERS_B), 1).otherwise(0)).alias(
+            "score_b"
+        ),
+    )
+    pred = d.select("doc_id", "lang").join(sc, "doc_id").select(
+        "lang",
+        F.when(F.col("score_a") >= F.col("score_b"), "dialect_a")
+        .otherwise("dialect_b")
+        .alias("predicted"),
+    )
+    cells = pred.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return cells.select(
+        "lang",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs")
+            * 1.0
+            / F.sum("n_docs").over(Window.partitionBy("lang")),
+            6,
+        ).alias("share_of_lang"),
+    )

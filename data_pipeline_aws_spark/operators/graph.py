@@ -345,3 +345,79 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy("hops").agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
     )
+
+
+@query(
+    "q_link_predict",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 45
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+common AS (
+  SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT u, v, n_common,
+       n_common * 1.0 / (du.deg + dv.deg - n_common) AS jaccard
+FROM common
+JOIN deg du ON u = du.node
+JOIN deg dv ON v = dv.node
+ORDER BY jaccard DESC, u, v
+LIMIT 20
+""",
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    '03): for two-hop node pairs of the customer-supplier graph (same
+    derivation as q_pagerank: undirected bipartite edges from high-quantity
+    lineitems), score |N(u)∩N(v)| / |N(u)∪N(v)| and return the 20
+    strongest predicted links. On a bipartite graph every two-hop pair is
+    same-side, hence never an existing edge — no adjacency anti-join is
+    needed (on a general graph, add one).
+
+    Scale shape: common neighbors come from ONE self-equi-join of the edge
+    list on the shared endpoint — the same wedge join q_triangles runs, cost
+    Σ deg(mid)², never |V|² — then two degree joins and exact integer
+    Jaccard (single division, no rounding drift). The top-20 is
+    orderBy+limit → TakeOrderedAndProject heap-merge. At 100 TB the
+    standard hub guard applies: cap per-mid neighbor lists
+    (WindowGroupLimit, the q_item_item_recs basket cap) before the wedge
+    join so one celebrity node cannot go quadratic."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    o = table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    jac = F.col("n_common") * 1.0 / (F.col("du.deg") + F.col("dv.deg") - F.col("n_common"))
+    return (
+        common.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select("u", "v", "n_common", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(20)
+    )

@@ -997,3 +997,68 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_EPSILON).alias("epsilon_nominal"),
         F.lit("deterministic-audit").alias("mechanism"),
     )
+
+
+# --- k-anonymity audit ----------------------------------------------------
+_KANON_K = 5
+# quasi-identifier: (lang, source, 64-char length bucket) — the attacker-
+# joinable attribute combination for this fixture
+_QI_BUCKET_SQL = "CAST(FLOOR(n_chars / 64.0) AS BIGINT)"
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+WITH qi AS (
+  SELECT lang, source, {_QI_BUCKET_SQL} AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)                        AS n_groups,
+       CAST(SUM(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsafe_groups,
+       CAST(SUM(k) AS BIGINT)                          AS n_rows,
+       CAST(SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       ROUND(SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) * 1.0 / SUM(k), 6)
+         AS suppression_rate,
+       CAST(MIN(k) AS BIGINT)                          AS min_k
+FROM qi
+GROUP BY lang
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney '02) — the release gate that runs BEFORE
+    q_dp_release or any data share: group rows by their quasi-identifier
+    combination (here lang × source × 64-char length bucket — attributes an
+    attacker can join on) and measure how many groups fall below k=5, i.e.
+    how many rows a k-anonymous release must suppress or generalize. Per
+    label: group count, unsafe-group count, suppression count/rate, and the
+    worst-case min_k.
+
+    Scale shape: two stacked aggregates — the quasi-identifier grain (one
+    corpus shuffle on the QI key, map-side partial combine) then the
+    bounded per-lang report grid. No joins, no windows, nothing
+    corpus-quadratic; the audit is exactly one groupBy heavier than a
+    row count at any scale. Generalization search (coarsening buckets
+    until min_k >= k) iterates this same aggregate over candidate QI
+    ladders — each rung is one pass."""
+    d = table(spark, sf_dir, "documents")
+    qi = d.groupBy(
+        "lang",
+        "source",
+        F.expr(_QI_BUCKET_SQL).alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    unsafe = F.col("k") < _KANON_K
+    return qi.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(unsafe, 1).otherwise(0)).alias("n_unsafe_groups"),
+        F.sum("k").alias("n_rows"),
+        F.sum(F.when(unsafe, F.col("k")).otherwise(0)).alias("n_rows_suppressed"),
+        F.round(
+            F.sum(F.when(unsafe, F.col("k")).otherwise(0)) * 1.0 / F.sum("k"), 6
+        ).alias("suppression_rate"),
+        F.min("k").alias("min_k"),
+    )

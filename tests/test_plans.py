@@ -996,3 +996,38 @@ def test_kn_bigram_partial_agg_windows_on_type_table(plans):
     assert final.count("FileScan parquet") == 1, final
     assert final.count("Window") >= 3, final
     assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final, final
+
+
+def test_k_anonymity_two_stacked_aggs_no_joins(plans):
+    """q_k_anonymity must be exactly two stacked aggregates — the QI-grain
+    groupBy then the bounded per-lang report — with map-side partial
+    combine, no joins or windows anywhere, and one pruned scan."""
+    p = plans("q_k_anonymity")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "Join" not in final and "Window" not in final, final
+    assert "partial_count" in final, final
+    n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
+    assert n_shuffles == 2, final
+
+
+def test_langid_confusion_single_explode_bounded_window(plans):
+    """q_langid_confusion adds one doc-grain join to the classifier pass;
+    the token stream explodes exactly once and the share window runs
+    over the bounded confusion grid (inputs already aggregated)."""
+    p = plans("q_langid_confusion")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, final
+    assert final.count("Window") == 1, final
+    assert "partial_count" in final, final
+
+
+def test_link_predict_heap_topk_wedge_join_no_cross(plans):
+    """q_link_predict's top-20 must compile to TakeOrderedAndProject
+    (heap-merge, no global sort) and candidates must come from the wedge
+    equi-join on the shared endpoint — no cartesian anywhere."""
+    p = plans("q_link_predict")
+    final = p.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final

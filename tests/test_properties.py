@@ -1501,3 +1501,110 @@ def test_kn_bigram_matches_python_replay(spark, sf_dir):
         assert abs(ce - (-num[lang] / den[lang])) < 5e-4
         # KN mass on seen types must stay a proper sub-distribution
         assert 0 < ce
+
+
+def test_k_anonymity_matches_python_replay(spark, sf_dir):
+    """Python replay of the k-anonymity audit at sf0.001."""
+    from collections import Counter, defaultdict
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    rows = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).collect()
+    k = Counter((r.lang, r.source, r.n_chars // 64) for r in rows)
+    per_lang = defaultdict(lambda: [0, 0, 0, 0, 10 ** 9])
+    for (lang, _, _), cnt in k.items():
+        c = per_lang[lang]
+        c[0] += 1
+        c[1] += int(cnt < 5)
+        c[2] += cnt
+        c[3] += cnt if cnt < 5 else 0
+        c[4] = min(c[4], cnt)
+    got = {
+        r.lang: (
+            r.n_groups,
+            r.n_unsafe_groups,
+            r.n_rows,
+            r.n_rows_suppressed,
+            r.min_k,
+            r.suppression_rate,
+        )
+        for r in all_queries()["q_k_anonymity"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, c in per_lang.items():
+        assert got[lang] == (
+            c[0], c[1], c[2], c[3], c[4], round(c[3] / c[2], 6)
+        ), lang
+
+
+def test_link_predict_matches_python_replay(spark, sf_dir):
+    """Python replay of neighborhood-Jaccard link prediction at sf0.001:
+    rebuild the bipartite graph, enumerate wedges, score every two-hop
+    pair, and confirm the returned 20 rows are the true top-20 under
+    (jaccard DESC, u, v)."""
+    from collections import defaultdict
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").where("l_quantity >= 45").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = {
+        (f"c{r.o_custkey}", f"s{r.l_suppkey}")
+        for r in li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    }
+    nbrs = defaultdict(set)
+    for c, s in pairs:
+        nbrs[c].add(s)
+        nbrs[s].add(c)
+    scored = []
+    nodes = sorted(nbrs)
+    seen = set()
+    for mid in nodes:
+        ns = sorted(nbrs[mid])
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                if (u, v) in seen:
+                    continue
+                seen.add((u, v))
+                common = len(nbrs[u] & nbrs[v])
+                scored.append(
+                    (common / len(nbrs[u] | nbrs[v]), u, v, common)
+                )
+    want = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[:20]
+    got = all_queries()["q_link_predict"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r, (jac, u, v, common) in zip(got, want):
+        assert (r.u, r.v, r.n_common) == (u, v, common)
+        assert abs(r.jaccard - jac) < 1e-12
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    """Confusion shares within each label must sum to ~1 and cell counts
+    must total the corpus; prediction must agree with q_text_langid."""
+    from collections import Counter
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.tables import table
+
+    qs = all_queries()
+    out = qs["q_langid_confusion"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    per_lang = Counter()
+    for r in out:
+        per_lang[r.lang] += r.share_of_lang
+    assert all(abs(v - 1.0) < 1e-4 for v in per_lang.values()), per_lang
+    # cross-operator consistency with the classifier itself
+    pred = Counter(
+        r.predicted for r in qs["q_text_langid"](spark, sf_dir).collect()
+    )
+    got = Counter()
+    for r in out:
+        got[r.predicted] += r.n_docs
+    assert got == pred
