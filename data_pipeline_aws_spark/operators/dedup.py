@@ -479,22 +479,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides' sketches from text. The maintained-index variant below completes
 # the production story: signatures are computed ONCE per document, persisted
 # at the doc grain (doc_id, epoch, chash, mh0..mh31 — ~280 B/doc), and every
-# later refresh reads the INDEX, never history text. Portability: minhashes
-# are md5-seeded (min over shingles of the HIGH 60 bits of md5('<i>:'||
-# shingle))), so the full signature content — not just admission decisions —
-# is byte-replayable in the DuckDB oracle (the round-5 cross-engine
-# technique; Spark-private murmur3/xxhash64 would force a rows-only check).
+# later refresh reads the INDEX, never history text. Portability: the base
+# shingle hash is the HIGH 32 bits of md5(shingle) and the 32 minhashes are
+# linear permutations (a_i·h + b_i) mod p of that ONE digest — the classic
+# Broder construction — so the full signature content, not just admission
+# decisions, is byte-replayable in the DuckDB oracle and in pure Python
+# (Spark-private murmur3/xxhash64 would force a rows-only check). One md5
+# per shingle instead of 32 cut the sf0.1 signature build ~5x (round-6
+# measurement); a_i < 2^30 and h < 2^32 keep every product inside exact
+# signed-int64 range in both engines.
 
 _MH_N = 32  # minhashes per signature
 _MH_BANDS = 16  # 16 bands x 2 rows: P(candidate | J=0.9) ≈ 1-1e-12
 _MH_MATCH_MIN = 16  # admitted iff est. Jaccard < 0.5 ⇔ < 16 of 32 agree
+_MH_P = 4294967291  # largest 32-bit prime: permutation modulus
+# Fixed permutation constants, derived once from the Knuth multiplier so
+# every engine (Spark expr, DuckDB VALUES, Python replay) sees the same
+# literals. a_i odd and < 2^30 ⇒ a_i·h < 2^62 — no int64 overflow.
+_MH_A = [(((2 * i + 1) * 2654435761) % (1 << 30)) | 1 for i in range(_MH_N)]
+_MH_B = [(i * 40503 + 12345) % _MH_P for i in range(_MH_N)]
+assert len(set(_MH_A)) == _MH_N
+
+_MH_SEED_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
 
 
-def _md5_hi60(c):
-    """HIGH 60 bits of md5 (first 15 hex chars) as a non-negative BIGINT —
-    byte-identical in DuckDB via CAST(concat('0x', substr(md5(s),1,15)) AS
-    BIGINT) and in Python via int(hexdigest()[:15], 16)."""
-    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast(
+def _md5_hi32(c):
+    """HIGH 32 bits of md5 (first 8 hex chars) as a non-negative BIGINT —
+    byte-identical in DuckDB via CAST(concat('0x', substr(md5(s),1,8)) AS
+    BIGINT) and in Python via int(hexdigest()[:8], 16)."""
+    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 8), 16, 10).cast(
         "long"
     )
 
@@ -503,21 +518,24 @@ def _mh_sig_table(d: DataFrame) -> DataFrame:
     """(doc_id, chash, mh0..mh31) portable signature table for a documents
     subset. All 32 minhashes in ONE aggregation pass (32 parallel min-agg
     columns over the in-row shingle explode — the one-pass shape
-    q_dedup_minhash established); shingle strings never shuffle, only the
-    doc-grain partial mins do. ONE text scan (plan-pinned): chash rides the
-    same projection and explode_outer keeps shingle-less docs as a single
-    NULL-shingle row, whose seeded concat/md5/min all stay NULL — the
-    doc keeps a NULL signature and still dedups exactly by chash."""
+    q_dedup_minhash established); each shingle is md5-digested ONCE and the
+    32 permutation values are int64 multiply-add-mods of that digest, so
+    signature cost is 1 digest + 32 ALU ops per shingle. Shingle strings
+    never shuffle, only the doc-grain partial mins do. ONE text scan
+    (plan-pinned): chash rides the same projection and explode_outer keeps
+    shingle-less docs as a single NULL-shingle row, whose digest/permute/min
+    all stay NULL — the doc keeps a NULL signature and still dedups exactly
+    by chash."""
     sh = d.select(
         "doc_id",
         F.md5(F.encode("text", "UTF-8")).alias("chash"),
         F.explode_outer(_shingle_array()).alias("shingle"),
     )
+    h = _md5_hi32(F.col("shingle"))
+    sh = sh.select("doc_id", "chash", h.alias("h"))
     return sh.groupBy("doc_id", "chash").agg(
         *[
-            F.min(_md5_hi60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
-                f"mh{i}"
-            )
+            F.min((_MH_A[i] * F.col("h") + _MH_B[i]) % _MH_P).alias(f"mh{i}")
             for i in range(_MH_N)
         ]
     )
@@ -678,12 +696,15 @@ def _mh_index_versions(
 # grade against the SAME sketch definition Spark persists. sig's ep/chash
 # columns serve the incremental op; consumers that don't need them ignore
 # them.
-_MH_SIG_CTES = """mh AS (
-  SELECT doc_id, s.i AS seed,
-         MIN(CAST(concat('0x',
-               substr(md5(CAST(s.i AS VARCHAR) || ':' || shingle), 1, 15))
-             AS BIGINT)) AS v
-  FROM shd, range(32) s(i)
+_MH_SIG_CTES = f"""seeds(i, a, b) AS (VALUES {_MH_SEED_VALUES}),
+shh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM shd
+),
+mh AS (
+  SELECT doc_id, s.i AS seed, MIN((s.a * h + s.b) % {_MH_P}) AS v
+  FROM shh, seeds s
   GROUP BY doc_id, s.i
 ),
 sig AS (
@@ -775,10 +796,12 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature columns — index×batch never materializes, and the verify step
     is signature arithmetic (32 integer compares in-row), NOT a text re-read:
     at 100 TB the refresh touches O(batch) text + O(index) signature bytes.
-    Minhashes are md5-seeded (high 60 bits of md5('<i>:'||shingle)), so the
-    returned index — including a sig_check digest over the persisted
-    signature values themselves — is byte-replayable in DuckDB: a FULL hash
-    oracle over the sketch content, not just over admission decisions."""
+    Minhashes are linear permutations (a_i·h + b_i) mod p of ONE md5 digest
+    per shingle (h = high 32 bits of md5(shingle) — the Broder
+    construction), so the returned index — including a sig_check digest
+    over the persisted signature values themselves — is byte-replayable in
+    DuckDB: a FULL hash oracle over the sketch content, not just over
+    admission decisions."""
     v2 = _mh_index_versions(spark, sf_dir)[2]
     idx = spark.read.parquet(v2)
     return idx.select(

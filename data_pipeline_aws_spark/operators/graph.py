@@ -390,18 +390,34 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     join so one celebrity node cannot go quadratic."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
     o = table(spark, sf_dir, "orders")
+    # Parity-coded int64 node ids (customer 2k, supplier 2k+1) ride the
+    # wedge join and aggregates — the ~Σdeg² wedge stream shuffles 8-byte
+    # keys, not per-row strings; labels are reconstructed on the final
+    # rows only. Internal pair orientation uses int order (any total
+    # order dedups wedges), while the OUTPUT orients each pair by
+    # least/greatest label — Jaccard/common are symmetric, so the emitted
+    # rows match the oracle's string-ordered pairs exactly.
     e0 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), "o_custkey").alias("src"),
-            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the q_pagerank edge-list rule: three consumers (degrees + both wedge
+    # sides) read the undirected edges from executor storage — without the
+    # checkpoint the wedge join re-runs the lineitem⋈orders+distinct build
+    # per side (measured 2x the whole query's cost at sf0.1)
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    label = lambda c: F.when(  # noqa: E731
+        c % 2 == 0, F.concat(F.lit("c"), (c / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((c - 1) / 2).cast("long")))
     a, b = e.alias("a"), e.alias("b")
     common = (
         a.join(
@@ -409,15 +425,20 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.dst") == F.col("b.dst"))
             & (F.col("a.src") < F.col("b.src")),
         )
-        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .groupBy(F.col("a.src").alias("ui"), F.col("b.src").alias("vi"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     jac = F.col("n_common") * 1.0 / (F.col("du.deg") + F.col("dv.deg") - F.col("n_common"))
     return (
-        common.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
-        .select("u", "v", "n_common", jac.alias("jaccard"))
+        common.join(du, F.col("ui") == F.col("du.node"))
+        .join(dv, F.col("vi") == F.col("dv.node"))
+        .select(
+            F.least(label(F.col("ui")), label(F.col("vi"))).alias("u"),
+            F.greatest(label(F.col("ui")), label(F.col("vi"))).alias("v"),
+            "n_common",
+            jac.alias("jaccard"),
+        )
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(20)
     )

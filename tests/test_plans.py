@@ -1031,3 +1031,7 @@ def test_link_predict_heap_topk_wedge_join_no_cross(plans):
     assert "TakeOrderedAndProject" in final, final
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
+    # edge list is checkpointed: degrees and both wedge sides read
+    # executor storage, never re-running the lineitem join per consumer
+    assert "Scan ExistingRDD" in final, final
+    assert final.count("FileScan parquet") == 0, final

@@ -1123,10 +1123,11 @@ def test_mh_incremental_index_matches_python_replay(spark, sf_dir):
         sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
         if not sh:
             return None
+        from data_pipeline_aws_spark.operators.dedup import _MH_A, _MH_B, _MH_P
+
+        hs = [int(md5(s.encode()).hexdigest()[:8], 16) for s in sh]
         return [
-            min(
-                int(md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) for s in sh
-            )
+            min((_MH_A[i] * h + _MH_B[i]) % _MH_P for h in hs)
             for i in range(32)
         ]
 
@@ -1408,11 +1409,17 @@ def test_dedup_eval_confusion_row_matches_python_replay(spark, sf_dir):
         }
         shingle_sets[r.doc_id] = ss
         if ss:
+            from data_pipeline_aws_spark.operators.dedup import (
+                _MH_A,
+                _MH_B,
+                _MH_P,
+            )
+
+            hs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in ss
+            ]
             sigs[r.doc_id] = [
-                min(
-                    int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
-                    for s in ss
-                )
+                min((_MH_A[i] * h + _MH_B[i]) % _MH_P for h in hs)
                 for i in range(32)
             ]
     # band collisions (16 bands x 2 rows)
