@@ -1722,6 +1722,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KN_D = 0.75  # absolute discount (the standard Kneser-Ney setting)
 
 
+def kn_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (lang, w1, w2, c) bigram type-count relation q_kn_bigram
+    checkpoints — exposed so the plan test can pin its shuffle contract
+    (map-side partial combine below the exchange; the wire carries
+    vocab-bounded type counts, never the occurrence stream)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", F.split("text", " ").alias("t"))
+    bg = _adjacent_pairs(t, "t").selectExpr("lang", "lhs as w1", "rhs as w2")
+    return bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+
+
 @query(
     "q_kn_bigram",
     oracle=f"""
@@ -1759,18 +1770,24 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical rails to q_bigram_lm — map-side bigram build
     (slice+arrays_zip, no position window), partial-combine count
     aggregation so the wire carries vocab-bounded (lang, w1, w2) type
-    counts, never the occurrence stream. ALL four KN statistics (c1 and
-    N1+ forward/backward/total) are windows over that bounded
-    bigram-type table: three small exchanges of type counts, zero
-    corpus re-shuffles, no second corpus pass (the add-one model needs
-    a separate vocab scan; continuation counts come free from the type
-    table). Per-term arithmetic is identical double expressions in both
-    engines; the summation-order ulp risk rides under ROUND(.,4) as
-    everywhere."""
-    d = table(spark, sf_dir, "documents")
-    t = d.select("lang", F.split("text", " ").alias("t"))
-    bg = _adjacent_pairs(t, "t").selectExpr("lang", "lhs as w1", "rhs as w2")
-    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    counts, never the occurrence stream. c1 and N1+ forward/backward are
+    windows over FINE (lang, w1)/(lang, w2) partitions of that bounded
+    type table (bounded fan-in per key); N1+(·,·) is deliberately NOT a
+    PARTITION BY lang window — that would funnel every bigram type of a
+    language through one task — but a |langs|-row aggregate broadcast
+    back (plan-pinned). Zero corpus re-shuffles, no second corpus pass
+    (the add-one model needs a separate vocab scan; continuation counts
+    come free from the type table). Per-term arithmetic is identical
+    double expressions in both engines; the summation-order ulp risk
+    rides under ROUND(.,4) as everywhere."""
+    # the type table feeds two consumers (the window chain + the N1all
+    # aggregate): checkpoint it so the corpus explode runs exactly once
+    c12 = kn_type_counts(spark, sf_dir).localCheckpoint()
+    # c1/N1+fw/N1+bw are windows over FINE partitions ((lang,w1)/(lang,w2)
+    # — bounded fan-in); N1+(·,·) must NOT be a PARTITION BY lang window
+    # (that funnels every bigram type of a language through one task at
+    # scale) — it's a |langs|-row aggregate broadcast back instead.
+    n1 = c12.groupBy("lang").agg(F.count(F.lit(1)).alias("n1all"))
     stats = (
         c12.withColumn("c1", F.sum("c").over(Window.partitionBy("lang", "w1")))
         .withColumn(
@@ -1779,7 +1796,7 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n1bw", F.count(F.lit(1)).over(Window.partitionBy("lang", "w2"))
         )
-        .withColumn("n1all", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .join(F.broadcast(n1), "lang")
     )
     p_kn = F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("c1") + (
         _KN_D * F.col("n1fw") / F.col("c1")

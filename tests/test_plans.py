@@ -981,21 +981,36 @@ def test_dedup_eval_banded_candidates_checkpointed_sig(plans):
     assert final.count("FileScan parquet") == 0, final
 
 
-def test_kn_bigram_partial_agg_windows_on_type_table(plans):
+def test_kn_bigram_partial_agg_windows_on_type_table(plans, spark, sf_dir):
     """q_kn_bigram must keep q_bigram_lm's shuffle contract: bigram
     occurrences partial-combine BELOW the exchange (the wire carries
     vocab-bounded type counts, never the occurrence stream), and every
     KN statistic is a Window over that bounded type table — no second
     corpus scan (the add-one model's separate vocab pass is exactly
     what continuation counts make unnecessary)."""
+    # shuffle contract pinned on the type-count builder itself (the fused
+    # plan reads its checkpoint): partial combine BELOW the exchange, one
+    # corpus scan
+    from data_pipeline_aws_spark.functions.text import kn_type_counts
+
+    cp = _executed_plan(kn_type_counts(spark, sf_dir)).split(
+        "== Initial Plan =="
+    )[0]
+    assert "partial_count" in cp, cp
+    assert "partial_count" in cp[cp.index("Exchange"):], cp
+    assert cp.count("FileScan parquet") == 1, cp
+    # fused plan: the checkpointed type table is the ONLY input (no corpus
+    # re-scan for N1all); c1 and N1fw share one Window operator (same
+    # partition spec), N1bw gets the second; N1+(.,.) must be the broadcast
+    # |langs|-row aggregate, never a PARTITION BY lang window (which would
+    # be a 3rd Window)
     p = plans("q_kn_bigram")
     final = p.split("== Initial Plan ==")[0]
-    assert "partial_count" in final, final
-    first_exchange = final.index("Exchange")
-    assert "partial_count" in final[first_exchange:], final
-    assert final.count("FileScan parquet") == 1, final
-    assert final.count("Window") >= 3, final
-    assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final, final
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert final.count("Window") == 2, final
+    assert final.count("BroadcastHashJoin") >= 1, final
+    assert "SortMergeJoin" not in final, final
 
 
 def test_k_anonymity_two_stacked_aggs_no_joins(plans):
