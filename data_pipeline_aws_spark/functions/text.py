@@ -1879,3 +1879,147 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_lang"),
     )
+
+
+@query(
+    "q_readability",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)             AS n_words,
+       CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables,
+       CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                                                                 AS n_sentences,
+       ROUND(206.835
+             - 1.015 * (len(string_split(text, ' ')) * 1.0
+                        / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (len(regexp_extract_all(text, '[aeiouy]+')) * 1.0
+                       / len(string_split(text, ' '))), 6)       AS flesch_ease,
+       ROUND(0.39 * (len(string_split(text, ' ')) * 1.0
+                     / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+             + 11.8 * (len(regexp_extract_all(text, '[aeiouy]+')) * 1.0
+                       / len(string_split(text, ' ')))
+             - 15.59, 6)                                         AS fk_grade
+FROM documents
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, with the
+    standard vowel-group syllable heuristic (a maximal [aeiouy]+ run ≈ one
+    syllable — the classic approximation when no pronunciation lexicon is
+    in play; exact on this ASCII corpus, and the sentence count clamps to
+    ≥1 so unpunctuated docs score as one long sentence).
+
+    Readability is a stock quality gate in LLM data curation (alongside
+    stopword ratio / repetition / perplexity): extreme grade levels in
+    either direction flag boilerplate and gibberish.
+
+    Scale shape: pure map — three in-row regexp/split counts per document
+    and fixed arithmetic, no explode, no shuffle, whole-stage codegen end
+    to end. The determinism contract is the house one: integer counts are
+    exact in both engines, the score is one fixed float expression over
+    them, rounded at 6."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_syll = F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+    n_sent = F.greatest(F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1))
+    wps = n_words * 1.0 / n_sent
+    spw = n_syll * 1.0 / n_words
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )
+
+
+@query(
+    "q_source_divergence",
+    oracle="""
+WITH g AS (
+  SELECT source, substr(text, CAST(i AS INT), 3) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)
+  WHERE length(text) >= 3
+),
+sg AS (SELECT source, gram, COUNT(*) AS c FROM g GROUP BY source, gram),
+gt AS (SELECT gram, SUM(c) AS n_g FROM sg GROUP BY gram),
+st AS (SELECT source, SUM(c) AS t_s FROM sg GROUP BY source),
+tt AS (SELECT SUM(c) AS t FROM sg),
+terms AS (
+  SELECT st.source, st.t_s,
+         COALESCE(sg.c, 0)                              AS c,
+         COALESCE(sg.c, 0) * 1.0 / st.t_s               AS p,
+         (gt.n_g - COALESCE(sg.c, 0)) * 1.0 / (tt.t - st.t_s) AS q
+  FROM st CROSS JOIN gt
+  LEFT JOIN sg ON sg.source = st.source AND sg.gram = gt.gram
+  CROSS JOIN tt
+)
+SELECT source,
+       CAST(t_s AS BIGINT)                                   AS n_chargrams,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+       ROUND(SUM(
+           0.5 * CASE WHEN c > 0 THEN (c * 1.0 / t_s) * LOG2(p / ((p + q) / 2))
+                 ELSE 0 END
+         + 0.5 * CASE WHEN q > 0 THEN q * LOG2(q / ((p + q) / 2)) ELSE 0 END
+       ), 4)                                                  AS jsd_bits
+FROM terms
+GROUP BY source, t_s
+""",
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit: Jensen-Shannon divergence (bits) between each
+    source's character-3-gram distribution and the REST of the corpus —
+    the standard cheap detector for a crawl slice that drifted (new
+    boilerplate, new language mix, encoding rot) before it contaminates a
+    training mix. JSD is symmetric and bounded [0,1], so one number per
+    source is comparable across rounds and sources.
+
+    Scale shape: chargram explode is map-side (in-row transform over a
+    BOUNDED index sequence); per-(source,gram) counts partial-aggregate
+    below one exchange. The JSD grid is |sources| x |distinct grams| —
+    and the char-3-gram domain is bounded by charset^3, NOT corpus size,
+    so the grid (broadcast of the few-row per-source totals against the
+    gram table) stays fixed-size at 100 TB. Zeros matter on both sides of
+    the divergence (a gram the source never emits still contributes via
+    the rest-distribution term), hence the full grid rather than the
+    inner join. Summed-libm determinism rides under ROUND(.,4) as
+    everywhere."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    grams = d.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("gram"),
+    )
+    sg = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gt = sg.groupBy("gram").agg(F.sum("c").alias("n_g"))
+    st = sg.groupBy("source").agg(F.sum("c").alias("t_s"))
+    tt = sg.agg(F.sum("c").alias("t"))
+    grid = (
+        F.broadcast(st.crossJoin(tt))
+        .crossJoin(gt)
+        .join(sg, ["source", "gram"], "left")
+        .select(
+            "source",
+            "t_s",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            (F.coalesce("c", F.lit(0)) * 1.0 / F.col("t_s")).alias("p"),
+            ((F.col("n_g") - F.coalesce("c", F.lit(0))) * 1.0 / (F.col("t") - F.col("t_s"))).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = 0.5 * F.when(
+        F.col("c") > 0, (F.col("c") * 1.0 / F.col("t_s")) * F.log2(F.col("p") / m)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)
+    ).otherwise(0.0)
+    return grid.groupBy("source", "t_s").agg(
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("bigint").alias("n_distinct"),
+        F.round(F.sum(contrib), 4).alias("jsd_bits"),
+    ).select(
+        "source",
+        F.col("t_s").cast("bigint").alias("n_chargrams"),
+        "n_distinct",
+        "jsd_bits",
+    )

@@ -1794,3 +1794,85 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             tca * 1.0 / F.nullif(tca + F.col("n_false_accepted"), F.lit(0)), 6
         ).alias("precision"),
     )
+
+
+ONION_WIDTH = 5  # span grams: wider than the 3-token Jaccard shingles, so
+ONION_DUP_FRACTION = 0.5  # only real cross-doc span reuse trips the gate
+
+
+@query(
+    "q_dedup_onion",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                 AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w || ' ' || LEAD(token, 4) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+occ AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+nd AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM occ GROUP BY gram)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT)                                       AS n_grams,
+       CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_fraction,
+       SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+           < {ONION_DUP_FRACTION}                                      AS keep
+FROM occ o JOIN nd USING (gram)
+GROUP BY o.doc_id
+""",
+)
+def q_dedup_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONION-style per-document duplicated-span scoring: the fraction of a
+    doc's 5-token-gram OCCURRENCES whose gram appears in >= 2 distinct
+    documents, gating docs past ONION_DUP_FRACTION. Unlike the pairwise
+    rungs above (which link SIMILAR doc pairs), onion scores each doc
+    against the WHOLE corpus — the production gate for boilerplate and
+    template farms where no single pair is near-identical but every
+    paragraph is recycled somewhere (Pomikalek's onion, the dedup used for
+    several public LM corpora).
+
+    Scale shape: gram occurrences are built in-row (zip_with over the
+    token array and its shift slices — the shingles() argument, zero
+    shuffles to generate); the corpus-wide gram->doc-count table groups on
+    the 8-byte xxhash64 fingerprint, never the raw 5-token string (the
+    shingle_fingerprints trade: join/shuffle currency stays fixed-width
+    however wide the gram); the occurrence->status join is gram-keyed
+    (inverted-index shape, O(tokens) not O(docs^2)); the per-doc rollup is
+    one partial-aggregated exchange. Three shuffles total, all on bounded-
+    width keys, nothing driver-side — the 100 TB shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - F.lit(ONION_WIDTH - 1), F.lit(0))
+    arr = F.slice(toks, 1, n)
+    for k in range(2, ONION_WIDTH + 1):
+        arr = F.zip_with(arr, F.slice(toks, k, n), lambda a, b: F.concat_ws(" ", a, b))
+    occ = d.select("doc_id", F.explode(arr).alias("gram")).select(
+        "doc_id", F.xxhash64("gram").alias("h")
+    )
+    nd = (
+        occ.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per = (
+        occ.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+    )
+    dup_frac = F.col("n_dup_grams") * 1.0 / F.col("n_grams")
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        dup_frac.alias("dup_fraction"),
+        (dup_frac < ONION_DUP_FRACTION).alias("keep"),
+    )

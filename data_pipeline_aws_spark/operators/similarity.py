@@ -1298,3 +1298,187 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_results"),
         (F.count("nid") >= 2).alias("recall_ok"),
     )
+
+
+MMR_POOL = 20  # relevance candidates re-ranked per query
+MMR_K = 5  # final diversified picks per query
+# MMR trade-off: score = LAMBDA*relevance - (1-LAMBDA)*max-sim-to-selected.
+# Both factors appear as the literals 0.7 / 0.3 in the Spark expression AND
+# the generated oracle so the float arithmetic is the same on both engines.
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled greedy-MMR oracle: step t picks the argmax of
+    ROUND(0.7*rel - 0.3*max_sim_to_selected, 6) (score-desc, id-asc
+    tiebreak on ROUNDED values — the q_sim_topk determinism contract) over
+    the not-yet-selected pool. A loop has no SQL twin, but a FIXED k does:
+    one CTE pair per step, each referencing the previous selected set."""
+    steps = []
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f"""
+cand{t} AS (
+  SELECT p.query_id, p.cid, p.rel,
+         ROUND(0.7 * p.rel - 0.3 * MAX(s.s), 6) AS mmr_score
+  FROM pool p
+  LEFT JOIN {prev} x ON x.query_id = p.query_id AND x.cid = p.cid
+  JOIN sim s ON s.query_id = p.query_id AND s.c1 = p.cid
+  JOIN {prev} y ON y.query_id = s.query_id AND y.cid = s.c2
+  WHERE x.cid IS NULL
+  GROUP BY p.query_id, p.cid, p.rel
+),
+sel{t} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, cid, rel, mmr_score, {t} AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_score DESC, cid) AS rn2
+    FROM cand{t}
+  ) WHERE rn2 = 1
+)""")
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+pool0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS rel
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+    FROM pool0
+  ) WHERE rn <= {MMR_POOL}
+),
+sim AS (
+  SELECT a.query_id, a.cid AS c1, b.cid AS c2,
+         ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS s
+  FROM pool a
+  JOIN pool b ON a.query_id = b.query_id AND a.cid <> b.cid
+  JOIN n na ON na.vec_id = a.cid
+  JOIN n nb ON nb.vec_id = b.cid
+),
+sel1 AS (
+  SELECT query_id, cid, rel, rel AS mmr_score, 1 AS rank
+  FROM pool WHERE rn = 1
+),{",".join(steps)}
+SELECT query_id, rank, cid AS neighbor_id, rel AS relevance, mmr_score
+FROM sel{k}
+"""
+
+
+@query("q_mmr_diversify", oracle=_mmr_oracle(MMR_K))
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: for each query, greedily pick 5
+    of its 20 most-relevant candidates, each step maximizing
+    0.7*relevance - 0.3*(max cosine to the already-picked set) — the
+    classic Carbonell-Goldstein diversifier every retrieval stack bolts
+    onto ANN top-k so near-duplicate neighbors don't crowd out coverage
+    (and, in a training-data pipeline, the batch-selection step that keeps
+    a sampled batch from being 5 copies of the same document).
+
+    The greedy loop is unrolled k=5 times as pure DataFrame ops — the
+    EXACT structure of the generated oracle CTE chain, so this is a full
+    hash-verified key, not a bound verdict: each step left-anti-excludes
+    the picked set, joins the bounded pairwise-sim relation to it for the
+    max-sim penalty, and row_number-picks the (rounded-score, id) argmax.
+
+    Scale shape: candidate generation is the existing brute/ANN machinery
+    (one broadcast of the query batch, corpus never shuffled); everything
+    after is per-query BOUNDED — pool 20 rows, sim 20x19 rows, k=5 join
+    rounds all keyed on query_id — so a million-query batch distributes as
+    a million independent 20-row problems with no cross-query exchange.
+    The pool/sim relations are localCheckpoint'ed once: five rounds re-read
+    the materialized 20-row-per-query tables, not five recomputes of the
+    candidate cross join (the q_dedup_clusters iterative pattern)."""
+    n = _normed(spark, sf_dir)
+    q = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cid"))
+        .select(
+            "query_id",
+            "cid",
+            "ce",
+            "cn",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sim = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cid").alias("c1"),
+            F.col("b.cid").alias("c2"),
+            F.round(
+                _dot(F.col("a.ce"), F.col("b.ce"))
+                / (F.col("a.cn") * F.col("b.cn")),
+                6,
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = pool.where(F.col("rn") == 1).select(
+        "query_id",
+        "cid",
+        "rel",
+        F.col("rel").alias("mmr_score"),
+        F.lit(1).alias("rank"),
+    )
+    for t in range(2, MMR_K + 1):
+        remaining = pool.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+        maxsim = (
+            sim.join(
+                F.broadcast(sel.select("query_id", F.col("cid").alias("c2"))),
+                ["query_id", "c2"],
+            )
+            .groupBy("query_id", "c1")
+            .agg(F.max("s").alias("ms"))
+        )
+        cand = remaining.join(
+            maxsim,
+            (remaining["query_id"] == maxsim["query_id"]) & (remaining["cid"] == maxsim["c1"]),
+        ).select(
+            remaining["query_id"],
+            "cid",
+            "rel",
+            F.round(0.7 * F.col("rel") - 0.3 * F.col("ms"), 6).alias("mmr_score"),
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("cid"))
+        pick = (
+            cand.withColumn("rn2", F.row_number().over(w2))
+            .where(F.col("rn2") == 1)
+            .select("query_id", "cid", "rel", "mmr_score", F.lit(t).alias("rank"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id",
+        "rank",
+        F.col("cid").alias("neighbor_id"),
+        F.col("rel").alias("relevance"),
+        "mmr_score",
+    )
