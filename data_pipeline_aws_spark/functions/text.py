@@ -1992,7 +1992,15 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
         ).alias("gram"),
     )
-    sg = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # sg feeds FOUR consumers (gt/st/tt/grid): checkpoint it so the corpus
+    # gram explode runs exactly once and the fused plan reads only the
+    # bounded |sources| x charset^3 type table — the "corpus scanned ONCE"
+    # contract in the docstring, now literal in the plan (plan-pinned).
+    sg = (
+        grams.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     gt = sg.groupBy("gram").agg(F.sum("c").alias("n_g"))
     st = sg.groupBy("source").agg(F.sum("c").alias("t_s"))
     tt = sg.agg(F.sum("c").alias("t"))

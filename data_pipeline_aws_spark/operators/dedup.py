@@ -1845,7 +1845,18 @@ def q_dedup_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
     however wide the gram); the occurrence->status join is gram-keyed
     (inverted-index shape, O(tokens) not O(docs^2)); the per-doc rollup is
     one partial-aggregated exchange. Three shuffles total, all on bounded-
-    width keys, nothing driver-side — the 100 TB shape."""
+    width keys, nothing driver-side — the 100 TB shape.
+
+    Accepted oracle asymmetry (same trade as shingle_fingerprints): Spark
+    groups gram doc-counts on the 64-bit xxhash64 FINGERPRINT while the
+    oracle groups on the raw 5-token gram STRING, so a 64-bit collision
+    between two distinct grams would merge their doc-counts on the Spark
+    side only. At 100 TB (~10^12 grams) birthday-bound collisions are
+    ~3%-of-one-gram-pair territory per 10^6 grams squared — negligible for
+    a 0.5-threshold gate, and the fingerprint is what makes the shuffle
+    currency fixed-width; a property test pins hash-vs-string agreement on
+    the test corpus (tests/test_properties.py::test_onion_fingerprint_
+    grouping_matches_string_grouping)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.greatest(F.size(toks) - F.lit(ONION_WIDTH - 1), F.lit(0))

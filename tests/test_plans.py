@@ -1050,3 +1050,58 @@ def test_link_predict_heap_topk_wedge_join_no_cross(plans):
     # executor storage, never re-running the lineitem join per consumer
     assert "Scan ExistingRDD" in final, final
     assert final.count("FileScan parquet") == 0, final
+
+
+def test_readability_is_map_only(plans):
+    """q_readability is a pure map: three in-row regexp/split counts plus
+    fixed arithmetic — no shuffle, no explode, no Python stage, and the
+    scan reads only (doc_id, text)."""
+    p = plans("q_readability")
+    final = p.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+    assert "Generate" not in final, final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
+    assert final.count("FileScan parquet") == 1, final
+    assert "struct<doc_id:bigint,text:string>" in final, final
+
+
+def test_onion_three_bounded_shuffles_no_window(plans):
+    """q_dedup_onion's grams build in-row (zip_with over token-array
+    shifts — no posexplode+Window lead), every shuffle key is the 8-byte
+    xxhash64 fingerprint or doc_id (never the raw gram string), and the
+    whole job is exactly three shuffles: occurrence distinct, gram
+    doc-count agg, per-doc rollup."""
+    p = plans("q_dedup_onion")
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
+    assert "CartesianProduct" not in final, final
+    n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
+    assert n_shuffles == 3, final
+    # the shuffled gram identity is the fingerprint, not the string
+    assert "xxhash64(gram" in final, final
+
+
+def test_source_divergence_corpus_scanned_once(plans):
+    """q_source_divergence's (source, gram) type table is checkpointed:
+    the corpus gram explode runs exactly once (inside the checkpoint
+    build), and the fused JSD plan reads ONLY the bounded
+    |sources| x charset^3 executor-storage table — zero parquet re-scans
+    however many distribution branches (gt/st/tt/grid) consume it."""
+    p = plans("q_source_divergence")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_mmr_rounds_read_checkpointed_pool_no_rescan(plans):
+    """q_mmr_diversify's five greedy rounds must re-read the
+    localCheckpoint'ed 20-row-per-query pool/sim tables (Scan
+    ExistingRDD), never re-run the candidate generation: the fused plan
+    touches no parquet, and there is no cross-query cartesian anywhere —
+    per-query work stays bounded at pool=20/sim=380 rows."""
+    p = plans("q_mmr_diversify")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "CartesianProduct" not in final, final

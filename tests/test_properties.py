@@ -1615,3 +1615,157 @@ def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
     for r in out:
         got[r.predicted] += r.n_docs
     assert got == pred
+
+
+def test_onion_fingerprint_grouping_matches_string_grouping(spark, sf_dir):
+    """q_dedup_onion groups corpus gram doc-counts on the 64-bit xxhash64
+    FINGERPRINT while its oracle groups on the raw 5-token gram STRING —
+    an accepted asymmetry (fixed-width shuffle currency). This replay
+    recomputes every per-doc count from raw gram strings in Python and
+    requires exact agreement, so a fingerprint collision (or a drift in
+    the in-row zip_with gram builder) cannot pass silently."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gram_docs: dict[str, set] = defaultdict(set)
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        per_doc[doc_id] = Counter(grams)
+        for g in set(grams):
+            gram_docs[g].add(doc_id)
+    out = all_queries()["q_dedup_onion"](spark, sf_dir).collect()
+    assert len(out) == sum(1 for c in per_doc.values() if c)
+    for r in out:
+        c = per_doc[r.doc_id]
+        n_grams = sum(c.values())
+        n_dup = sum(k for g, k in c.items() if len(gram_docs[g]) >= 2)
+        assert (r.n_grams, r.n_dup_grams) == (n_grams, n_dup), r
+        assert r.keep == (n_dup / n_grams < 0.5), r
+
+
+def test_readability_matches_python_replay(spark, sf_dir):
+    """Word / vowel-group-syllable / sentence counts and both Flesch
+    scores must equal a direct Python re-implementation on every doc."""
+    import re
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        w = len(text.split(" "))
+        sy = len(re.findall(r"[aeiouy]+", text))
+        se = max(len(re.findall(r"[.!?]+", text)), 1)
+        ref[doc_id] = (w, sy, se, 206.835 - 1.015 * w / se - 84.6 * sy / w,
+                       0.39 * w / se + 11.8 * sy / w - 15.59)
+    out = all_queries()["q_readability"](spark, sf_dir).collect()
+    assert len(out) == len(ref)
+    for r in out:
+        w, sy, se, ease, grade = ref[r.doc_id]
+        assert (r.n_words, r.n_syllables, r.n_sentences) == (w, sy, se), r
+        assert abs(r.flesch_ease - ease) < 1e-5, (r, ease)
+        assert abs(r.fk_grade - grade) < 1e-5, (r, grade)
+
+
+def test_source_divergence_matches_python_replay(spark, sf_dir):
+    """Per-source char-3-gram totals, distinct counts, and the JSD itself
+    must match a Counter-based Python replay (gram domain = sliding
+    3-char substrings of every doc with len >= 3)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per_src: dict[str, Counter] = {}
+    for src, text in zip(docs.source, docs.text):
+        if len(text) >= 3:
+            per_src.setdefault(src, Counter()).update(
+                text[i : i + 3] for i in range(len(text) - 2)
+            )
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    t = sum(total.values())
+    out = all_queries()["q_source_divergence"](spark, sf_dir).collect()
+    assert {r.source for r in out} == set(per_src)
+    for r in out:
+        c = per_src[r.source]
+        t_s = sum(c.values())
+        assert r.n_chargrams == t_s, r
+        assert r.n_distinct == len(c), r
+        jsd = 0.0
+        for g, n_g in total.items():
+            cg = c.get(g, 0)
+            p = cg / t_s
+            q = (n_g - cg) / (t - t_s)
+            m = (p + q) / 2
+            if cg > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log2(q / m)
+        assert abs(r.jsd_bits - jsd) < 2e-4, (r, jsd)
+
+
+def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
+    """The unrolled k=5 MMR chain must pick exactly the candidates a
+    straightforward numpy greedy loop picks — same pool (top-20 by
+    rounded cosine, id-asc ties), same 0.7/0.3 trade-off, same
+    (rounded score desc, id asc) argmax each round."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        N_QUERIES,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb.vec_id.to_numpy()
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    E = E / np.sqrt((E * E).sum(axis=1, keepdims=True))
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def r6(x: float) -> float:  # Spark ROUND = half-up (away from zero)
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    import math
+
+    expect = {}
+    for qid in sorted(v for v in ids if v < N_QUERIES):
+        rel = {int(c): r6(float(E[idx[qid]] @ E[idx[c]])) for c in ids if c != qid}
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_POOL]
+        sim = {
+            (a, b): r6(float(E[idx[a]] @ E[idx[b]]))
+            for a in pool
+            for b in pool
+            if a != b
+        }
+        sel = [pool[0]]
+        scores = [rel[pool[0]]]
+        for _ in range(2, MMR_K + 1):
+            cand = [c for c in pool if c not in sel]
+            sc = {c: r6(0.7 * rel[c] - 0.3 * max(sim[(c, s)] for s in sel)) for c in cand}
+            pick = min(cand, key=lambda c: (-sc[c], c))
+            sel.append(pick)
+            scores.append(sc[pick])
+        expect[qid] = (sel, scores)
+
+    out = all_queries()["q_mmr_diversify"](spark, sf_dir).collect()
+    assert len(out) == len(expect) * MMR_K
+    for r in out:
+        sel, scores = expect[r.query_id]
+        assert r.neighbor_id == sel[r.rank - 1], (r, sel)
+        assert abs(r.mmr_score - scores[r.rank - 1]) < 1e-9, (r, scores)
