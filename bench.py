@@ -76,6 +76,29 @@ def _loadavg_1min() -> float:
         return -1.0
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-thread CPU anchor (min-of-3 seconds for a deterministic
+    numpy workload). Round-7 finding: the host's *speed itself* varies
+    across rounds (~1.5× measured between the r6 and r7 sessions at equal
+    loadavg), so cross-round per-query comparisons must normalize by this
+    anchor, not just check the loadavg stamps. Ratio of two artifacts'
+    calib_sec ≈ host-speed factor between them."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((512, 512))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        for _ in range(8):
+            b = b @ a
+            b /= np.abs(b).max()
+        float(b.sum())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _clear_sink_caches(sf_dir: str) -> None:
     """Remove ONLY this sf_dir's sink caches. The cache dirs are named
     ``dpas_{kind}_{tag}_{version}`` (caches.versioned_cache_dir /
@@ -103,11 +126,26 @@ def main() -> None:
         sf = -1.0
 
     # Quiet-host guard: co-tenant load inflates totals ~17% (measured round
-    # 4), so every artifact carries a start/end loadavg stamp and a
-    # host_contended flag instead of silently recording hot-host numbers.
-    # Set SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 to refuse to record instead.
+    # 4) and confounded every round-6 cross-round signal (start loadavg
+    # 4.62), so a contended start now WAITS for the host to go quiet
+    # (default up to 10 min, 30 s re-samples) before recording — the
+    # artifact is the round's perf evidence and a hot-host number is worse
+    # than a late one. Every artifact still carries start/end loadavg and
+    # a host_contended flag. SPARK_GRAFT_BENCH_QUIET_WAIT=0 skips the wait;
+    # SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 hard-refuses instead of stamping.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    wait_left = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
     load_start = _loadavg_1min()
+    while load_start > max_load and wait_left > 0:
+        print(
+            f"host busy (1-min loadavg {load_start} > {max_load}); "
+            f"waiting up to {wait_left:.0f}s for quiet",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+        wait_left -= 30
+        load_start = _loadavg_1min()
     if load_start > max_load and os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET") == "1":
         print(
             f"host busy (1-min loadavg {load_start} > {max_load}); refusing to record",
@@ -200,6 +238,7 @@ def main() -> None:
         # artifacts at this fixed workload instead).
         "loadavg_1min": {"start": load_start, "peak": load_peak, "end": load_end},
         "host_contended": load_start > max_load or load_end > max_load,
+        "calib_sec": _cpu_calibration(),
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
         "sink_cache_keys": [n for n in SINK_CACHE_KEYS if n in timings],
     }
