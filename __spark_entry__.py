@@ -55,8 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queue tail (q_sim_pq_search + the eight late-round-6 keys) plus the
 # four final-snapshot keys (q_dedup_onion, q_mmr_diversify,
 # q_readability, q_source_divergence). Grading them lifts cumulative
-# driver coverage to 274/274. Any round-7 additions follow immediately
-# so they get a driver hash row in the same round they ship. Everything
+# driver coverage to 274 of the 274 pre-round-7 keys. The four round-7
+# additions follow immediately so they get a driver hash row in the same
+# round they ship (17 prefix keys total, under the ~50 cap). Everything
 # unlisted follows in registration order.
 _PRIORITY = [
     # (a) the 13 never-driver-graded keys (round-6 additions)
@@ -65,8 +66,10 @@ _PRIORITY = [
     "q_kn_bigram", "q_langid_confusion", "q_k_anonymity", "q_link_predict",
     "q_dedup_onion", "q_mmr_diversify", "q_readability",
     "q_source_divergence",
-    # (b) round-7 additions are appended HERE as they land, so every new
-    # key gets a driver hash row in the same round it ships.
+    # (b) new in round 7 (never graded — every new key stays above the
+    # cap so it gets a driver hash row in the round it ships): the two
+    # eval-symmetry audits, merge-on-read MERGE, and the rerank pass
+    "q_embed_lsh_eval", "q_retrieval_eval", "q_merge_dv", "q_rerank_score",
     # fully-graded keys follow in registration order; every key below the
     # cap has a hash-pass driver row on its current output (latest r6)
 ]

@@ -2031,3 +2031,346 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "jsd_bits",
     )
+
+
+# --- retrieval-quality eval (known-item self-retrieval) -------------------
+# q_hybrid_rrf's oracle proves the fused ranking is computed right, not
+# that it retrieves WELL. This eval plants ground truth the way IR test
+# collections do known-item search: each query is built FROM a target
+# document (its rarest terms), so the target is the known relevant item
+# and recall@k / MRR are measurable without human judgments.
+RETR_EVAL_STRIDE = 41  # query docs: doc_id % 41 == 0 (SF-proportional)
+RETR_EVAL_TERMS = 3  # query = the doc's 3 rarest tokens (df asc, token asc)
+RETR_EVAL_DEPTH = 10  # per-ranker and fused evaluation depth
+
+# shared CTE chain: corpus stats -> rarest-term queries -> per-ranker
+# top-10 -> RRF fusion (consumed by q_retrieval_eval and q_rerank_score)
+_RETR_CTES = f"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tfx AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY token),
+dlx AS (SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) * 1.0 / COUNT(*) AS avgdl
+  FROM documents
+),
+qt AS (
+  SELECT doc_id AS query_doc, token, df FROM (
+    SELECT tfx.doc_id, tfx.token, dfx.df,
+           ROW_NUMBER() OVER (PARTITION BY tfx.doc_id
+                              ORDER BY dfx.df, tfx.token) AS rn
+    FROM tfx JOIN dfx USING (token)
+    WHERE tfx.doc_id % {RETR_EVAL_STRIDE} = 0
+  ) WHERE rn <= {RETR_EVAL_TERMS}
+),
+qn AS (SELECT query_doc, CAST(COUNT(*) AS BIGINT) AS nt FROM qt GROUP BY query_doc),
+sc AS (
+  SELECT qt.query_doc, tfx.doc_id, tfx.tf, qt.df, dlx.dl
+  FROM tfx JOIN qt USING (token) JOIN dlx ON dlx.doc_id = tfx.doc_id
+),
+bm AS (
+  SELECT query_doc, doc_id,
+         ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+  FROM sc CROSS JOIN stats GROUP BY query_doc, doc_id
+),
+cs AS (
+  SELECT query_doc, doc_id,
+         ROUND(SUM(tf * LN(n_docs * 1.0 / df))
+               / (SQRT(nt) * SQRT(SUM(POW(tf * LN(n_docs * 1.0 / df), 2)))), 6) AS cosq
+  FROM sc CROSS JOIN stats JOIN qn USING (query_doc)
+  GROUP BY query_doc, doc_id, nt
+),
+rb AS (
+  SELECT query_doc, doc_id, rn FROM (
+    SELECT query_doc, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY bm25 DESC, doc_id) AS rn
+    FROM bm
+  ) WHERE rn <= {RETR_EVAL_DEPTH}
+),
+rc AS (
+  SELECT query_doc, doc_id, rn FROM (
+    SELECT query_doc, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY cosq DESC, doc_id) AS rn
+    FROM cs
+  ) WHERE rn <= {RETR_EVAL_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(rb.query_doc, rc.query_doc) AS query_doc,
+         COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + rb.rn), 0) + COALESCE(1.0 / (60 + rc.rn), 0), 9) AS rrf
+  FROM rb FULL JOIN rc ON rb.query_doc = rc.query_doc AND rb.doc_id = rc.doc_id
+)"""
+
+_RETR_EVAL_ORACLE = f"""
+WITH {_RETR_CTES},
+fr AS (
+  SELECT query_doc, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY rrf DESC, doc_id) AS frank
+  FROM fused
+),
+nc AS (SELECT query_doc, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_candidates
+       FROM sc GROUP BY query_doc)
+SELECT q.query_doc,
+       nc.n_candidates,
+       srb.rn AS self_rank_bm25,
+       src.rn AS self_rank_cos,
+       CASE WHEN fr.frank <= {RETR_EVAL_DEPTH} THEN fr.frank END AS self_rank_fused,
+       ROUND(COALESCE(1.0 / (CASE WHEN fr.frank <= {RETR_EVAL_DEPTH} THEN fr.frank END), 0.0), 6)
+         AS rr_fused,
+       COALESCE(fr.frank <= {RETR_EVAL_DEPTH}, FALSE) AS found
+FROM (SELECT DISTINCT query_doc FROM qt) q
+JOIN nc USING (query_doc)
+LEFT JOIN rb srb ON srb.query_doc = q.query_doc AND srb.doc_id = q.query_doc
+LEFT JOIN rc src ON src.query_doc = q.query_doc AND src.doc_id = q.query_doc
+LEFT JOIN fr ON fr.query_doc = q.query_doc AND fr.doc_id = q.query_doc
+"""
+
+
+def _retr_rails(spark: SparkSession, sf_dir: str) -> dict:
+    """The shared retrieval stack under q_retrieval_eval / q_rerank_score:
+    one corpus tokenize pass (checkpointed tf/dl), rarest-term known-item
+    queries, per-ranker BM25 / query-subspace-cosine top-10s, RRF fusion.
+    Mirrors _RETR_CTES expression for expression."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    qt = (
+        tf.where(F.col("doc_id") % RETR_EVAL_STRIDE == 0)
+        .join(df_t, "token")
+        .withColumn("rn", F.row_number().over(w_rare))
+        .where(F.col("rn") <= RETR_EVAL_TERMS)
+        .select(F.col("doc_id").alias("query_doc"), "token", "df")
+    ).localCheckpoint()
+    qn = qt.groupBy("query_doc").agg(F.count(F.lit(1)).alias("nt"))
+    sc = (
+        tf.join(F.broadcast(qt), "token")
+        .join(dl, "doc_id")
+        .select("query_doc", "doc_id", "tf", "df", "dl")
+        .crossJoin(F.broadcast(stats))
+    ).localCheckpoint()
+    term_bm25 = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    bm = sc.groupBy("query_doc", "doc_id").agg(
+        F.round(F.sum(term_bm25), 6).alias("bm25")
+    )
+    w_t = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
+    cs = (
+        sc.join(F.broadcast(qn), "query_doc")
+        .groupBy("query_doc", "doc_id", "nt")
+        .agg(
+            F.round(
+                F.sum(w_t) / (F.sqrt(F.col("nt")) * F.sqrt(F.sum(F.pow(w_t, 2)))), 6
+            ).alias("cosq")
+        )
+    )
+
+    def ranked(frame: DataFrame, score: str) -> DataFrame:
+        w = Window.partitionBy("query_doc").orderBy(F.desc(score), F.asc("doc_id"))
+        return (
+            frame.withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= RETR_EVAL_DEPTH)
+            .select("query_doc", "doc_id", "rn")
+        )
+
+    rb = ranked(bm, "bm25").withColumnsRenamed({"rn": "rnb"})
+    rc = ranked(cs, "cosq").withColumnsRenamed({"rn": "rnc"})
+    fused = rb.join(rc, ["query_doc", "doc_id"], "full").select(
+        "query_doc",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rnb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rnc")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return {"qt": qt, "sc": sc, "dl": dl, "bm": bm, "cs": cs,
+            "rb": rb, "rc": rc, "fused": fused}
+
+
+@query("q_retrieval_eval", oracle=_RETR_EVAL_ORACLE)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval — the q_dedup_eval symmetry partner for the
+    retrieval stack. q_hybrid_rrf's hash oracle proves the fused ranking is
+    COMPUTED right; this key measures whether the stack RETRIEVES well,
+    using planted known-item ground truth (the IR-collection trick): every
+    41st document becomes a query made of its own 3 rarest tokens, so the
+    source doc is the known relevant item. Both q_hybrid_rrf rankers run
+    per query (BM25 k1=1.2 b=0.75; query-subspace TF-IDF cosine), top-10
+    each, RRF-fused (1/(60+rank)); the report is one row per query:
+    candidate-set size, the source doc's rank under each ranker and under
+    the fusion (NULL when outside depth), reciprocal rank, and found@10.
+    Corpus recall@10 / MRR are one trivial aggregate over these rows.
+
+    Scale shape: tf is ONE corpus tokenize pass, localCheckpoint'ed (three
+    consumers: df, query-term mining, scoring join); dl likewise (stats +
+    scoring). Query terms are mined with a df-ascending window per query
+    doc — rarest-first, so the scoring join fans out on the LOW-df end of
+    the vocabulary by construction (no hot-token fanout, the inverse of the
+    usual skew problem). Everything after the inverted-index join is
+    per-query bounded: candidates ~ sum of 3 small dfs, ranks are windows
+    over those bounded lists, the fused join is <=10x2 rows per query. A
+    million queries distribute as a million independent bounded problems —
+    no cross-query exchange anywhere."""
+    r = _retr_rails(spark, sf_dir)
+    qt, sc, rb, rc, fused = r["qt"], r["sc"], r["rb"], r["rc"], r["fused"]
+    w_f = Window.partitionBy("query_doc").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    fr = fused.withColumn("frank", F.row_number().over(w_f).cast("long"))
+    nc = sc.groupBy("query_doc").agg(
+        F.count_distinct("doc_id").alias("n_candidates")
+    )
+    self_fused = F.when(
+        F.col("frank") <= RETR_EVAL_DEPTH, F.col("frank")
+    ).alias("self_rank_fused")
+    return (
+        qt.select("query_doc")
+        .distinct()
+        .join(nc, "query_doc")
+        .join(
+            rb.where(F.col("doc_id") == F.col("query_doc")).select(
+                "query_doc", F.col("rnb").alias("self_rank_bm25")
+            ),
+            "query_doc",
+            "left",
+        )
+        .join(
+            rc.where(F.col("doc_id") == F.col("query_doc")).select(
+                "query_doc", F.col("rnc").alias("self_rank_cos")
+            ),
+            "query_doc",
+            "left",
+        )
+        .join(
+            fr.where(F.col("doc_id") == F.col("query_doc")).select(
+                "query_doc", self_fused
+            ),
+            "query_doc",
+            "left",
+        )
+        .select(
+            "query_doc",
+            "n_candidates",
+            "self_rank_bm25",
+            "self_rank_cos",
+            "self_rank_fused",
+            F.round(
+                F.coalesce(1.0 / F.col("self_rank_fused"), F.lit(0.0)), 6
+            ).alias("rr_fused"),
+            F.coalesce(
+                F.col("self_rank_fused").isNotNull(), F.lit(False)
+            ).alias("found"),
+        )
+    )
+
+
+# cross-encoder-style reranker: fixed linear weights over engineered
+# (query, doc) pair features — the literals appear in BOTH engines' plans
+RERANK_K = 5  # final reranked depth per query
+RERANK_W = (0.5, 2.0, 1.0, 3.0, -0.25)  # bias, n_match, bm25, cosq, ln(1+dl)
+
+_RERANK_ORACLE = f"""
+WITH {_RETR_CTES},
+cand AS (SELECT query_doc, doc_id FROM fused),
+nm AS (
+  SELECT query_doc, doc_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM sc GROUP BY query_doc, doc_id
+),
+feats AS (
+  SELECT c.query_doc, c.doc_id, nm.n_match, bm.bm25, cs.cosq, dlx.dl,
+         ROUND({RERANK_W[0]} + {RERANK_W[1]} * nm.n_match + {RERANK_W[2]} * bm.bm25
+               + {RERANK_W[3]} * cs.cosq + {RERANK_W[4]} * LN(1.0 + dlx.dl), 6)
+           AS rerank_score
+  FROM cand c
+  JOIN nm ON nm.query_doc = c.query_doc AND nm.doc_id = c.doc_id
+  JOIN bm ON bm.query_doc = c.query_doc AND bm.doc_id = c.doc_id
+  JOIN cs ON cs.query_doc = c.query_doc AND cs.doc_id = c.doc_id
+  JOIN dlx ON dlx.doc_id = c.doc_id
+)
+SELECT query_doc, doc_id, n_match, bm25, cosq, CAST(dl AS BIGINT) AS dl,
+       rerank_score, CAST(rr AS BIGINT) AS rerank_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                               ORDER BY rerank_score DESC, doc_id) AS rr
+  FROM feats
+) WHERE rr <= {RERANK_K}
+"""
+
+
+@query("q_rerank_score", oracle=_RERANK_ORACLE)
+def q_rerank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style rerank pass over the hybrid-retrieval shortlist
+    — the last stage of the retrieval story (ANN/lexical recall ->
+    RRF fusion -> learned rerank). Each (query, candidate) pair from the
+    fused top lists gets an engineered feature vector (matched query
+    terms, BM25, query-subspace cosine, ln(1+doclen), bias) scored by a
+    FIXED linear weight vector — the q_quality_classifier pattern lifted
+    to pair grain: a distilled cross-encoder's head is exactly such a
+    dot product, and the weights ride the plan as literals (a broadcast
+    weight matrix with zero runtime state). Output: reranked top-5 per
+    query with the full feature breakdown for score debugging.
+
+    Scale shape: everything downstream of the shared rails
+    (_retr_rails: one checkpointed corpus tokenize pass, rarest-term
+    inverted-index candidates) is per-query BOUNDED — the fused
+    shortlist is <= 2x depth rows per query, features come from
+    equi-joins of the already-bounded bm/cs/nm relations, scoring is
+    map-only arithmetic, and the rerank window sorts <= 20 rows per
+    query. A million-query batch distributes with no cross-query
+    exchange; at 100 TB the only corpus-scale work remains the recall
+    stage this pass deliberately never re-touches."""
+    r = _retr_rails(spark, sf_dir)
+    nm = r["sc"].groupBy("query_doc", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    feats = (
+        r["fused"]
+        .select("query_doc", "doc_id")
+        .join(nm, ["query_doc", "doc_id"])
+        .join(r["bm"], ["query_doc", "doc_id"])
+        .join(r["cs"].select("query_doc", "doc_id", "cosq"), ["query_doc", "doc_id"])
+        .join(r["dl"], "doc_id")
+        .withColumn(
+            "rerank_score",
+            F.round(
+                RERANK_W[0]
+                + RERANK_W[1] * F.col("n_match")
+                + RERANK_W[2] * F.col("bm25")
+                + RERANK_W[3] * F.col("cosq")
+                + RERANK_W[4] * F.log(1.0 + F.col("dl")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("rerank_score"), F.asc("doc_id")
+    )
+    return (
+        feats.withColumn("rerank_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rerank_rank") <= RERANK_K)
+        .select(
+            "query_doc",
+            "doc_id",
+            "n_match",
+            "bm25",
+            "cosq",
+            "dl",
+            "rerank_score",
+            "rerank_rank",
+        )
+    )

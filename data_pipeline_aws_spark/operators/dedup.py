@@ -1887,3 +1887,332 @@ def q_dedup_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_fraction"),
         (dup_frac < ONION_DUP_FRACTION).alias("keep"),
     )
+
+
+# --- embed-LSH screen audit (planted-dup strata) -------------------------
+# q_dedup_embed_lsh's exact-verify output can't reveal screen error (missed
+# candidates never reach the verifier). This eval grades the SCREEN: plant
+# a stratified twin for every 8th vector with per-stratum relative noise
+# chosen to straddle the 0.85 operating threshold (cos ~ 1/sqrt(1+a^2)):
+ELSH_EVAL_ALPHAS = (0.2, 0.5, 1.0, 3.0)  # cos ~ 0.98 / 0.89 / 0.71 / 0.32
+ELSH_EVAL_STRIDE = 8  # originals with vec_id % 8 == 0 get a twin
+ELSH_EVAL_OFFSET = 1_000_000  # twin vec_id = original + OFFSET
+ELSH_EVAL_HAMMING = 24  # the operator's own full-signature acceptance gate
+
+_ELSH_EVAL_ORACLE = f"""
+WITH orig AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+tw AS (
+  SELECT vec_id + {ELSH_EVAL_OFFSET} AS vec_id,
+         list_transform(range(0, 64), d -> e[d + 1] * (1 + a *
+           CASE WHEN CAST(concat('0x', substr(md5(concat(vec_id, ':', d)), 1, 4))
+                     AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS e
+  FROM (
+    SELECT vec_id, e,
+           CASE CAST((vec_id // {ELSH_EVAL_STRIDE}) % 4 AS INT)
+                WHEN 0 THEN {ELSH_EVAL_ALPHAS[0]} WHEN 1 THEN {ELSH_EVAL_ALPHAS[1]}
+                WHEN 2 THEN {ELSH_EVAL_ALPHAS[2]} ELSE {ELSH_EVAL_ALPHAS[3]} END AS a
+    FROM orig WHERE vec_id % {ELSH_EVAL_STRIDE} = 0
+  )
+),
+aug AS (SELECT * FROM orig UNION ALL SELECT * FROM tw),
+planes AS (
+  SELECT p, list_transform(range(0, 64), d ->
+           CASE WHEN CAST(concat('0x', substr(md5(concat('ep:', p, ':', d)), 1, 4))
+                     AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END)::DOUBLE[] AS pv
+  FROM range(64) t(p)
+),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN ROUND(list_dot_product(e, pv), 6) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM aug CROSS JOIN planes
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p < 32 THEN bit::BIGINT << p ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN p >= 32 THEN bit::BIGINT << (p - 32) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, p // 4 AS band,
+         CAST(SUM(bit::BIGINT << (p % 4)) AS BIGINT) AS band_sig
+  FROM bits GROUP BY vec_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.vec_id < y.vec_id
+  JOIN sig sa ON sa.vec_id = x.vec_id
+  JOIN sig sb ON sb.vec_id = y.vec_id
+  WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))
+        <= {ELSH_EVAL_HAMMING}
+),
+nr AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM aug),
+truth AS (
+  SELECT v1, v2 FROM (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS cs
+    FROM nr a JOIN nr b ON a.vec_id < b.vec_id
+  ) WHERE cs >= {EMBED_LSH_THRESHOLD}
+),
+planted AS (
+  SELECT vec_id AS v1, vec_id + {ELSH_EVAL_OFFSET} AS v2,
+         CAST((vec_id // {ELSH_EVAL_STRIDE}) % 4 AS INT) AS stratum
+  FROM orig WHERE vec_id % {ELSH_EVAL_STRIDE} = 0
+),
+uni AS (
+  SELECT v1, v2 FROM planted
+  UNION SELECT v1, v2 FROM truth
+  UNION SELECT v1, v2 FROM cand
+),
+cells AS (
+  SELECT COALESCE(p.stratum, -1) AS stratum,
+         t.v1 IS NOT NULL AS is_true,
+         c.v1 IS NOT NULL AS is_acc
+  FROM uni u
+  LEFT JOIN planted p ON u.v1 = p.v1 AND u.v2 = p.v2
+  LEFT JOIN truth t ON u.v1 = t.v1 AND u.v2 = t.v2
+  LEFT JOIN cand c ON u.v1 = c.v1 AND u.v2 = c.v2
+),
+counts AS (
+  SELECT stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN is_true AND is_acc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_accepted,
+         CAST(SUM(CASE WHEN is_true AND NOT is_acc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_missed,
+         CAST(SUM(CASE WHEN NOT is_true AND is_acc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_accepted
+  FROM cells GROUP BY stratum
+)
+SELECT *, ROUND(n_true_accepted * 1.0 / NULLIF(n_true, 0), 6) AS recall
+FROM counts
+"""
+
+
+@query("q_embed_lsh_eval", oracle=_ELSH_EVAL_ORACLE)
+def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the embedding-LSH rung — the q_dedup_eval
+    symmetry partner. q_dedup_embed_lsh exact-verifies its candidates, so
+    its OUTPUT can't reveal screen error; this key grades the candidate
+    screen itself (16-band x 4-bit hyperplane collision + full-signature
+    hamming <= 24) against exact-cosine truth on PLANTED near-duplicate
+    strata: every 8th vector gets a twin with per-element relative noise
+    e_i*(1 + alpha*s_i) (md5-parity signs s_i, so both engines grow
+    byte-identical twins), alpha per stratum straddling the 0.85 threshold
+    (cos ~ 0.98 / 0.89 / 0.71 / 0.32). One confusion row per stratum
+    (n_pairs / n_true / accepted / missed / false-accepted / recall) plus
+    stratum -1 for natural pairs — the wasted-verify volume the screen
+    admits on an isotropic corpus.
+
+    Unlike q_dedup_embed_lsh's murmur3 planes (Spark-private hash), the
+    eval's planes are md5-parity derived (the q_sim_lsh construction), so
+    the DuckDB oracle regrows the planes, signatures, band collisions and
+    hamming gates and replays the ACTUAL screen decisions — a full hash
+    oracle, not a bound verdict.
+
+    Scale shape: signatures are one mapInPandas matmul pass (16 fixed-width
+    band rows + two sig longs per vector — constant per item); candidates
+    come only from the band equi-join with the in-join hamming prefilter
+    (never all-pairs); exact truth is the blocked-matmul baseline — the
+    declared audit cost, run on a sampled stratum + extrapolated at 100 TB
+    exactly like q_dedup_eval's truth side (banding probability depends
+    only on pair similarity, so the calibration is sample-invariant)."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes, band_bits = EMBED_LSH_PLANES, EMBED_LSH_BAND_BITS
+    n_bands = n_planes // band_bits
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    stratum = ((F.col("vec_id") / ELSH_EVAL_STRIDE).cast("long") % 4).cast("int")
+    alpha = (
+        F.when(stratum == 0, F.lit(ELSH_EVAL_ALPHAS[0]))
+        .when(stratum == 1, F.lit(ELSH_EVAL_ALPHAS[1]))
+        .when(stratum == 2, F.lit(ELSH_EVAL_ALPHAS[2]))
+        .otherwise(F.lit(ELSH_EVAL_ALPHAS[3]))
+    )
+
+    def sgn(i):  # +/-1 from md5("vec_id:i") parity — byte-identical in DuckDB
+        src = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("vec_id").cast("string"), F.lit(":"), i.cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.when(src % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    # two-step select: Spark's lateral-column-alias rule would otherwise
+    # bind sgn()'s F.col("vec_id") to the JUST-ALIASED offset id instead of
+    # the input column (DuckDB binds the input — silent twin divergence)
+    twins = (
+        e.where(F.col("vec_id") % ELSH_EVAL_STRIDE == 0)
+        .select(
+            "vec_id",
+            F.transform("e", lambda x, i: x * (1.0 + alpha * sgn(i))).alias("e"),
+        )
+        .select((F.col("vec_id") + ELSH_EVAL_OFFSET).alias("vec_id"), "e")
+    )
+    aug = e.unionByName(twins).localCheckpoint()
+
+    # md5-parity planes (q_sim_lsh construction, 'ep' namespace): bounded
+    # 64x64 model state, regenerable on any engine, collected once.
+    sign_src = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("ep"), F.col("plane"), F.col("dim"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    plane_rows = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "plane")
+        .join(spark.range(64).withColumnRenamed("id", "dim"))
+        .select(
+            "plane",
+            "dim",
+            F.when(sign_src % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("w"),
+        )
+        .collect()
+    )
+    planes = np.zeros((n_planes, 64))
+    for r in plane_rows:
+        planes[r.plane, r.dim] = r.w
+
+    def sign_bands(batches):
+        lo_w = 1 << np.arange(32, dtype=np.uint64)
+        band_w = 1 << np.arange(band_bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            bits = (np.round(m @ planes.T, 6) >= 0).astype(np.int64)
+            lo = (bits[:, :32].astype(np.uint64) * lo_w).sum(axis=1).astype(np.int64)
+            hi = (bits[:, 32:].astype(np.uint64) * lo_w).sum(axis=1).astype(np.int64)
+            band_sig = (bits.reshape(len(m), n_bands, band_bits) * band_w).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int64), len(m)),
+                    "band_sig": band_sig.reshape(-1),
+                    "lo": lo.repeat(n_bands),
+                    "hi": hi.repeat(n_bands),
+                }
+            )
+
+    bands = aug.mapInPandas(
+        sign_bands, "vec_id long, band long, band_sig long, lo long, hi long"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (
+                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+                <= F.lit(ELSH_EVAL_HAMMING)
+            ),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+
+    # exact truth: blocked matmul over the augmented corpus (the
+    # q_dedup_embed layout — B^2 dense BLAS tasks, no interpreted dots)
+    n_blocks = 4
+    blocked = aug.withColumn("bid", F.pmod(F.hash("vec_id"), F.lit(n_blocks)))
+    bpairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    side_a = blocked.join(F.broadcast(bpairs), F.col("bid") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "e"
+    )
+    side_b = blocked.join(F.broadcast(bpairs), F.col("bid") == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("side"), "vec_id", "e"
+    )
+
+    def block_truth(pdf):
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame({"v1": [], "v2": []}).astype(
+                {"v1": "int64", "v2": "int64"}
+            )
+        ma = np.stack(left["e"].to_numpy()).astype(np.float64)
+        mb = np.stack(right["e"].to_numpy()).astype(np.float64)
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        cos = np.round(
+            (ma @ mb.T)
+            / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)),
+            6,
+        )
+        hit = cos >= EMBED_LSH_THRESHOLD
+        if left["bi"].iat[0] == left["bj"].iat[0]:
+            ia, ib = np.nonzero(hit & (ids_a[:, None] < ids_b[None, :]))
+            v1, v2 = ids_a[ia], ids_b[ib]
+        else:
+            ia, ib = np.nonzero(hit)
+            v1 = np.minimum(ids_a[ia], ids_b[ib])
+            v2 = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"v1": v1, "v2": v2})
+
+    truth = (
+        side_a.unionByName(side_b)
+        .groupBy("bi", "bj")
+        .applyInPandas(block_truth, "v1 long, v2 long")
+        .withColumn("is_true", F.lit(True))
+    )
+
+    # derive the planted-pair list from the checkpointed aug's twin ids —
+    # no parquet re-scan (plan-pinned single corpus read)
+    planted = aug.where(F.col("vec_id") >= ELSH_EVAL_OFFSET).select(
+        (F.col("vec_id") - ELSH_EVAL_OFFSET).alias("v1"),
+        F.col("vec_id").alias("v2"),
+        (((F.col("vec_id") - ELSH_EVAL_OFFSET) / ELSH_EVAL_STRIDE).cast("long") % 4)
+        .cast("int")
+        .alias("stratum"),
+    )
+    uni = (
+        planted.select("v1", "v2")
+        .union(truth.select("v1", "v2"))
+        .union(cand.select("v1", "v2"))
+        .distinct()
+    )
+    cells = (
+        uni.join(planted, ["v1", "v2"], "left")
+        .join(truth, ["v1", "v2"], "left")
+        .join(cand.withColumn("is_acc", F.lit(True)), ["v1", "v2"], "left")
+        .select(
+            F.coalesce("stratum", F.lit(-1)).alias("stratum"),
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+            F.coalesce("is_acc", F.lit(False)).alias("is_acc"),
+        )
+    )
+    it, acc = F.col("is_true"), F.col("is_acc")
+    cnt = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).alias(name)  # noqa: E731
+    counts = cells.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        cnt(it, "n_true"),
+        cnt(it & acc, "n_true_accepted"),
+        cnt(it & ~acc, "n_true_missed"),
+        cnt(~it & acc, "n_false_accepted"),
+    )
+    return counts.select(
+        "*",
+        F.round(
+            F.col("n_true_accepted") * 1.0 / F.nullif(F.col("n_true"), F.lit(0)), 6
+        ).alias("recall"),
+    )

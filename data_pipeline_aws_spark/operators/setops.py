@@ -431,3 +431,204 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return both.unionByName(only_early)
+
+
+# --- MERGE with deletion vectors (merge-on-read) ---------------------------
+MERGE_DV_FILES = 16  # base "files": o_orderkey % 16 buckets, row_number pos
+
+_MERGE_DV_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % {MERGE_DV_FILES} AS INT) AS file_id,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % {MERGE_DV_FILES}
+                            ORDER BY o_orderkey) AS pos
+  FROM orders
+),
+feed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'delete' ELSE 'update' END AS op,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE (cents * 105 + 50) // 100 END AS new_cents
+  FROM base WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'insert', cents + 1
+  FROM base WHERE o_orderkey % 997 = 0
+),
+dv AS (
+  SELECT b.file_id, b.pos
+  FROM base b JOIN feed f ON b.o_orderkey = f.o_orderkey
+  WHERE f.op IN ('delete', 'update')
+),
+delta AS (
+  SELECT o_orderkey, new_cents AS cents FROM feed WHERE op IN ('update', 'insert')
+),
+live_base AS (
+  SELECT b.o_orderkey, b.cents, b.file_id
+  FROM base b LEFT JOIN dv ON b.file_id = dv.file_id AND b.pos = dv.pos
+  WHERE dv.pos IS NULL
+),
+merged AS (
+  SELECT o_orderkey, cents FROM live_base
+  UNION ALL SELECT o_orderkey, cents FROM delta
+),
+expected AS (
+  SELECT b.o_orderkey,
+         CASE WHEN b.o_orderkey % 7 = 0 THEN (b.cents * 105 + 50) // 100
+              ELSE b.cents END AS cents
+  FROM base b WHERE b.o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, cents + 1 FROM base WHERE o_orderkey % 997 = 0
+),
+per_file AS (
+  SELECT b.file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN dv.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dv_marked
+  FROM base b LEFT JOIN dv ON b.file_id = dv.file_id AND b.pos = dv.pos
+  GROUP BY b.file_id
+)
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_files,
+       CAST(SUM(n_rows) AS BIGINT)                                AS n_base_rows,
+       CAST(SUM(n_dv_marked) AS BIGINT)                           AS n_dv_marked,
+       ROUND(SUM(n_dv_marked) * 1.0 / SUM(n_rows), 6)             AS dv_fraction,
+       ROUND(MAX(n_dv_marked * 1.0 / n_rows), 6)                  AS max_file_dv_fraction,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM delta)               AS n_delta_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM merged)              AS n_live,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM merged)            AS total_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM expected)            AS expected_rows,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM expected)          AS expected_cents
+FROM per_file
+"""
+
+
+@query("q_merge_dv", oracle=_MERGE_DV_ORACLE)
+def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with deletion vectors — the merge-on-read strategy of
+    Delta Lake / Iceberg v2, built on the existing snapshot/CDC rails. The
+    base table lives in immutable "files" (o_orderkey % 16 buckets, each
+    row addressed by a deterministic (file_id, pos)); a MERGE feed of
+    deletes / updates / inserts is applied WITHOUT rewriting base files:
+    deleted and updated positions land in a deletion-vector sidecar, new
+    and updated row VALUES append to a delta file, and the read path is
+    base ANTI-JOIN dv UNION delta. One bounded report row: per-file DV
+    stats (count / fraction / worst file) plus the copy-on-write proof —
+    merged row count and exact cents total must equal the naive full
+    rewrite (expected_* columns; the oracle checks equality by hash).
+
+    Scale shape: the DV is (file_id, pos) — fixed-width currency however
+    wide the rows, exactly why production formats use it; the anti-join
+    touches only churn-sized state; unchanged base rows are NEVER
+    rewritten or shuffled with the feed (the left-anti probes a broadcast
+    churn-sized DV); the delta append is a zero-shuffle union. At 100 TB
+    the win over copy-on-write MERGE (q_upsert / q_cdc_apply's shape) is
+    precisely that write amplification stays O(churn), not O(table) —
+    dv_fraction per file is the compaction trigger a table service reads.
+    All money arithmetic rides integer cents (the q_cdc_apply rule)."""
+    from pyspark.sql import Window
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % MERGE_DV_FILES).cast("int").alias("file_id"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("file_id").orderBy("o_orderkey")
+            ),
+        )
+        .localCheckpoint()  # feeds feed/dv/live_base/per_file/expected
+    )
+    feed = (
+        base.where((F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr("(cents * 105 + 50) div 100"))
+            .alias("new_cents"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("insert").alias("op"),
+                (F.col("cents") + 1).alias("new_cents"),
+            )
+        )
+    )
+    dv = (
+        base.join(
+            feed.where(F.col("op").isin("delete", "update")).select("o_orderkey"),
+            "o_orderkey",
+        ).select("file_id", "pos")
+    )
+    delta = feed.where(F.col("op").isin("update", "insert")).select(
+        "o_orderkey", F.col("new_cents").alias("cents")
+    )
+    live_base = base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
+    merged = live_base.select("o_orderkey", "cents").unionByName(delta)
+    expected = (
+        base.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.expr("(cents * 105 + 50) div 100")
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.col("cents") + 1).alias("cents"),
+            )
+        )
+    )
+    per_file = (
+        base.join(F.broadcast(dv.withColumn("marked", F.lit(1))), ["file_id", "pos"], "left")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce("marked", F.lit(0))).alias("n_dv_marked"),
+        )
+    )
+    report = per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_base_rows"),
+        F.sum("n_dv_marked").alias("n_dv_marked"),
+        F.round(F.sum("n_dv_marked") * 1.0 / F.sum("n_rows"), 6).alias("dv_fraction"),
+        F.round(F.max(F.col("n_dv_marked") * 1.0 / F.col("n_rows")), 6).alias(
+            "max_file_dv_fraction"
+        ),
+    )
+    m_stats = merged.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("total_cents"),
+    )
+    e_stats = expected.agg(
+        F.count(F.lit(1)).alias("expected_rows"),
+        F.sum("cents").alias("expected_cents"),
+    )
+    d_stats = delta.agg(F.count(F.lit(1)).alias("n_delta_rows"))
+    return (
+        report.crossJoin(F.broadcast(d_stats))
+        .crossJoin(F.broadcast(m_stats))
+        .crossJoin(F.broadcast(e_stats))
+        .select(
+            "n_files",
+            "n_base_rows",
+            "n_dv_marked",
+            "dv_fraction",
+            "max_file_dv_fraction",
+            "n_delta_rows",
+            "n_live",
+            "total_cents",
+            "expected_rows",
+            "expected_cents",
+        )
+    )

@@ -1105,3 +1105,57 @@ def test_mmr_rounds_read_checkpointed_pool_no_rescan(plans):
     assert final.count("FileScan parquet") == 0, final
     assert "Scan ExistingRDD" in final, final
     assert "CartesianProduct" not in final, final
+
+
+def test_embed_lsh_eval_banded_candidates_no_rescan(plans):
+    """q_embed_lsh_eval's augmented corpus (originals + planted twins) is
+    checkpointed once: signatures, candidates, truth blocks and the
+    planted-pair list all read executor storage (zero parquet re-scans).
+    Candidates come ONLY from the band equi-join with the in-join hamming
+    prefilter — no cartesian, no sort-merge of vector payloads."""
+    p = plans("q_embed_lsh_eval")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_retrieval_eval_checkpointed_rails_bounded_fuse(plans):
+    """q_retrieval_eval reads the checkpointed tf/dl/qt/sc rails (corpus
+    tokenized exactly once, inside the checkpoint builds — the fused plan
+    touches no parquet); the only sort-merge join is the full-outer fuse
+    of the two <=10-row per-query rank lists."""
+    p = plans("q_retrieval_eval")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "CartesianProduct" not in final, final
+    assert final.count("SortMergeJoin") <= 1, final
+    assert final.count("BroadcastHashJoin") >= 1, final
+
+
+def test_rerank_score_map_only_after_bounded_joins(plans):
+    """q_rerank_score shares the checkpointed retrieval rails (no parquet
+    re-scan) and scores with literal weights — no Python stage anywhere;
+    the rerank window runs over the <=20-row per-query fused shortlist."""
+    p = plans("q_rerank_score")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
+    assert "CartesianProduct" not in final, final
+    assert final.count("SortMergeJoin") <= 1, final
+
+
+def test_merge_dv_antijoin_broadcast_dv_no_base_rewrite(plans):
+    """q_merge_dv's read path must probe the churn-sized deletion vector
+    as a BROADCAST left-anti join — unchanged base rows never shuffle
+    with the feed — and the base relation is checkpointed (scanned once
+    for pos assignment; every consumer reads executor storage)."""
+    p = plans("q_merge_dv")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "BroadcastHashJoin" in final, final
+    assert "LeftAnti" in final, final
+    assert "SortMergeJoin" not in final, final

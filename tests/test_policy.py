@@ -42,7 +42,9 @@ def test_no_unbounded_collect_in_operators():
         # sink aggregate went lazy when its landed layout became a cache)
         "ingest.py": 2,  # gdpr partition probe + binary-fixture id listing (N<16)
         "text.py": 2,  # bounded vocab table + BPE 1-row argmax merge rule/round
-        "dedup.py": 1,  # 64x64 hyperplane matrix
+        "dedup.py": 2,  # 64x64 hyperplane matrices: embed_near_dup_pairs'
+        # murmur3 planes + q_embed_lsh_eval's md5-parity planes (both
+        # bounded model state, collected once per query)
         "aggregates.py": 2,  # exact-median 1-row count/min/max pre-scan +
         # its budget-bounded (<= _KTH_BUCKET_BUDGET+1 rows) histogram
     }

@@ -1769,3 +1769,241 @@ def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
         sel, scores = expect[r.query_id]
         assert r.neighbor_id == sel[r.rank - 1], (r, sel)
         assert abs(r.mmr_score - scores[r.rank - 1]) < 1e-9, (r, scores)
+
+
+def test_merge_dv_matches_pandas_replay(spark, sf_dir):
+    """Third-engine replay of the merge-on-read MERGE: deletion-vector
+    marks, delta appends and the copy-on-write equality proof recomputed
+    in pandas must equal q_merge_dv's report row exactly (all-integer
+    cents, so equality is exact)."""
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    k = o.o_orderkey
+    n_del = int((k % 13 == 0).sum())
+    n_upd = int(((k % 13 != 0) & (k % 7 == 0)).sum())
+    n_ins = int((k % 997 == 0).sum())
+    upd_cents = (o.cents[(k % 13 != 0) & (k % 7 == 0)] * 105 + 50) // 100
+    kept = o.cents[(k % 13 != 0) & (k % 7 != 0)]
+    ins_cents = o.cents[k % 997 == 0] + 1
+    expected_rows = int((k % 13 != 0).sum()) + n_ins
+    expected_cents = int(kept.sum() + upd_cents.sum() + ins_cents.sum())
+    r = all_queries()["q_merge_dv"](spark, sf_dir).collect()[0]
+    assert r.n_files == 16
+    assert r.n_base_rows == len(o)
+    assert r.n_dv_marked == n_del + n_upd
+    assert r.n_delta_rows == n_upd + n_ins
+    assert (r.n_live, r.total_cents) == (expected_rows, expected_cents)
+    assert (r.expected_rows, r.expected_cents) == (expected_rows, expected_cents)
+
+
+def test_embed_lsh_eval_matches_numpy_replay(spark, sf_dir):
+    """Full numpy replay of the embed-LSH screen audit: md5-parity twins
+    and planes, 64-bit signatures, band collisions, hamming gate and
+    exact-cosine truth — per-stratum confusion rows must match."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.dedup import (
+        ELSH_EVAL_ALPHAS,
+        ELSH_EVAL_HAMMING,
+        ELSH_EVAL_OFFSET,
+        ELSH_EVAL_STRIDE,
+        EMBED_LSH_THRESHOLD,
+    )
+
+    def par(s: str) -> float:
+        return 1.0 if int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 2 == 0 else -1.0
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {}
+    for vid, v in zip(emb.vec_id, emb.embedding):
+        e = np.asarray(v, dtype=np.float64)
+        vecs[int(vid)] = e
+        if vid % ELSH_EVAL_STRIDE == 0:
+            a = ELSH_EVAL_ALPHAS[(vid // ELSH_EVAL_STRIDE) % 4]
+            s = np.array([par(f"{vid}:{d}") for d in range(64)])
+            vecs[int(vid) + ELSH_EVAL_OFFSET] = e * (1.0 + a * s)
+    planes = np.array([[par(f"ep:{p}:{d}") for d in range(64)] for p in range(64)])
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    bits = (np.round(M @ planes.T, 6) >= 0).astype(np.int64)
+    # candidates: band collision + hamming <= 24
+    buckets = defaultdict(list)
+    for row, vid in enumerate(ids):
+        for b in range(16):
+            sig = int((bits[row, 4 * b : 4 * b + 4] << np.arange(4)).sum())
+            buckets[(b, sig)].append(row)
+    cand = set()
+    for rows in buckets.values():
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                r1, r2 = rows[i], rows[j]
+                if (bits[r1] != bits[r2]).sum() <= ELSH_EVAL_HAMMING:
+                    cand.add((ids[r1], ids[r2]) if ids[r1] < ids[r2] else (ids[r2], ids[r1]))
+    # exact truth
+    nrm = np.linalg.norm(M, axis=1)
+    cos = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (ids[i], ids[j])
+        for i, j in zip(*iu)
+        if cos[i, j] >= EMBED_LSH_THRESHOLD
+    }
+    planted = {
+        (v, v + ELSH_EVAL_OFFSET): (v // ELSH_EVAL_STRIDE) % 4
+        for v in vecs
+        if v < ELSH_EVAL_OFFSET and v % ELSH_EVAL_STRIDE == 0
+    }
+    ref = defaultdict(lambda: [0, 0, 0, 0, 0])  # pairs, true, acc, missed, false_acc
+    for pair in set(planted) | truth | cand:
+        s = planted.get(pair, -1)
+        is_t, is_a = pair in truth, pair in cand
+        c = ref[s]
+        c[0] += 1
+        c[1] += is_t
+        c[2] += is_t and is_a
+        c[3] += is_t and not is_a
+        c[4] += (not is_t) and is_a
+    out = all_queries()["q_embed_lsh_eval"](spark, sf_dir).collect()
+    assert {r.stratum for r in out} == set(ref)
+    for r in out:
+        c = ref[r.stratum]
+        got = (r.n_pairs, r.n_true, r.n_true_accepted, r.n_true_missed, r.n_false_accepted)
+        assert got == tuple(c), (r.stratum, got, c)
+    # the audit is non-degenerate: the low-noise strata carry real recall
+    by_s = {r.stratum: r for r in out}
+    assert by_s[0].n_true > 0 and by_s[0].recall == 1.0
+    assert by_s[-1].n_false_accepted > 0  # wasted-verify volume visible
+
+
+def _retrieval_python_rails(sf_dir):
+    """Pure-Python replay of the known-item retrieval rails (tf/df/dl,
+    rarest-term queries, BM25 + query-subspace cosine, top-10s, RRF) —
+    shared by the retrieval-eval and rerank replays."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf = {}
+    dl = {}
+    df = Counter()
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        dl[did] = len(toks)
+        c = Counter(toks)
+        tf[did] = c
+        df.update(c.keys())
+    n_docs = len(tf)
+    avgdl = sum(dl.values()) / n_docs
+    r6 = lambda x: round(x, 6)  # noqa: E731
+    rails = {}
+    for qd in sorted(tf):
+        if qd % 41 != 0:
+            continue
+        terms = sorted(tf[qd], key=lambda t: (df[t], t))[:3]
+        cands = sorted({d for d in tf for t in terms if t in tf[d]})
+        nm = {d: sum(1 for t in terms if t in tf[d]) for d in cands}
+        bm, cs = {}, {}
+        for d in cands:
+            b = w = w2 = 0.0
+            for t in terms:
+                if t not in tf[d]:
+                    continue
+                f = tf[d][t]
+                b += (
+                    math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                    * (f * 2.2)
+                    / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+                wt = f * math.log(n_docs / df[t])
+                w += wt
+                w2 += wt * wt
+            bm[d] = r6(b)
+            cs[d] = r6(w / (math.sqrt(len(terms)) * math.sqrt(w2)))
+        rank = lambda sc: {  # noqa: E731
+            d: i + 1
+            for i, d in enumerate(
+                sorted(sc, key=lambda d: (-sc[d], d))[:10]
+            )
+        }
+        rb, rc = rank(bm), rank(cs)
+        fused = {
+            d: round(
+                (1.0 / (60 + rb[d]) if d in rb else 0.0)
+                + (1.0 / (60 + rc[d]) if d in rc else 0.0),
+                9,
+            )
+            for d in set(rb) | set(rc)
+        }
+        frank = {
+            d: i + 1
+            for i, d in enumerate(sorted(fused, key=lambda d: (-fused[d], d)))
+        }
+        rails[qd] = {
+            "terms": terms, "cands": cands, "nm": nm, "bm": bm, "cs": cs,
+            "rb": rb, "rc": rc, "frank": frank, "dl": dl,
+        }
+    return rails
+
+
+def test_retrieval_eval_matches_python_replay(spark, sf_dir):
+    """Known-item self-retrieval metrics (per-ranker and fused source-doc
+    ranks, reciprocal rank, found@10) must match the pure-Python rails."""
+    from data_pipeline_aws_spark import all_queries
+
+    rails = _retrieval_python_rails(sf_dir)
+    out = all_queries()["q_retrieval_eval"](spark, sf_dir).collect()
+    assert {r.query_doc for r in out} == set(rails)
+    for r in out:
+        q = rails[r.query_doc]
+        assert r.n_candidates == len(q["cands"]), r
+        assert r.self_rank_bm25 == q["rb"].get(r.query_doc), r
+        assert r.self_rank_cos == q["rc"].get(r.query_doc), r
+        fr = q["frank"].get(r.query_doc)
+        fr = fr if fr is not None and fr <= 10 else None
+        assert r.self_rank_fused == fr, r
+        assert r.found == (fr is not None), r
+        assert abs(r.rr_fused - (round(1.0 / fr, 6) if fr else 0.0)) < 1e-12, r
+
+
+def test_rerank_score_matches_python_replay(spark, sf_dir):
+    """The reranked top-5 (ids, ranks and 6-dp scores) must match the
+    Python rails + the literal weight vector."""
+    import math
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.functions.text import RERANK_K, RERANK_W
+
+    rails = _retrieval_python_rails(sf_dir)
+    expect = {}
+    for qd, q in rails.items():
+        feats = {}
+        for d in q["frank"]:
+            sc = round(
+                RERANK_W[0]
+                + RERANK_W[1] * q["nm"][d]
+                + RERANK_W[2] * q["bm"][d]
+                + RERANK_W[3] * q["cs"][d]
+                + RERANK_W[4] * math.log(1.0 + q["dl"][d]),
+                6,
+            )
+            feats[d] = sc
+        top = sorted(feats, key=lambda d: (-feats[d], d))[:RERANK_K]
+        expect[qd] = [(d, i + 1, feats[d]) for i, d in enumerate(top)]
+    out = all_queries()["q_rerank_score"](spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_doc, []).append((r.doc_id, r.rerank_rank, r.rerank_score))
+    for qd, rows in got.items():
+        assert sorted(rows, key=lambda x: x[1]) == expect[qd], (qd, rows, expect[qd])
+    assert set(got) == set(expect)
