@@ -1528,6 +1528,95 @@ w{r + 1} AS (
     return "".join(parts)
 
 
+def _bpe_apply_oracle(rounds: int) -> str:
+    """DuckDB replay of BPE tokenization: re-learn the merge table with
+    _bpe_oracle's training CTEs (b1..bN), then apply the N replaces to
+    every document's framed word strings and count surviving symbols."""
+    dd, d = "chr(1)||chr(1)", "chr(1)"
+    train = _bpe_oracle(rounds)
+    # _bpe_oracle ends with the UNION ALL select over b1..bN; keep only the
+    # WITH chain (everything before the final select block)
+    train_ctes = train[: train.index("\nSELECT 1 AS step")]
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f""",
+a{r} AS (
+  SELECT doc_id,
+         replace(wstr, {d}||b.lhs||{dd}||b.rhs||{d}, {d}||b.lhs||b.rhs||{d}) AS wstr
+  FROM a{r - 1}, b{r} b
+)"""
+        )
+    return f"""{train_ctes},
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+a0 AS (
+  SELECT doc_id, {dd} || array_to_string(string_split(w, ''), {dd}) || {dd} AS wstr
+  FROM docw WHERE w <> ''
+){"".join(steps)}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(replace(replace(wstr, {dd}, ''), {d}, ''))) AS BIGINT) AS n_chars,
+       CAST(SUM(len(list_filter(string_split(wstr, {dd}), x -> x <> ''))) AS BIGINT)
+         AS n_subwords,
+       ROUND(SUM(len(list_filter(string_split(wstr, {dd}), x -> x <> ''))) * 1.0
+             / COUNT(*), 6) AS fertility,
+       ROUND(SUM(len(replace(replace(wstr, {dd}, ''), {d}, ''))) * 1.0
+             / SUM(len(list_filter(string_split(wstr, {dd}), x -> x <> ''))), 6)
+         AS compression
+FROM a{rounds}
+GROUP BY doc_id
+"""
+
+
+@query("q_bpe_apply", oracle=_bpe_apply_oracle(_BPE_ROUNDS))
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization APPLY — the production encode pass that closes the
+    tokenizer story (q_bpe_train learns the merge table; this key encodes
+    the corpus with it and reports per-document token statistics: word /
+    char / subword counts, fertility = subwords per word, compression =
+    chars per subword — the numbers a tokenizer bake-off actually reads).
+
+    The learned rules are applied as N chained literal replaces over each
+    word's \\x01-framed symbol string — same frames, same left-to-right
+    non-overlapping semantics, byte-identical in both engines — so the
+    oracle re-learns the merges (the q_bpe_train CTEs) and replays the
+    encode exactly: a full hash oracle for train AND apply composed.
+
+    Scale shape: training is q_bpe_train's corpus-once / vocab-iterate
+    split; the encode itself is the 100 TB-friendly part — the merge
+    rules ride the plan as LITERALS (bounded model state, like
+    q_quality_classifier's weights), the per-word encode is map-only
+    whole-stage-codegen string work with zero joins, and the only
+    shuffle is the final doc-grain partial-aggregated rollup."""
+    d, dd = _BPE_D, _BPE_D * 2
+    rules = bpe_merge_rules(spark, sf_dir)
+    doc = table(spark, sf_dir, "documents")
+    chars = F.filter(F.split("w", ""), lambda c: c != F.lit(""))
+    w = (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.concat(F.lit(dd), F.concat_ws(dd, chars), F.lit(dd)).alias("wstr"),
+        )
+    )
+    wstr = F.col("wstr")
+    for _, lhs, rhs, _, _ in rules:
+        wstr = F.replace(wstr, F.lit(d + lhs + dd + rhs + d), F.lit(d + lhs + rhs + d))
+    enc = w.select("doc_id", wstr.alias("wstr"))
+    n_sub = F.size(F.filter(F.split("wstr", dd), lambda x: x != F.lit("")))
+    n_chr = F.length(F.replace(F.replace(F.col("wstr"), F.lit(dd), F.lit("")), F.lit(d), F.lit("")))
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(n_chr).cast("bigint").alias("n_chars"),
+        F.sum(n_sub).cast("bigint").alias("n_subwords"),
+        F.round(F.sum(n_sub) * 1.0 / F.count(F.lit(1)), 6).alias("fertility"),
+        F.round(F.sum(n_chr) * 1.0 / F.sum(n_sub), 6).alias("compression"),
+    )
+
+
 @query("q_bpe_train", oracle=_bpe_oracle(_BPE_ROUNDS))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING — the iterative merge-rule learner behind
@@ -1555,6 +1644,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     and preserve neighbors' frames), and greedy overlap handling matches
     reference BPE ('aaa' + (a,a) → 'aa','a'). The oracle unrolls the
     same six rounds as CTE pairs."""
+    rules = bpe_merge_rules(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_f long"
+    )
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> list:
+    """Run the q_bpe_train driver loop and return the learned merge table
+    as [(step, lhs, rhs, merged, pair_f)] — the bounded model state shared
+    by q_bpe_train (which emits it) and q_bpe_apply (which tokenizes the
+    corpus with it). Deliberately NOT memoized (the kmeans_fit rule: a
+    cross-call cache would let bench's min-of-2 skip training)."""
     d, dd = _BPE_D, _BPE_D * 2
     tok = table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("w")
@@ -1590,9 +1691,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(d + b.lhs + b.rhs + d),
             ),
         ).localCheckpoint()
-    return spark.createDataFrame(
-        rules, "step int, lhs string, rhs string, merged string, pair_f long"
-    )
+    return rules
 
 
 _RRF_K = 60        # standard reciprocal-rank-fusion constant (Cormack'09)

@@ -1159,3 +1159,18 @@ def test_merge_dv_antijoin_broadcast_dv_no_base_rewrite(plans):
     assert "BroadcastHashJoin" in final, final
     assert "LeftAnti" in final, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_bpe_apply_encode_is_map_only_one_shuffle(plans):
+    """q_bpe_apply's encode pass: learned merge rules ride the plan as
+    literal chained replaces (no join against a rules table, no Python
+    stage), the corpus is scanned once, and the only exchange is the
+    final doc-grain rollup with map-side partial combine."""
+    p = plans("q_bpe_apply")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "Join" not in final and "Window" not in final, final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
+    n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
+    assert n_shuffles == 1, final
+    assert "partial_count" in final, final

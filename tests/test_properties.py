@@ -2007,3 +2007,66 @@ def test_rerank_score_matches_python_replay(spark, sf_dir):
     for qd, rows in got.items():
         assert sorted(rows, key=lambda x: x[1]) == expect[qd], (qd, rows, expect[qd])
     assert set(got) == set(expect)
+
+
+def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
+    """q_bpe_apply's chained framed replaces must tokenize every document
+    exactly like the classic list-walk BPE encoder running the same
+    learned merge sequence (pure-Python trainer + encoder replay)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.functions.text import _BPE_ROUNDS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    wf = Counter()
+    for text in docs.text:
+        for w in (text or "").split(" "):
+            if w:
+                wf[w] += 1
+    # reference trainer (same as test_bpe_train_matches_reference_implementation)
+    words = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(_BPE_ROUNDS):
+        pc = Counter()
+        for w, f in wf.items():
+            syms = words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((lhs, rhs))
+        for w in words:
+            syms, out, i = words[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    # words now maps every corpus word to its encoded symbol list
+    ref = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        ws = [w for w in (text or "").split(" ") if w]
+        if not ws:
+            continue
+        n_sub = sum(len(words[w]) for w in ws)
+        n_chr = sum(len(w) for w in ws)
+        ref[doc_id] = (len(ws), n_chr, n_sub)
+    out = all_queries()["q_bpe_apply"](spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == set(ref)
+    # half-up rounding (Spark/DuckDB ROUND) — Python round() is banker's
+    # and differs on exact .5 ties like 290/256 = 1.1328125
+    import math
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for r in out:
+        nw, nc, ns = ref[r.doc_id]
+        assert (r.n_words, r.n_chars, r.n_subwords) == (nw, nc, ns), r
+        assert abs(r.fertility - r6(ns / nw)) < 1e-9, r
+        assert abs(r.compression - r6(nc / ns)) < 1e-9, r
