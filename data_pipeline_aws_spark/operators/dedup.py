@@ -2216,3 +2216,118 @@ def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true_accepted") * 1.0 / F.nullif(F.col("n_true"), F.lit(0)), 6
         ).alias("recall"),
     )
+
+
+# --- containment (one-sided) near-dup ---------------------------------------
+CONTAIN_THRESHOLD = 0.8  # max-side containment gate
+CONTAIN_STRIDE = 41  # every 41st doc gets a planted half-length excerpt
+CONTAIN_OFFSET = 10_000_000  # excerpt doc_id = source + OFFSET
+
+_CONTAIN_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           CAST(ceil(len(string_split(text, ' ')) / 2.0) AS BIGINT)), ' ')
+  FROM documents WHERE doc_id % {CONTAIN_STRIDE} = 0
+),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                   AS token,
+         generate_subscripts(string_split(text, ' '), 1)   AS pos
+  FROM aug
+),
+sh AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, n_common,
+       ROUND(n_common * 1.0 / ca.n, 6) AS c1,
+       ROUND(n_common * 1.0 / cb.n, 6) AS c2,
+       ROUND(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard,
+       n_common * 1.0 / (ca.n + cb.n - n_common) < {JACCARD_THRESHOLD}
+         AS jaccard_missed
+FROM inter
+JOIN cnt ca ON d1 = ca.doc_id
+JOIN cnt cb ON d2 = cb.doc_id
+WHERE n_common * 1.0 / LEAST(ca.n, cb.n) >= {CONTAIN_THRESHOLD}
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CONTAINMENT near-dup (Broder's containment coefficient
+    |A∩B|/min(|A|,|B|) at 0.8): catches quote/excerpt/inclusion reuse —
+    a short doc living inside a long one — which symmetric Jaccard
+    structurally misses (a half-length excerpt of a 2x doc has J ~ 0.5-
+    but containment 1.0). The corpus's natural duplicates are full
+    copies, so the fixture plants the regime the operator exists for:
+    every 41st document contributes a half-length excerpt twin (built
+    in-row from its own token prefix, byte-identically in both engines),
+    and the output's `jaccard_missed` column shows exactly which caught
+    pairs the Jaccard rung would have dropped.
+
+    Scale shape: the excerpt augmentation is map-only (slice on the
+    token array); everything after is the established shingle rails —
+    distinct-shingle counts, one inverted-index equi-join on the shingle
+    (O(tokens), never doc x doc), count joins without broadcast hints
+    (per-doc counts scale with the corpus; AQE promotes when small). The
+    production screen for containment at 100 TB is the same banded
+    MinHash front (band on the SHORTER side's signature) + this exact
+    verify on candidates — the q_dedup_minhash split, unchanged."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    excerpt = F.concat_ws(
+        " ", F.slice(toks, 1, F.ceil(F.size(toks) / 2.0).cast("int"))
+    )
+    aug = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % CONTAIN_STRIDE == 0).select(
+            (F.col("doc_id") + CONTAIN_OFFSET).alias("doc_id"),
+            excerpt.alias("text"),
+        )
+    )
+    # _shingle_array dedupes IN-ROW (array_distinct), so the exploded rows
+    # are already distinct per doc — no distinct shuffle needed here
+    shd = (
+        aug.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .localCheckpoint()  # feeds counts + both inverted-index sides
+    )
+    cnt = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shd.alias("a"), shd.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = F.col("n_common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        inter.join(cnt.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(cnt.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .where(
+            F.col("n_common") * 1.0 / F.least(F.col("ca.n"), F.col("cb.n"))
+            >= CONTAIN_THRESHOLD
+        )
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            F.round(F.col("n_common") * 1.0 / F.col("ca.n"), 6).alias("c1"),
+            F.round(F.col("n_common") * 1.0 / F.col("cb.n"), 6).alias("c2"),
+            F.round(j, 6).alias("jaccard"),
+            (j < JACCARD_THRESHOLD).alias("jaccard_missed"),
+        )
+    )

@@ -1174,3 +1174,17 @@ def test_bpe_apply_encode_is_map_only_one_shuffle(plans):
     n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
     assert n_shuffles == 1, final
     assert "partial_count" in final, final
+
+
+def test_containment_shingle_rails_no_window_no_cross(plans):
+    """q_dedup_containment builds shingles in-row over the checkpointed
+    augmented corpus (no posexplode+Window, no parquet re-scan in the
+    fused plan), pairs come ONLY from the fingerprint inverted-index
+    equi-join (no cartesian), and the join currency is the 8-byte
+    xxhash64 fingerprint."""
+    p = plans("q_dedup_containment")
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
+    assert "CartesianProduct" not in final, final
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final

@@ -2070,3 +2070,72 @@ def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
         assert (r.n_words, r.n_chars, r.n_subwords) == (nw, nc, ns), r
         assert abs(r.fertility - r6(ns / nw)) < 1e-9, r
         assert abs(r.compression - r6(nc / ns)) < 1e-9, r
+
+
+def test_containment_matches_python_replay_and_catches_excerpts(spark, sf_dir):
+    """Inverted-index Python replay of one-sided containment over the
+    excerpt-augmented corpus: every output pair (counts, coefficients,
+    jaccard_missed flag) must match, every planted (excerpt, source) pair
+    must be caught, and at least one caught pair must be one Jaccard's
+    0.5 gate would drop (the regime the operator exists for)."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.dedup import (
+        CONTAIN_OFFSET,
+        CONTAIN_STRIDE,
+        CONTAIN_THRESHOLD,
+        JACCARD_THRESHOLD,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        texts[int(did)] = text
+        if did % CONTAIN_STRIDE == 0:
+            toks = text.split(" ")
+            texts[int(did) + CONTAIN_OFFSET] = " ".join(
+                toks[: math.ceil(len(toks) / 2)]
+            )
+    sh = {
+        d: {
+            " ".join(t[i : i + 3])
+            for i in range(len(t) - 2)
+        }
+        for d, t in ((d, x.split(" ")) for d, x in texts.items())
+    }
+    inv = defaultdict(set)
+    for d, s in sh.items():
+        for g in s:
+            inv[g].add(d)
+    common = defaultdict(int)
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for jj in range(i + 1, len(ds)):
+                common[(ds[i], ds[jj])] += 1
+    ref = {}
+    for (d1, d2), nc in common.items():
+        n1, n2 = len(sh[d1]), len(sh[d2])
+        if nc / min(n1, n2) >= CONTAIN_THRESHOLD:
+            jac = nc / (n1 + n2 - nc)
+            ref[(d1, d2)] = (nc, round(nc / n1, 6), round(nc / n2, 6),
+                             jac < JACCARD_THRESHOLD)
+    out = all_queries()["q_dedup_containment"](spark, sf_dir).collect()
+    assert {(r.d1, r.d2) for r in out} == set(ref)
+    for r in out:
+        nc, c1, c2, missed = ref[(r.d1, r.d2)]
+        assert (r.n_common, r.jaccard_missed) == (nc, missed), r
+        assert abs(r.c1 - c1) < 1e-9 and abs(r.c2 - c2) < 1e-9, r
+    # every planted excerpt pair is caught, and the operator earns its
+    # keep: excerpt pairs sit below the Jaccard gate yet are caught here
+    planted = {
+        (d, d + CONTAIN_OFFSET) for d in texts
+        if d < CONTAIN_OFFSET and d % CONTAIN_STRIDE == 0
+    }
+    caught = {(r.d1, r.d2) for r in out}
+    assert planted <= caught, planted - caught
+    assert any(r.jaccard_missed for r in out)
