@@ -1381,20 +1381,26 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and, in a training-data pipeline, the batch-selection step that keeps
     a sampled batch from being 5 copies of the same document).
 
-    The greedy loop is unrolled k=5 times as pure DataFrame ops — the
-    EXACT structure of the generated oracle CTE chain, so this is a full
-    hash-verified key, not a bound verdict: each step left-anti-excludes
-    the picked set, joins the bounded pairwise-sim relation to it for the
-    max-sim penalty, and row_number-picks the (rounded-score, id) argmax.
+    The relevance pool and the pairwise-sim relation are computed JVM-side
+    exactly as before (rounded rel / rounded cosine, so the values the
+    greedy sees are byte-identical to the oracle's CTEs); the k=5 greedy
+    itself runs as ONE cogrouped `applyInPandas` per query over those two
+    bounded relations. Score rounding inside the Python greedy replays
+    Spark's `F.round` exactly — `Decimal(repr(x))` is the same
+    shortest-decimal representation as Java's `Double.toString`, quantized
+    HALF_UP — so this stays a full hash-verified key, not a bound verdict.
+    (Round 7 rewrite: the previous k-unrolled DataFrame loop was plan-
+    correct but paid ~66 exchanges / 6 s at sf0.1 in round-trip latency;
+    the cogroup does the same bounded work in one pass for ~3 exchanges.)
 
     Scale shape: candidate generation is the existing brute/ANN machinery
     (one broadcast of the query batch, corpus never shuffled); everything
-    after is per-query BOUNDED — pool 20 rows, sim 20x19 rows, k=5 join
-    rounds all keyed on query_id — so a million-query batch distributes as
-    a million independent 20-row problems with no cross-query exchange.
-    The pool/sim relations are localCheckpoint'ed once: five rounds re-read
-    the materialized 20-row-per-query tables, not five recomputes of the
-    candidate cross join (the q_dedup_clusters iterative pattern)."""
+    after is per-query BOUNDED — pool 20 rows, sim 20x19 rows — so a
+    million-query batch distributes as a million independent 20-row
+    pandas groups with no cross-query exchange: one shuffle builds the
+    pool, one co-partitioned self-join builds sim, one cogroup exchange
+    feeds the greedy. The pool is localCheckpoint'ed once so the
+    broadcast-scan isn't recomputed for the sim side."""
     n = _normed(spark, sf_dir)
     q = n.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1424,61 +1430,77 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a, b = pool.alias("a"), pool.alias("b")
-    sim = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.cid") != F.col("b.cid")),
-        )
-        .select(
-            F.col("a.query_id").alias("query_id"),
-            F.col("a.cid").alias("c1"),
-            F.col("b.cid").alias("c2"),
-            F.round(
-                _dot(F.col("a.ce"), F.col("b.ce"))
-                / (F.col("a.cn") * F.col("b.cn")),
-                6,
-            ).alias("s"),
-        )
-        .localCheckpoint(eager=False)
+    sim = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.cid") != F.col("b.cid")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.cid").alias("c1"),
+        F.col("b.cid").alias("c2"),
+        F.round(
+            _dot(F.col("a.ce"), F.col("b.ce")) / (F.col("a.cn") * F.col("b.cn")),
+            6,
+        ).alias("s"),
     )
-    sel = pool.where(F.col("rn") == 1).select(
-        "query_id",
-        "cid",
-        "rel",
-        F.col("rel").alias("mmr_score"),
-        F.lit(1).alias("rank"),
-    )
-    for t in range(2, MMR_K + 1):
-        remaining = pool.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
-        maxsim = (
-            sim.join(
-                F.broadcast(sel.select("query_id", F.col("cid").alias("c2"))),
-                ["query_id", "c2"],
+
+    k = MMR_K
+
+    def greedy(pool_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        # Replays F.round(x, 6): Double.toString shortest repr == repr(x),
+        # then decimal HALF_UP — identical digits, identical tie behavior.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        quant = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP))
+
+        if pool_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"]
             )
-            .groupBy("query_id", "c1")
-            .agg(F.max("s").alias("ms"))
+        qid = int(pool_pdf["query_id"].iloc[0])
+        cand = pool_pdf.sort_values(["rel", "cid"], ascending=[False, True])
+        cids = cand["cid"].to_numpy()
+        rels = cand["rel"].to_numpy()
+        s_of = {
+            (int(r.c1), int(r.c2)): float(r.s)
+            for r in sim_pdf.itertuples(index=False)
+        }
+        picked = [(int(cids[0]), float(rels[0]), float(rels[0]), 1)]
+        chosen = [int(cids[0])]
+        for t in range(2, min(k, len(cids)) + 1):
+            best = None
+            for cid, rel in zip(cids, rels):
+                cid = int(cid)
+                if cid in chosen:
+                    continue
+                ms = max(s_of[(cid, c)] for c in chosen)
+                score = r6(0.7 * float(rel) - 0.3 * ms)
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, float(rel), score)
+            picked.append((best[1], best[2], best[3], t))
+            chosen.append(best[1])
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picked),
+                "rank": [p[3] for p in picked],
+                "neighbor_id": [p[0] for p in picked],
+                "relevance": [p[1] for p in picked],
+                "mmr_score": [p[2] for p in picked],
+            }
         )
-        cand = remaining.join(
-            maxsim,
-            (remaining["query_id"] == maxsim["query_id"]) & (remaining["cid"] == maxsim["c1"]),
-        ).select(
-            remaining["query_id"],
-            "cid",
-            "rel",
-            F.round(0.7 * F.col("rel") - 0.3 * F.col("ms"), 6).alias("mmr_score"),
+
+    return (
+        pool.select("query_id", "cid", "rel")
+        .groupBy("query_id")
+        .cogroup(sim.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id long, rank int, neighbor_id long, relevance double, mmr_score double",
         )
-        w2 = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("cid"))
-        pick = (
-            cand.withColumn("rn2", F.row_number().over(w2))
-            .where(F.col("rn2") == 1)
-            .select("query_id", "cid", "rel", "mmr_score", F.lit(t).alias("rank"))
-        )
-        sel = sel.unionByName(pick)
-    return sel.select(
-        "query_id",
-        "rank",
-        F.col("cid").alias("neighbor_id"),
-        F.col("rel").alias("relevance"),
-        "mmr_score",
     )

@@ -1095,16 +1095,18 @@ def test_source_divergence_corpus_scanned_once(plans):
 
 
 def test_mmr_rounds_read_checkpointed_pool_no_rescan(plans):
-    """q_mmr_diversify's five greedy rounds must re-read the
-    localCheckpoint'ed 20-row-per-query pool/sim tables (Scan
-    ExistingRDD), never re-run the candidate generation: the fused plan
-    touches no parquet, and there is no cross-query cartesian anywhere —
-    per-query work stays bounded at pool=20/sim=380 rows."""
+    """q_mmr_diversify's greedy runs as ONE cogrouped applyInPandas over
+    the localCheckpoint'ed 20-row-per-query pool (Scan ExistingRDD) and
+    the pairwise-sim self-join derived from it — candidate generation is
+    never re-run (no parquet in the fused plan), there is exactly one
+    Python boundary (the per-query greedy), and no cross-query cartesian
+    anywhere: per-query work stays bounded at pool=20/sim=380 rows."""
     p = plans("q_mmr_diversify")
     final = p.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 0, final
     assert "Scan ExistingRDD" in final, final
     assert "CartesianProduct" not in final, final
+    assert final.count("FlatMapCoGroupsInPandas") == 1, final
 
 
 def test_embed_lsh_eval_banded_candidates_no_rescan(plans):
