@@ -70,7 +70,7 @@ _PRIORITY = [
     # cap so it gets a driver hash row in the round it ships): the two
     # eval-symmetry audits, merge-on-read MERGE, and the rerank pass
     "q_embed_lsh_eval", "q_retrieval_eval", "q_merge_dv", "q_rerank_score",
-    "q_bpe_apply", "q_dedup_containment",
+    "q_bpe_apply", "q_dedup_containment", "q_filter_eval",
     # fully-graded keys follow in registration order; every key below the
     # cap has a hash-pass driver row on its current output (latest r6)
 ]

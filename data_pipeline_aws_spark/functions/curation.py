@@ -1255,3 +1255,117 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("blocked"), 0).otherwise(1)).alias("n_kept"),
         )
     )
+
+
+# q_filter_eval: the quality-cascade audit. Planted-corruption strata are
+# derived IN-ROW from each victim doc (truncation / token repetition /
+# whitespace stripping) plus one fixed short-token soup, so the ground
+# truth is exact and replayable on any engine.
+_TOK_SOUP = " ".join(f"t{i:02d}" for i in range(40))  # 40 distinct 3-char toks
+
+
+@query(
+    "q_filter_eval",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         CASE (doc_id // 8) % 4
+           WHEN 0 THEN 'truncate' WHEN 1 THEN 'repeat'
+           WHEN 2 THEN 'nospace'  ELSE 'shorttok' END AS corruption,
+         CASE (doc_id // 8) % 4
+           WHEN 0 THEN array_to_string(string_split(text, ' ')[1:5], ' ')
+           WHEN 1 THEN rtrim(repeat(string_split(text, ' ')[1] || ' ', 50))
+           WHEN 2 THEN replace(text, ' ', '')
+           ELSE '{_TOK_SOUP}' END AS t
+  FROM documents WHERE doc_id % 8 = 1
+),
+allrows AS (
+  SELECT 'clean' AS corruption, text AS t, lang FROM documents
+  UNION ALL SELECT corruption, t, lang FROM planted
+),
+s AS (
+  SELECT corruption,
+         len(string_split(t, ' ')) >= 20 AS pass_len,
+         len(list_distinct(string_split(t, ' '))) * 1.0
+           / len(string_split(t, ' ')) >= 0.35 AS pass_div,
+         length(t) * 1.0 / len(string_split(t, ' ')) >= 5.0 AS pass_tok_len,
+         lang <> 'zh' AS pass_lang
+  FROM allrows
+)
+SELECT corruption,
+       CASE WHEN NOT pass_len     THEN 'min_length'
+            WHEN NOT pass_div     THEN 'diversity'
+            WHEN NOT pass_tok_len THEN 'mean_tok_len'
+            WHEN NOT pass_lang    THEN 'lang_whitelist'
+            ELSE 'kept' END AS outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY corruption, outcome
+""",
+)
+def q_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cascade audit — the eval that justifies trusting the
+    q_filter_cascade gates, closing the same symmetry q_dedup_eval /
+    q_embed_lsh_eval / q_retrieval_eval close for their families: plant
+    four deterministic corruption strata (every doc_id % 8 == 1 victim
+    yields one twin — 5-token truncation, 50x first-token repetition,
+    whitespace-stripped soup, or a fixed sub-5-char-token string), run
+    the cascade's stage predicates over originals + twins, and report the
+    confusion grain (corruption x first-failing-stage x count). By
+    construction each stratum is catchable by exactly one known stage
+    (truncate/nospace -> min_length, repeat -> diversity, shorttok ->
+    mean_tok_len), so a 'kept' row in a planted stratum is a cascade bug,
+    and the clean stratum's drop rows measure the false-positive cost —
+    the report a curation team reads before turning a filter on.
+
+    Scale shape: twin planting is an in-row array-of-structs explode on
+    the SAME scan as the originals (one parquet pass, no union re-scan,
+    no doc-grain shuffle); every stage predicate is a JVM expression; the
+    only exchange is the bounded (corruption x outcome) count — ≤ 25
+    rows regardless of corpus size. At 100 TB this runs as a map pass
+    plus a KB-sized aggregate, and strata stay balanced because victims
+    are hash-selected, not sampled."""
+    toks = F.split("text", " ")
+    first_tok = F.element_at(toks, 1)
+    sel = F.expr("(doc_id div 8) % 4")
+    ctype = (
+        F.when(sel == 0, F.lit("truncate"))
+        .when(sel == 1, F.lit("repeat"))
+        .when(sel == 2, F.lit("nospace"))
+        .otherwise(F.lit("shorttok"))
+    )
+    ctext = (
+        F.when(sel == 0, F.array_join(F.slice(toks, 1, 5), " "))
+        .when(sel == 1, F.rtrim(F.repeat(F.concat(first_tok, F.lit(" ")), 50)))
+        .when(sel == 2, F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .otherwise(F.lit(_TOK_SOUP))
+    )
+    clean = F.struct(F.lit("clean").alias("corruption"), F.col("text").alias("t"))
+    variants = F.when(
+        F.col("doc_id") % 8 == 1,
+        F.array(clean, F.struct(ctype.alias("corruption"), ctext.alias("t"))),
+    ).otherwise(F.array(clean))
+    rows = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(variants).alias("v"))
+        .select("lang", "v.corruption", "v.t")
+    )
+    t_toks = F.split("t", " ")
+    staged = rows.select(
+        "corruption",
+        (F.size(t_toks) >= 20).alias("pass_len"),
+        (F.size(F.array_distinct(t_toks)) / F.size(t_toks) >= 0.35).alias("pass_div"),
+        (F.length("t") / F.size(t_toks) >= 5.0).alias("pass_tok_len"),
+        (F.col("lang") != "zh").alias("pass_lang"),
+    )
+    outcome = (
+        F.when(~F.col("pass_len"), F.lit("min_length"))
+        .when(~F.col("pass_div"), F.lit("diversity"))
+        .when(~F.col("pass_tok_len"), F.lit("mean_tok_len"))
+        .when(~F.col("pass_lang"), F.lit("lang_whitelist"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        staged.select("corruption", outcome.alias("outcome"))
+        .groupBy("corruption", "outcome")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

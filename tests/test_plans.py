@@ -1190,3 +1190,15 @@ def test_containment_shingle_rails_no_window_no_cross(plans):
     assert "CartesianProduct" not in final, final
     assert final.count("FileScan parquet") == 0, final
     assert "Scan ExistingRDD" in final, final
+
+
+def test_filter_eval_single_scan_no_join(plans):
+    """q_filter_eval's planted twins come from an in-row explode on the
+    SAME documents scan as the originals — exactly one parquet scan, no
+    join of any kind, and the only exchange is the bounded
+    (corruption x outcome) count aggregate."""
+    p = plans("q_filter_eval")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "Join" not in final, final
+    assert "Generate explode" in final, final

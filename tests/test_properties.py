@@ -2139,3 +2139,66 @@ def test_containment_matches_python_replay_and_catches_excerpts(spark, sf_dir):
     caught = {(r.d1, r.d2) for r in out}
     assert planted <= caught, planted - caught
     assert any(r.jaccard_missed for r in out)
+
+
+def test_filter_eval_matches_pandas_replay(spark, sf_dir):
+    """Third-engine replay of the quality-cascade eval: rebuild the four
+    planted corruption strata in pandas, run the stage predicates, and
+    the (corruption, first-failing-stage) confusion counts must match.
+    Also pins the construction guarantees: every planted stratum is
+    caught at its DESIGNED stage (zero 'kept' rows outside 'clean', and
+    the catching stage is the one the docstring names)."""
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.functions.curation import _TOK_SOUP
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def corrupt(row):
+        toks = row.text.split(" ")
+        sel = (row.doc_id // 8) % 4
+        if sel == 0:
+            return "truncate", " ".join(toks[:5])
+        if sel == 1:
+            return "repeat", " ".join([toks[0]] * 50)
+        if sel == 2:
+            return "nospace", row.text.replace(" ", "")
+        return "shorttok", _TOK_SOUP
+
+    rows = [("clean", r.text, r.lang) for r in docs.itertuples()]
+    rows += [
+        corrupt(r) + (r.lang,)
+        for r in docs.itertuples()
+        if r.doc_id % 8 == 1
+    ]
+
+    def outcome(t, lang):
+        toks = t.split(" ")
+        if len(toks) < 20:
+            return "min_length"
+        if len(set(toks)) / len(toks) < 0.35:
+            return "diversity"
+        if len(t) / len(toks) < 5.0:
+            return "mean_tok_len"
+        if lang == "zh":
+            return "lang_whitelist"
+        return "kept"
+
+    expect: dict[tuple[str, str], int] = {}
+    for c, t, lang in rows:
+        k = (c, outcome(t, lang))
+        expect[k] = expect.get(k, 0) + 1
+
+    out = all_queries()["q_filter_eval"](spark, sf_dir).collect()
+    got = {(r.corruption, r.outcome): r.n_docs for r in out}
+    assert got == expect, (got, expect)
+    designed = {
+        "truncate": "min_length",
+        "repeat": "diversity",
+        "nospace": "min_length",
+        "shorttok": "mean_tok_len",
+    }
+    for (c, o), n in got.items():
+        if c != "clean":
+            assert o == designed[c] and n > 0, (c, o, n)
