@@ -55,10 +55,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queue tail (q_sim_pq_search + the eight late-round-6 keys) plus the
 # four final-snapshot keys (q_dedup_onion, q_mmr_diversify,
 # q_readability, q_source_divergence). Grading them lifts cumulative
-# driver coverage to 274 of the 274 pre-round-7 keys. The four round-7
-# additions follow immediately so they get a driver hash row in the same
-# round they ship (17 prefix keys total, under the ~50 cap). Everything
-# unlisted follows in registration order.
+# driver coverage to 274 of the 274 pre-round-7 keys. The seven round-7
+# additions (q_embed_lsh_eval, q_retrieval_eval, q_merge_dv,
+# q_rerank_score, q_bpe_apply, q_dedup_containment, q_filter_eval)
+# follow immediately so they get a driver hash row in the same round
+# they ship (20 prefix keys total, under the ~50 cap; registry = 281).
+# Everything unlisted follows in registration order.
 _PRIORITY = [
     # (a) the 13 never-driver-graded keys (round-6 additions)
     "q_sim_pq_search",
