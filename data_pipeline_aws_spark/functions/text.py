@@ -763,10 +763,27 @@ stats AS (
   FROM documents
 )"""
 
-_BM25_SCORE_BODY = """SELECT tf.doc_id,
-       ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                 * (tf * 2.2)
-                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+# The ONE BM25 (k1=1.2, b=0.75) per-term score, defined once per engine:
+# every consumer (standalone scorer, hybrid-RRF fuser, retrieval-eval /
+# rerank rails) interpolates/calls these, so a k1/b retune edits exactly
+# two strings that are textual twins of each other — never six sites.
+_BM25_TERM_SQL = (
+    "LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+)
+
+
+def _bm25_term():
+    """Spark twin of _BM25_TERM_SQL over columns tf/df/dl/n_docs/avgdl."""
+    return (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+
+
+_BM25_SCORE_BODY = f"""SELECT tf.doc_id,
+       ROUND(SUM({_BM25_TERM_SQL}), 6) AS bm25
 FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
 GROUP BY tf.doc_id"""
 
@@ -810,11 +827,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avgdl"),
     )
-    term_score = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    )
+    term_score = _bm25_term()
     return (
         tf.join(F.broadcast(df_t), "token")
         .join(dl, "doc_id")
@@ -1538,13 +1551,20 @@ def _bpe_apply_oracle(rounds: int) -> str:
     # WITH chain (everything before the final select block)
     train_ctes = train[: train.index("\nSELECT 1 AS step")]
     steps = []
+    # LEFT JOIN ON TRUE (not a cross join): if a merge round learned no
+    # rule (pair counts exhausted before `rounds` — the Spark side breaks
+    # its loop early), b{r} is EMPTY and a cross join would empty the
+    # whole document relation; the left join keeps wstr unchanged instead,
+    # mirroring the engine's shorter rule chain.
     for r in range(1, rounds + 1):
         steps.append(
             f""",
 a{r} AS (
   SELECT doc_id,
-         replace(wstr, {d}||b.lhs||{dd}||b.rhs||{d}, {d}||b.lhs||b.rhs||{d}) AS wstr
-  FROM a{r - 1}, b{r} b
+         CASE WHEN b.lhs IS NULL THEN wstr
+              ELSE replace(wstr, {d}||b.lhs||{dd}||b.rhs||{d}, {d}||b.lhs||b.rhs||{d})
+         END AS wstr
+  FROM a{r - 1} LEFT JOIN b{r} b ON TRUE
 )"""
         )
     return f"""{train_ctes},
@@ -1775,11 +1795,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
     )
     scored = tf.join(F.broadcast(df_t), "token").crossJoin(F.broadcast(stats))
-    term_bm25 = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    )
+    term_bm25 = _bm25_term()
     bm = (
         scored.join(dl, "doc_id")
         .groupBy("doc_id")
@@ -2169,8 +2185,7 @@ sc AS (
 ),
 bm AS (
   SELECT query_doc, doc_id,
-         ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         ROUND(SUM({_BM25_TERM_SQL}), 6) AS bm25
   FROM sc CROSS JOIN stats GROUP BY query_doc, doc_id
 ),
 cs AS (
@@ -2261,11 +2276,7 @@ def _retr_rails(spark: SparkSession, sf_dir: str) -> dict:
         .select("query_doc", "doc_id", "tf", "df", "dl")
         .crossJoin(F.broadcast(stats))
     ).localCheckpoint()
-    term_bm25 = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    )
+    term_bm25 = _bm25_term()
     bm = sc.groupBy("query_doc", "doc_id").agg(
         F.round(F.sum(term_bm25), 6).alias("bm25")
     )

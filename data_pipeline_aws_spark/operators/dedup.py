@@ -91,12 +91,15 @@ def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The ONE DuckDB definition of the distinct-shingle relation (tok/sh/shd),
 # shared verbatim by every shingle-set oracle below — the SQL twin of
 # _shingle_array being the one Spark-side definition. Editing the shingle
-# width/tokenization here updates every oracle in lockstep.
-_SHINGLE_CTES = """tok AS (
+# width/tokenization here updates every oracle in lockstep. Oracles whose
+# corpus is an augmented CTE (e.g. q_dedup_containment's aug) pass that
+# relation name instead of the documents table.
+def _shingle_ctes(src: str = "documents") -> str:
+    return f"""tok AS (
   SELECT doc_id,
          unnest(string_split(text, ' '))                   AS token,
          generate_subscripts(string_split(text, ' '), 1)   AS pos
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -104,6 +107,9 @@ sh AS (
   FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
 shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)"""
+
+
+_SHINGLE_CTES = _shingle_ctes()
 
 _SHINGLE_SQL = f"""
 WITH {_SHINGLE_CTES},
@@ -2126,6 +2132,9 @@ def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
         .distinct()
+        # cand feeds uni and the cells join: checkpoint so the band
+        # self-join + signature mapInPandas run once, not per consumer
+        .localCheckpoint(eager=False)
     )
 
     # exact truth: blocked matmul over the augmented corpus (the
@@ -2169,11 +2178,16 @@ def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             v2 = np.maximum(ids_a[ia], ids_b[ib])
         return pd.DataFrame({"v1": v1, "v2": v2})
 
+    # truth feeds TWO consumers (uni and the cells join); without the
+    # checkpoint the O(N²/B) blocked matmuls — the declared audit cost and
+    # the dominant stage of this key — would execute once per consumer
+    # (ReuseExchange stops below the groupBy, not above the pandas stage).
     truth = (
         side_a.unionByName(side_b)
         .groupBy("bi", "bj")
         .applyInPandas(block_truth, "v1 long, v2 long")
         .withColumn("is_true", F.lit(True))
+        .localCheckpoint(eager=False)
     )
 
     # derive the planted-pair list from the checkpointed aug's twin ids —
@@ -2232,18 +2246,7 @@ WITH aug AS (
            CAST(ceil(len(string_split(text, ' ')) / 2.0) AS BIGINT)), ' ')
   FROM documents WHERE doc_id % {CONTAIN_STRIDE} = 0
 ),
-tok AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' '))                   AS token,
-         generate_subscripts(string_split(text, ' '), 1)   AS pos
-  FROM aug
-),
-sh AS (
-  SELECT doc_id,
-         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
-  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+{_shingle_ctes("aug")},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common

@@ -2202,3 +2202,53 @@ def test_filter_eval_matches_pandas_replay(spark, sf_dir):
     for (c, o), n in got.items():
         if c != "clean":
             assert o == designed[c] and n > 0, (c, o, n)
+
+
+def test_bpe_apply_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """On a corpus whose pair counts exhaust before _BPE_ROUNDS, the
+    trainer learns fewer rules and the Spark encode degrades gracefully;
+    the apply ORACLE must too (regression: its a{r} chain cross-joined
+    the empty b{r} and emptied the whole document relation — a guaranteed
+    hash divergence on merge-exhausted corpora)."""
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.registry import ORACLES
+
+    # every word is "x y": round 1 merges (x,y); afterwards each word is a
+    # single symbol, so rounds 2..6 learn nothing.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["x y x y", "x y", "x y x y x y"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [7, 3, 11],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    spdf = (
+        all_queries()["q_bpe_apply"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(spdf) == 3, spdf
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = (
+        con.execute(ORACLES["q_bpe_apply"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(odf) == 3, odf  # the old cross-join oracle returned 0 rows
+    pd.testing.assert_frame_equal(
+        spdf.astype({"doc_id": "int64"}), odf.astype({"doc_id": "int64"}),
+        check_dtype=False,
+    )
+    # both agree the encode collapsed each "x y" word pair to one subword
+    assert list(spdf["n_subwords"]) == [4, 2, 6], spdf

@@ -42,7 +42,23 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Same quiet-host gate as bench.py's closing artifact: this tool's
+    # whole purpose is quiet-host drift attribution, so a contended start
+    # waits (up to 10 min, 30 s re-samples) and the JSON line carries a
+    # host_contended stamp either way. SPARK_GRAFT_BENCH_QUIET_WAIT=0 skips.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    wait_left = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
     load_start = os.getloadavg()[0]
+    while load_start > max_load and wait_left > 0:
+        print(
+            f"host busy (1-min loadavg {load_start} > {max_load}); waiting",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+        wait_left -= 30
+        load_start = os.getloadavg()[0]
+
     spark = get_spark("remeasure")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -72,6 +88,7 @@ def main() -> None:
                 "queries": timings,
                 "passes": n_passes,
                 "loadavg_1min": {"start": load_start, "end": os.getloadavg()[0]},
+                "host_contended": load_start > max_load,
                 "calib_sec": _cpu_calibration(),
                 "sf": sf,
             },
