@@ -2252,3 +2252,41 @@ def test_bpe_apply_oracle_survives_merge_exhaustion(spark, tmp_path):
     )
     # both agree the encode collapsed each "x y" word pair to one subword
     assert list(spdf["n_subwords"]) == [4, 2, 6], spdf
+
+
+def test_bm25_term_spark_and_sql_definitions_agree(spark):
+    """The ONE-definition contract behind the round-7 BM25 dedup:
+    _bm25_term() (Spark) and _BM25_TERM_SQL (DuckDB) must score identical
+    (tf, df, dl, n_docs, avgdl) inputs identically UNDER THE PRODUCTION
+    ROUND(.,6) contract (raw doubles differ in the last ulp because
+    DuckDB's LN and the JVM's log are different libms — which is exactly
+    why every consumer rounds after summing) — a retune applied to one
+    definition and not the other fails here before it can surface as a
+    confusing three-key parity break."""
+    import duckdb
+
+    from data_pipeline_aws_spark.functions.text import _BM25_TERM_SQL, _bm25_term
+
+    rows = [
+        (float(tf), float(df), float(dl), 500.0, 83.25)
+        for tf in (1, 2, 5, 17)
+        for df in (1, 3, 250, 499)
+        for dl in (1, 40, 200)
+    ]
+    cols = ["tf", "df", "dl", "n_docs", "avgdl"]
+    sp = (
+        spark.createDataFrame(rows, cols)
+        .select(*cols, F.round(_bm25_term(), 6).alias("s"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (tf DOUBLE, df DOUBLE, dl DOUBLE, n_docs DOUBLE, avgdl DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    dk = {
+        (r[0], r[1], r[2]): r[5]
+        for r in con.execute(
+            f"SELECT *, ROUND({_BM25_TERM_SQL}, 6) FROM t"
+        ).fetchall()
+    }
+    for r in sp:
+        assert r.s == dk[(r.tf, r.df, r.dl)], (r, dk[(r.tf, r.df, r.dl)])
