@@ -161,3 +161,28 @@ def test_package_zip_shipped_to_python_workers(spark):
     tune_session(spark)
     includes = list(spark.sparkContext._python_includes)
     assert any("dpas_pkg_" in p for p in includes), includes
+
+
+def test_parity_artifact_covers_the_whole_registry():
+    """The committed multi-SF parity artifact must describe the CURRENT
+    registry: every registered key has a row at every swept SF, and every
+    row passes. This mechanizes the round-6 lesson — four keys once
+    shipped in a snapshot commit with no committed verification evidence;
+    now a new @query without a regenerated PARITY_MULTI_SF.json (run
+    tools/parity_sweep.py over the 3 SF dirs) fails pytest instead of
+    shipping silently unverified."""
+    import json
+    import os
+
+    from data_pipeline_aws_spark.registry import QUERIES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PARITY_MULTI_SF.json")
+    art = json.load(open(path))
+    assert set(art) >= {"sf0.001", "sf0.01", "sf0.1"}, sorted(art)
+    for tag, rows in art.items():
+        missing = set(QUERIES) - set(rows)
+        assert not missing, f"{tag}: keys with no committed parity evidence: {sorted(missing)}"
+        stale = set(rows) - set(QUERIES)
+        assert not stale, f"{tag}: artifact rows for unregistered keys: {sorted(stale)}"
+        bad = {k: s for k, s in rows.items() if s != "pass"}
+        assert not bad, f"{tag}: non-pass parity rows: {bad}"
