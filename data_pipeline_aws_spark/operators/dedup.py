@@ -2032,6 +2032,20 @@ def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
+    # Planted twins live at vec_id + OFFSET; a real id at/above the offset
+    # would be misclassified as planted, silently corrupting every stratum
+    # row. Fail loudly instead (lazy per-row guard — no extra action):
+    e = e.where(
+        F.when(F.col("vec_id") < ELSH_EVAL_OFFSET, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q_embed_lsh_eval: vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(f" >= twin offset {ELSH_EVAL_OFFSET}; raise ELSH_EVAL_OFFSET"),
+                )
+            )
+        )
+    )
     stratum = ((F.col("vec_id") / ELSH_EVAL_STRIDE).cast("long") % 4).cast("int")
     alpha = (
         F.when(stratum == 0, F.lit(ELSH_EVAL_ALPHAS[0]))
@@ -2288,6 +2302,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash front (band on the SHORTER side's signature) + this exact
     verify on candidates — the q_dedup_minhash split, unchanged."""
     d = table(spark, sf_dir, "documents")
+    # Excerpt ids live at doc_id + OFFSET; a real doc_id at/above the
+    # offset would be misclassified as a planted excerpt. Fail loudly
+    # (lazy per-row guard — no extra action):
+    d = d.where(
+        F.when(F.col("doc_id") < CONTAIN_OFFSET, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q_dedup_containment: doc_id "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" >= excerpt offset {CONTAIN_OFFSET}; raise CONTAIN_OFFSET"),
+                )
+            )
+        )
+    )
     toks = F.split("text", " ")
     excerpt = F.concat_ws(
         " ", F.slice(toks, 1, F.ceil(F.size(toks) / 2.0).cast("int"))

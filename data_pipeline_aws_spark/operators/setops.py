@@ -435,6 +435,7 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MERGE with deletion vectors (merge-on-read) ---------------------------
 MERGE_DV_FILES = 16  # base "files": o_orderkey % 16 buckets, row_number pos
+MERGE_DV_INSERT_OFFSET = 10_000_000  # synthetic insert key = o_orderkey + OFFSET
 
 _MERGE_DV_ORACLE = f"""
 WITH base AS (
@@ -527,9 +528,25 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     All money arithmetic rides integer cents (the q_cdc_apply rule)."""
     from pyspark.sql import Window
 
+    # Synthetic insert keys live at o_orderkey + MERGE_DV_INSERT_OFFSET; a
+    # real key at/above the offset would collide with an insert. Fail
+    # loudly (lazy per-row guard — no extra action):
+    orders = table(spark, sf_dir, "orders").where(
+        F.when(F.col("o_orderkey") < MERGE_DV_INSERT_OFFSET, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q_merge_dv: o_orderkey "),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(
+                        f" >= insert offset {MERGE_DV_INSERT_OFFSET};"
+                        " raise MERGE_DV_INSERT_OFFSET"
+                    ),
+                )
+            )
+        )
+    )
     base = (
-        table(spark, sf_dir, "orders")
-        .select(
+        orders.select(
             "o_orderkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             (F.col("o_orderkey") % MERGE_DV_FILES).cast("int").alias("file_id"),
@@ -555,7 +572,7 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.where(F.col("o_orderkey") % 997 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
                 F.lit("insert").alias("op"),
                 (F.col("cents") + 1).alias("new_cents"),
             )
@@ -584,7 +601,7 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.where(F.col("o_orderkey") % 997 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
                 (F.col("cents") + 1).alias("cents"),
             )
         )

@@ -1466,9 +1466,14 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = pool_pdf.sort_values(["rel", "cid"], ascending=[False, True])
         cids = cand["cid"].to_numpy()
         rels = cand["rel"].to_numpy()
+        # NULL cosines (zero-norm vectors) and absent sim rows must not
+        # crash the executor: skip them, mirroring SQL MAX's null-ignoring
+        # semantics; a candidate with NO usable sim row sorts last (the
+        # NULLS-LAST order the pre-r7 DataFrame unroll gave it).
         s_of = {
             (int(r.c1), int(r.c2)): float(r.s)
             for r in sim_pdf.itertuples(index=False)
+            if r.s is not None and not pd.isna(r.s)
         }
         picked = [(int(cids[0]), float(rels[0]), float(rels[0]), 1)]
         chosen = [int(cids[0])]
@@ -1478,9 +1483,13 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cid = int(cid)
                 if cid in chosen:
                     continue
-                ms = max(s_of[(cid, c)] for c in chosen)
-                score = r6(0.7 * float(rel) - 0.3 * ms)
-                key = (-score, cid)
+                sims = [s for c in chosen if (s := s_of.get((cid, c))) is not None]
+                if sims:
+                    score = r6(0.7 * float(rel) - 0.3 * max(sims))
+                    key = (0, -score, cid)
+                else:
+                    score = None
+                    key = (1, 0.0, cid)
                 if best is None or key < best[0]:
                     best = (key, cid, float(rel), score)
             picked.append((best[1], best[2], best[3], t))

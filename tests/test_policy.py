@@ -174,15 +174,19 @@ def test_parity_artifact_covers_the_whole_registry():
     import json
     import os
 
-    from data_pipeline_aws_spark.registry import QUERIES
+    # all_queries() populates the registry on first call; importing
+    # registry.QUERIES directly reads an empty dict when this test runs in
+    # isolation and every artifact row would be misreported as "stale".
+    from data_pipeline_aws_spark import all_queries
 
+    registered = set(all_queries())
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PARITY_MULTI_SF.json")
     art = json.load(open(path))
     assert set(art) >= {"sf0.001", "sf0.01", "sf0.1"}, sorted(art)
     for tag, rows in art.items():
-        missing = set(QUERIES) - set(rows)
+        missing = registered - set(rows)
         assert not missing, f"{tag}: keys with no committed parity evidence: {sorted(missing)}"
-        stale = set(rows) - set(QUERIES)
+        stale = set(rows) - registered
         assert not stale, f"{tag}: artifact rows for unregistered keys: {sorted(stale)}"
         bad = {k: s for k, s in rows.items() if s != "pass"}
         assert not bad, f"{tag}: non-pass parity rows: {bad}"

@@ -1738,10 +1738,14 @@ def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
     E = E / np.sqrt((E * E).sum(axis=1, keepdims=True))
     idx = {v: i for i, v in enumerate(ids)}
 
-    def r6(x: float) -> float:  # Spark ROUND = half-up (away from zero)
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+    # Spark ROUND on a double = shortest-decimal repr (Double.toString ==
+    # Python repr) quantized HALF_UP — the binary floor(|x|*1e6+0.5) trick
+    # diverges on doubles just below a .5 tie whose repr SHOWS the tie, so
+    # the replay must use the exact Decimal construction the operator uses.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    import math
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
     expect = {}
     for qid in sorted(v for v in ids if v < N_QUERIES):
@@ -2061,10 +2065,14 @@ def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
     out = all_queries()["q_bpe_apply"](spark, sf_dir).collect()
     assert {r.doc_id for r in out} == set(ref)
     # half-up rounding (Spark/DuckDB ROUND) — Python round() is banker's
-    # and differs on exact .5 ties like 290/256 = 1.1328125
-    import math
+    # and differs on exact .5 ties like 290/256 = 1.1328125. Spark rounds
+    # the shortest-decimal repr HALF_UP, so the replay must too (the binary
+    # floor(x*1e6+0.5) trick diverges on repr-visible near-ties).
+    from decimal import ROUND_HALF_UP, Decimal
 
-    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    r6 = lambda x: float(  # noqa: E731
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
     for r in out:
         nw, nc, ns = ref[r.doc_id]
         assert (r.n_words, r.n_chars, r.n_subwords) == (nw, nc, ns), r
