@@ -1123,27 +1123,31 @@ def test_embed_lsh_eval_banded_candidates_no_rescan(plans):
     assert "SortMergeJoin" not in final, final
 
 
-def test_retrieval_eval_checkpointed_rails_bounded_fuse(plans):
-    """q_retrieval_eval reads the checkpointed tf/dl/qt/sc rails (corpus
-    tokenized exactly once, inside the checkpoint builds — the fused plan
-    touches no parquet); the only sort-merge join is the full-outer fuse
-    of the two <=10-row per-query rank lists."""
+def test_retrieval_eval_reads_rails_cache_bounded_fuse(plans):
+    """q_retrieval_eval reads the PERSISTED qt/sc/dl rails cache (corpus
+    tokenized once per code version, shared with q_rerank_score) — every
+    parquet scan in the plan is the dpas_retr_rails layout, never the
+    documents table; the only sort-merge join is the full-outer fuse of
+    the two <=10-row per-query rank lists."""
     p = plans("q_retrieval_eval")
     final = p.split("== Initial Plan ==")[0]
-    assert final.count("FileScan parquet") == 0, final
-    assert "Scan ExistingRDD" in final, final
+    assert "documents.parquet" not in final, final
+    assert final.count("FileScan parquet") >= 1, final
+    assert "dpas_retr_rails" in final, final
     assert "CartesianProduct" not in final, final
     assert final.count("SortMergeJoin") <= 1, final
     assert final.count("BroadcastHashJoin") >= 1, final
 
 
 def test_rerank_score_map_only_after_bounded_joins(plans):
-    """q_rerank_score shares the checkpointed retrieval rails (no parquet
-    re-scan) and scores with literal weights — no Python stage anywhere;
-    the rerank window runs over the <=20-row per-query fused shortlist."""
+    """q_rerank_score shares the persisted retrieval rails cache (no
+    documents re-tokenize) and scores with literal weights — no Python
+    stage anywhere; the rerank window runs over the <=20-row per-query
+    fused shortlist."""
     p = plans("q_rerank_score")
     final = p.split("== Initial Plan ==")[0]
-    assert final.count("FileScan parquet") == 0, final
+    assert "documents.parquet" not in final, final
+    assert "dpas_retr_rails" in final, final
     assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
     assert "CartesianProduct" not in final, final
     assert final.count("SortMergeJoin") <= 1, final

@@ -2013,6 +2013,42 @@ def test_rerank_score_matches_python_replay(spark, sf_dir):
     assert set(got) == set(expect)
 
 
+def test_retr_rails_cache_recovers_from_corrupt_layout(spark, sf_dir):
+    """The shared retrieval-rails cache must (a) rebuild from scratch when
+    absent, (b) self-heal a corrupt layout (files present, no _SUCCESS
+    sentinel — a pre-staging writer's leftovers), and (c) serve both keys
+    identical results either way. Mirrors the stream-sink cache suite."""
+    import os
+    import shutil
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+    from data_pipeline_aws_spark.functions import text as text_mod
+
+    root = versioned_cache_dir("retr_rails", sf_dir, text_mod.__file__)
+    key = lambda r: (r.query_doc, r.doc_id, r.rerank_rank)  # noqa: E731
+
+    shutil.rmtree(root, ignore_errors=True)
+    fresh = sorted(all_queries()["q_rerank_score"](spark, sf_dir).collect(), key=key)
+    assert os.path.exists(os.path.join(root, "_SUCCESS")), "build did not publish"
+
+    # corrupt: drop the sentinel, scribble over a data subdir
+    os.unlink(os.path.join(root, "_SUCCESS"))
+    with open(os.path.join(root, "qt", "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    healed = sorted(all_queries()["q_rerank_score"](spark, sf_dir).collect(), key=key)
+    assert os.path.exists(os.path.join(root, "_SUCCESS")), "recovery did not republish"
+    assert not os.path.exists(os.path.join(root, "qt", "garbage.parquet"))
+    assert healed == fresh
+
+    # warm path: second key reuses the published layout (no rebuild — the
+    # layout's inode set is unchanged) and its rows agree with the replay
+    # tests above; here just assert it runs off the same published dir
+    ino_before = os.stat(root).st_ino
+    all_queries()["q_retrieval_eval"](spark, sf_dir).count()
+    assert os.stat(root).st_ino == ino_before, "warm caller rebuilt the cache"
+
+
 def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
     """q_bpe_apply's chained framed replaces must tokenize every document
     exactly like the classic list-walk BPE encoder running the same
