@@ -505,6 +505,96 @@ def test_multimodal_decode_matches_python_replay(spark, sf_dir, duck):
     assert got == want
 
 
+def test_wav_codec_matches_stdlib_wave_and_round_trips():
+    """The repo WAV writer must be byte-identical to Python's stdlib `wave`
+    module for the same PCM8 samples (i.e. a REAL container, not a private
+    framing), and the chunk-walking parser must round-trip it, decode a
+    stdlib-written file, tolerate extra RIFF chunks, and refuse non-PCM8
+    formats with the documented plug-point error."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from data_pipeline_aws_spark.multimodal.media import (
+        WAV_RATE,
+        decode_wav_pcm8,
+        encode_wav_pcm8,
+    )
+
+    for samples in (b"", b"\x00", bytes(range(256)), b"spark" * 100):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(WAV_RATE)
+            w.writeframes(samples)
+        assert encode_wav_pcm8(samples) == buf.getvalue(), len(samples)
+        # round-trip our writer and decode the stdlib file identically
+        assert bytes(decode_wav_pcm8(encode_wav_pcm8(samples))) == samples
+        assert bytes(decode_wav_pcm8(buf.getvalue())) == samples
+
+    # extra chunk between fmt and data (LIST/INFO as real encoders emit)
+    wav = encode_wav_pcm8(b"abc")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = wav[:36] + extra + wav[36:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert bytes(decode_wav_pcm8(patched)) == b"abc"
+
+    # odd-sized chunk is word-aligned per RIFF: parser must skip the pad
+    odd = b"junk" + struct.pack("<I", 3) + b"xyz\x00"
+    patched = wav[:36] + odd + wav[36:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert bytes(decode_wav_pcm8(patched)) == b"abc"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm8(b"not a wav at all")
+    buf16 = io.BytesIO()
+    with wave.open(buf16, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)  # 16-bit → pure-numpy path must refuse
+        w.setframerate(WAV_RATE)
+        w.writeframes(np.zeros(8, dtype="<i2").tobytes())
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm8(buf16.getvalue())
+
+
+def test_multimodal_audio_features_replay_via_module_codec(spark, sf_dir, duck):
+    """q_multimodal_audio's inlined worker codec must agree with the
+    module-level encode/decode pair (the documented production API): the
+    windowed RMS/peak rows replayed through encode_wav_pcm8 →
+    decode_wav_pcm8 must equal the operator output exactly."""
+    import numpy as np
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import (
+        decode_wav_pcm8,
+        encode_wav_pcm8,
+    )
+
+    want = {}
+    for doc_id, text in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        samples = decode_wav_pcm8(encode_wav_pcm8(text.encode("utf-8")))
+        samples = samples[:256].astype(np.float64)
+        for w in range(4):
+            seg = samples[w * 64 : (w + 1) * 64]
+            if seg.size == 0:
+                break
+            want[(doc_id, w)] = (
+                int(seg.size),
+                round(float(np.sqrt(np.mean(seg * seg))), 4),
+                int(seg.max()),
+            )
+    got = {
+        (r.doc_id, r.window_idx): (r.n_samples, r.rms, r.peak)
+        for r in all_queries()["q_multimodal_audio"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_embed_lsh_finds_planted_duplicates_exactly(spark):
     """q_dedup_embed_lsh core on a corpus with PLANTED near-duplicates:
     every planted pair (cos >= 0.9 by construction) must be recovered and
