@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_aws_spark.functions.curation import _HASH_MULT
 from data_pipeline_aws_spark.registry import query
 from data_pipeline_aws_spark.tables import table
 
@@ -701,8 +702,10 @@ def _mh_index_versions(
 # shared verbatim by the index-maintenance and sketch-audit oracles so both
 # grade against the SAME sketch definition Spark persists. sig's ep/chash
 # columns serve the incremental op; consumers that don't need them ignore
-# them.
-_MH_SIG_CTES = f"""seeds(i, a, b) AS (VALUES {_MH_SEED_VALUES}),
+# them. Oracles auditing a sub-corpus (q_dedup_eval_sampled) pass that CTE
+# name as ``src`` — the sketch definition itself never forks.
+def _mh_sig_ctes(src: str = "documents") -> str:
+    return f"""seeds(i, a, b) AS (VALUES {_MH_SEED_VALUES}),
 shh AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
@@ -716,13 +719,16 @@ mh AS (
 sig AS (
   SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS ep, md5(d.text) AS chash,
          list(mh.v ORDER BY mh.seed) AS mhs
-  FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id
+  FROM {src} d LEFT JOIN mh ON d.doc_id = mh.doc_id
   GROUP BY d.doc_id, d.text
 ),
 bands AS (
   SELECT doc_id, ep, b.b AS band, mhs[2*b.b + 1] AS s1, mhs[2*b.b + 2] AS s2
   FROM sig, range(16) b(b)
 )"""
+
+
+_MH_SIG_CTES = _mh_sig_ctes()
 
 _MH_INCR_ORACLE = f"""
 WITH {_SHINGLE_CTES},
@@ -1652,11 +1658,13 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Sketch-quality audit: LSH candidates vs exact ground truth -----------
-# Shares _SHINGLE_CTES (the one shingle definition) and _MH_SIG_CTES (the
+# Shares _shingle_ctes (the one shingle definition) and _mh_sig_ctes (the
 # one sketch definition) so the audit grades the SAME sketch the
 # incremental index persists; sig's ep/chash columns are unused here.
-_MH_EVAL_ORACLE = f"""
-WITH {_SHINGLE_CTES},
+# Parameterized by the corpus relation so the sampled-stratum mode audits
+# a sub-corpus through the IDENTICAL confusion pipeline.
+def _mh_eval_confusion_ctes(src: str = "documents") -> str:
+    return f"""{_shingle_ctes(src)},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -1669,7 +1677,7 @@ truth AS (
   JOIN cnt cb ON d2 = cb.doc_id
   WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
 ),
-{_MH_SIG_CTES},
+{_mh_sig_ctes(src)},
 cand AS (
   SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
   FROM bands x JOIN bands y
@@ -1700,12 +1708,18 @@ counts AS (
          CAST(SUM(CASE WHEN NOT is_true AND is_cand AND NOT acc THEN 1 ELSE 0
               END) AS BIGINT) AS n_false_rejected
   FROM cells
-)
-SELECT *,
+)"""
+
+
+_MH_EVAL_RATIOS_SQL = """
        ROUND(n_true_caught_accepted * 1.0 / NULLIF(n_true, 0), 6) AS recall,
        ROUND(n_true_caught_accepted * 1.0
              / NULLIF(n_true_caught_accepted + n_false_accepted, 0), 6)
-         AS precision
+         AS precision"""
+
+_MH_EVAL_ORACLE = f"""
+WITH {_mh_eval_confusion_ctes()}
+SELECT *,{_MH_EVAL_RATIOS_SQL}
 FROM counts
 """
 
@@ -1732,10 +1746,20 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs this audit on a sampled stratum (hash-mod of doc_id, the
     q_sample_stratified trick) and extrapolates — the sketch side's
     calibration is sample-invariant because banding probability depends only
-    on pair similarity. The audit verb and its plan shape are what matter:
-    banded candidate join (never all-pairs on the sketch side), in-row
-    32-compare screen, single bounded report row."""
-    sig = _mh_sig_table(table(spark, sf_dir, "documents")).localCheckpoint()
+    on pair similarity. That mode is RUNNABLE, not prose: q_dedup_eval_sampled
+    below audits the hash-stratum sub-corpus through this exact pipeline and
+    extrapolates the pair counts by 1/s²; the extrapolation envelope vs this
+    full-truth row is property-tested at two SFs. The audit verb and its plan
+    shape are what matter: banded candidate join (never all-pairs on the
+    sketch side), in-row 32-compare screen, single bounded report row."""
+    return _dedup_eval_report(table(spark, sf_dir, "documents"))
+
+
+def _dedup_eval_report(docs: DataFrame) -> DataFrame:
+    """The confusion pipeline under q_dedup_eval / q_dedup_eval_sampled:
+    sketch candidates + screen decisions vs exact shingle-Jaccard truth over
+    the given corpus relation, one bounded report row."""
+    sig = _mh_sig_table(docs).localCheckpoint()
     band = _mh_band_rows(sig).alias("a")
     bandb = _mh_band_rows(sig).alias("b")
     cand = (
@@ -1761,9 +1785,12 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the truth side's fingerprint relation feeds three consumers (per-doc
     # counts + both inverted-index join sides): checkpoint the 12 B/shingle
     # rows once instead of re-scanning and re-shingling text per consumer
-    truth = _exact_jaccard_pairs(
-        shingle_fingerprints(spark, sf_dir).localCheckpoint()
-    ).select("d1", "d2", F.lit(True).alias("is_true"))
+    shh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    truth = _exact_jaccard_pairs(shh.localCheckpoint()).select(
+        "d1", "d2", F.lit(True).alias("is_true")
+    )
     cells = (
         est.withColumnsRenamed({"d1": "e1", "d2": "e2"})
         .join(
@@ -1799,6 +1826,68 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             tca * 1.0 / F.nullif(tca + F.col("n_false_accepted"), F.lit(0)), 6
         ).alias("precision"),
+    )
+
+
+# Sampled-stratum truth mode: the production way to run the audit at 100 TB.
+# Doc stratum = the q_sample_stratified multiplicative-hash trick (same
+# constant — one sampling definition repo-wide); a truth/candidate pair
+# survives iff BOTH endpoints land in the stratum, so pair counts scale by
+# s² and the extrapolation multiplier is (100/pct)².
+EVAL_SAMPLE_PCT = 50  # doc-stratum keep rate (s = 0.5 → pair rate 0.25)
+_EVAL_PAIR_MULT = (100 // EVAL_SAMPLE_PCT) ** 2
+_EVAL_COUNT_COLS = (
+    "n_true",
+    "n_true_caught_accepted",
+    "n_true_caught_rejected",
+    "n_true_missed",
+    "n_false_accepted",
+    "n_false_rejected",
+)
+
+_MH_EVAL_SAMPLED_ORACLE = f"""
+WITH sdocs AS (
+  SELECT * FROM documents WHERE (doc_id * {_HASH_MULT}) % 100 < {EVAL_SAMPLE_PCT}
+),
+{_mh_eval_confusion_ctes("sdocs")}
+SELECT *,
+       CAST({EVAL_SAMPLE_PCT} AS INT) AS sample_pct,
+       {", ".join(f"CAST({c} * {_EVAL_PAIR_MULT} AS BIGINT) AS est_{c}" for c in _EVAL_COUNT_COLS)},{_MH_EVAL_RATIOS_SQL}
+FROM counts
+"""
+
+
+@query("q_dedup_eval_sampled", oracle=_MH_EVAL_SAMPLED_ORACLE)
+def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_eval's 100-TB mode, executable: audit the sketch on a
+    deterministic hash stratum of the corpus (EVAL_SAMPLE_PCT% of docs,
+    the q_sample_stratified multiplicative-hash predicate — pushed to the
+    scan) and EXTRAPOLATE the confusion counts to full-corpus estimates
+    (est_* columns, pair counts × 1/s² since a pair survives iff both
+    endpoints are sampled). recall/precision are emitted unextrapolated —
+    they are ratio estimators, sample-invariant because band-collision
+    probability depends only on pair similarity, never on corpus size.
+
+    Why this is sound at 100 TB: the truth side's quadratic-ish exact
+    Jaccard now runs over s² of the pair population (s=0.5 here; 0.01 in
+    production is the same one-constant change), while the sketch's
+    calibration transfers to the full corpus unchanged. The extrapolation
+    envelope vs the full-truth row is property-tested at sf0.001 and
+    sf0.01 (tests/test_properties.py) — the estimator's variance, not just
+    its formula, is pinned to committed evidence."""
+    docs = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") * _HASH_MULT) % 100 < EVAL_SAMPLE_PCT
+    )
+    report = _dedup_eval_report(docs)
+    return report.select(
+        *_EVAL_COUNT_COLS,
+        F.lit(EVAL_SAMPLE_PCT).cast("int").alias("sample_pct"),
+        *[
+            (F.col(c) * _EVAL_PAIR_MULT).cast("long").alias(f"est_{c}")
+            for c in _EVAL_COUNT_COLS
+        ],
+        "recall",
+        "precision",
     )
 
 

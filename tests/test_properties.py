@@ -595,6 +595,42 @@ def test_multimodal_audio_features_replay_via_module_codec(spark, sf_dir, duck):
     assert got == want
 
 
+def test_dedup_eval_sampled_extrapolates_within_binomial_envelope(spark):
+    """The sampled-stratum truth mode's 100-TB claim, as data: at two SFs,
+    every sampled pair count must sit inside the binomial 3σ envelope of
+    its expectation under the full-truth row (a pair survives the s=0.5
+    doc stratum w.p. s²=0.25), est_* must be exactly count × 1/s², and the
+    ratio estimators (recall/precision) must transfer within 0.25 when the
+    sampled stratum has any truth pairs. This pins the estimator's
+    VARIANCE to committed evidence, not just its formula."""
+    import math
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.dedup import (
+        _EVAL_COUNT_COLS,
+        _EVAL_PAIR_MULT,
+        EVAL_SAMPLE_PCT,
+    )
+
+    s2 = (EVAL_SAMPLE_PCT / 100.0) ** 2
+    qs = all_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        full = qs["q_dedup_eval"](spark, sf).collect()[0].asDict()
+        samp = qs["q_dedup_eval_sampled"](spark, sf).collect()[0].asDict()
+        assert samp["sample_pct"] == EVAL_SAMPLE_PCT
+        for c in _EVAL_COUNT_COLS:
+            assert samp[f"est_{c}"] == samp[c] * _EVAL_PAIR_MULT, (sf, c)
+            mean = full[c] * s2
+            sigma = math.sqrt(max(full[c] * s2 * (1 - s2), 0.0))
+            assert abs(samp[c] - mean) <= 3 * sigma + 1, (
+                sf, c, samp[c], full[c], mean, sigma,
+            )
+        if samp["n_true"]:
+            assert abs(samp["recall"] - full["recall"]) <= 0.25, (sf, samp, full)
+        if samp["n_true_caught_accepted"] or samp["n_false_accepted"]:
+            assert abs(samp["precision"] - full["precision"]) <= 0.25, (sf, samp, full)
+
+
 def test_embed_lsh_finds_planted_duplicates_exactly(spark):
     """q_dedup_embed_lsh core on a corpus with PLANTED near-duplicates:
     every planted pair (cos >= 0.9 by construction) must be recovered and

@@ -7,6 +7,14 @@ across scales, not just at the driver's graded sf0.01.
 
 Usage:
     python tools/parity_sweep.py /root/testdata/sf0.001 /root/testdata/sf0.1
+    python tools/parity_sweep.py --only q_new_key,q_other sf_dir [sf_dir ...]
+
+`--only` sweeps just the named keys and MERGES their rows into the existing
+artifact — the mid-round path for landing a new key with committed parity
+evidence in the same commit (the test_policy evidence-chain pin) without a
+40-minute full sweep. The round-closing protocol still regenerates the
+whole artifact on the frozen code; stale rows for since-removed keys are
+caught by the same policy test, so merging cannot mask drift.
 
 Status per (sf, key): "pass" (hash match), "rows-only:N" (no oracle by
 design — N rows returned), "FAIL ..." (hash mismatch) or "ERR ..." (raised).
@@ -50,7 +58,7 @@ def canon_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
     return len(rows), tuple(df.columns), hashlib.md5(repr(rows).encode()).hexdigest()
 
 
-def sweep(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+def sweep(spark: SparkSession, sf_dir: str, only: set[str] | None = None) -> dict[str, str]:
     tag = sf_dir.rstrip("/").split("/")[-1]
     con = duckdb.connect()
     for t in TABLES:
@@ -59,7 +67,11 @@ def sweep(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     out: dict[str, str] = {}
-    for name in sorted(qs):
+    names = sorted(qs) if only is None else sorted(only)
+    unknown = set(names) - set(qs)
+    if unknown:
+        sys.exit(f"--only names not in the registry: {sorted(unknown)}")
+    for name in names:
         try:
             spdf = qs[name](spark, sf_dir).toPandas()
             sql = oracles.get(name)
@@ -75,7 +87,13 @@ def sweep(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
     cores = os.environ.get("SPARK_GRAFT_CPUS", "16")
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -86,9 +104,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     result = {
-        sf_dir.rstrip("/").split("/")[-1]: sweep(spark, sf_dir) for sf_dir in sf_dirs
+        sf_dir.rstrip("/").split("/")[-1]: sweep(spark, sf_dir, only)
+        for sf_dir in sf_dirs
     }
     path = os.path.join(_REPO, "PARITY_MULTI_SF.json")
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        for tag, rows in result.items():
+            merged.setdefault(tag, {}).update(rows)
+        result = merged
     with open(path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     bad = {
