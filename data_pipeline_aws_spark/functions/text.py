@@ -1541,10 +1541,13 @@ w{r + 1} AS (
     return "".join(parts)
 
 
-def _bpe_apply_oracle(rounds: int) -> str:
-    """DuckDB replay of BPE tokenization: re-learn the merge table with
-    _bpe_oracle's training CTEs (b1..bN), then apply the N replaces to
-    every document's framed word strings and count surviving symbols."""
+def _bpe_encode_ctes(rounds: int) -> str:
+    """The shared DuckDB replay of the BPE ENCODE chain: re-learn the merge
+    table with _bpe_oracle's training CTEs (b1..bN), then apply the N
+    replaces to every document's framed word strings — ending at
+    a{rounds}(doc_id, lang, wstr). Consumed by the per-doc apply oracle and
+    the per-language fertility oracle, so the encode definition never
+    forks."""
     dd, d = "chr(1)||chr(1)", "chr(1)"
     train = _bpe_oracle(rounds)
     # _bpe_oracle ends with the UNION ALL select over b1..bN; keep only the
@@ -1560,7 +1563,7 @@ def _bpe_apply_oracle(rounds: int) -> str:
         steps.append(
             f""",
 a{r} AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CASE WHEN b.lhs IS NULL THEN wstr
               ELSE replace(wstr, {d}||b.lhs||{dd}||b.rhs||{d}, {d}||b.lhs||b.rhs||{d})
          END AS wstr
@@ -1569,24 +1572,62 @@ a{r} AS (
         )
     return f"""{train_ctes},
 docw AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
 ),
 a0 AS (
-  SELECT doc_id, {dd} || array_to_string(string_split(w, ''), {dd}) || {dd} AS wstr
+  SELECT doc_id, lang,
+         {dd} || array_to_string(string_split(w, ''), {dd}) || {dd} AS wstr
   FROM docw WHERE w <> ''
-){"".join(steps)}
+){"".join(steps)}"""
+
+
+# surviving-symbol and surviving-char counters over a framed word string —
+# the two expressions every BPE report aggregates
+_BPE_NSUB_SQL = "len(list_filter(string_split(wstr, chr(1)||chr(1)), x -> x <> ''))"
+_BPE_NCHR_SQL = "len(replace(replace(wstr, chr(1)||chr(1), ''), chr(1), ''))"
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    """Per-document token statistics over the shared encode chain."""
+    return f"""{_bpe_encode_ctes(rounds)}
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(len(replace(replace(wstr, {dd}, ''), {d}, ''))) AS BIGINT) AS n_chars,
-       CAST(SUM(len(list_filter(string_split(wstr, {dd}), x -> x <> ''))) AS BIGINT)
+       CAST(SUM({_BPE_NCHR_SQL}) AS BIGINT) AS n_chars,
+       CAST(SUM({_BPE_NSUB_SQL}) AS BIGINT)
          AS n_subwords,
-       ROUND(SUM(len(list_filter(string_split(wstr, {dd}), x -> x <> ''))) * 1.0
+       ROUND(SUM({_BPE_NSUB_SQL}) * 1.0
              / COUNT(*), 6) AS fertility,
-       ROUND(SUM(len(replace(replace(wstr, {dd}, ''), {d}, ''))) * 1.0
-             / SUM(len(list_filter(string_split(wstr, {dd}), x -> x <> ''))), 6)
+       ROUND(SUM({_BPE_NCHR_SQL}) * 1.0
+             / SUM({_BPE_NSUB_SQL}), 6)
          AS compression
 FROM a{rounds}
 GROUP BY doc_id
+"""
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    """Per-language fertility/compression DISTRIBUTION over the shared
+    encode chain: per-doc counts → half-unit fertility bucket (exact
+    integer division, no float binning) → (lang, bucket) grain."""
+    return f"""{_bpe_encode_ctes(rounds)},
+perdoc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT)                 AS n_words,
+         CAST(SUM({_BPE_NCHR_SQL}) AS BIGINT)     AS n_chars,
+         CAST(SUM({_BPE_NSUB_SQL}) AS BIGINT)     AS n_subwords
+  FROM a{rounds}
+  GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST((2 * n_subwords) // n_words AS INT)   AS fert_bucket_x2,
+       CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+       CAST(SUM(n_words) AS BIGINT)               AS n_words,
+       CAST(SUM(n_subwords) AS BIGINT)            AS n_subwords,
+       CAST(SUM(n_chars) AS BIGINT)               AS n_chars,
+       ROUND(SUM(n_subwords) * 1.0 / SUM(n_words), 6)    AS fertility,
+       ROUND(SUM(n_chars) * 1.0 / SUM(n_subwords), 6)    AS compression
+FROM perdoc
+GROUP BY lang, fert_bucket_x2
 """
 
 
@@ -1610,30 +1651,91 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_quality_classifier's weights), the per-word encode is map-only
     whole-stage-codegen string work with zero joins, and the only
     shuffle is the final doc-grain partial-aggregated rollup."""
-    d, dd = _BPE_D, _BPE_D * 2
-    rules = bpe_merge_rules(spark, sf_dir)
-    doc = table(spark, sf_dir, "documents")
-    chars = F.filter(F.split("w", ""), lambda c: c != F.lit(""))
-    w = (
-        doc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .select(
-            "doc_id",
-            F.concat(F.lit(dd), F.concat_ws(dd, chars), F.lit(dd)).alias("wstr"),
-        )
-    )
-    wstr = F.col("wstr")
-    for _, lhs, rhs, _, _ in rules:
-        wstr = F.replace(wstr, F.lit(d + lhs + dd + rhs + d), F.lit(d + lhs + rhs + d))
-    enc = w.select("doc_id", wstr.alias("wstr"))
-    n_sub = F.size(F.filter(F.split("wstr", dd), lambda x: x != F.lit("")))
-    n_chr = F.length(F.replace(F.replace(F.col("wstr"), F.lit(dd), F.lit("")), F.lit(d), F.lit("")))
+    enc = _bpe_encoded_words(spark, sf_dir)
+    n_sub, n_chr = _bpe_sub_chr_counters()
     return enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(n_chr).cast("bigint").alias("n_chars"),
         F.sum(n_sub).cast("bigint").alias("n_subwords"),
         F.round(F.sum(n_sub) * 1.0 / F.count(F.lit(1)), 6).alias("fertility"),
         F.round(F.sum(n_chr) * 1.0 / F.sum(n_sub), 6).alias("compression"),
+    )
+
+
+def _bpe_encoded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, wstr): every corpus word as a framed symbol string
+    ENCODED by the learned merge table (rules applied as chained literal
+    replaces — map-only, zero joins). The one Spark-side encode definition
+    under q_bpe_apply and q_tokenizer_fertility, twin of _bpe_encode_ctes."""
+    d, dd = _BPE_D, _BPE_D * 2
+    rules = bpe_merge_rules(spark, sf_dir)
+    doc = table(spark, sf_dir, "documents")
+    chars = F.filter(F.split("w", ""), lambda c: c != F.lit(""))
+    w = (
+        doc.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit(dd), F.concat_ws(dd, chars), F.lit(dd)).alias("wstr"),
+        )
+    )
+    wstr = F.col("wstr")
+    for _, lhs, rhs, _, _ in rules:
+        wstr = F.replace(wstr, F.lit(d + lhs + dd + rhs + d), F.lit(d + lhs + rhs + d))
+    return w.select("doc_id", "lang", wstr.alias("wstr"))
+
+
+def _bpe_sub_chr_counters() -> tuple:
+    """Surviving-symbol and surviving-char counter columns over wstr —
+    Spark twins of _BPE_NSUB_SQL/_BPE_NCHR_SQL."""
+    d, dd = _BPE_D, _BPE_D * 2
+    n_sub = F.size(F.filter(F.split("wstr", dd), lambda x: x != F.lit("")))
+    n_chr = F.length(
+        F.replace(F.replace(F.col("wstr"), F.lit(dd), F.lit("")), F.lit(d), F.lit(""))
+    )
+    return n_sub, n_chr
+
+
+@query("q_tokenizer_fertility", oracle=_bpe_fertility_oracle(_BPE_ROUNDS))
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility-by-language report — the bake-off artifact that
+    closes the q_bpe_train → q_bpe_apply story: how well do the learned
+    merges compress EACH language, and how is per-document fertility
+    DISTRIBUTED within a language (a merge table trained on an en-heavy
+    mix typically shows a fat high-fertility tail on the minority
+    languages — the number that decides whether a tokenizer needs
+    retraining before a multilingual run). One row per (lang, half-unit
+    fertility bucket): doc/word/subword/char counts plus the bucket's
+    exact fertility (subwords per word) and compression (chars per
+    subword).
+
+    Buckets are exact integer math — fert_bucket_x2 = (2·n_subwords) div
+    n_words — so the distribution grain is cross-engine byte-exact (no
+    float binning at bucket edges); the encode chain is the shared
+    _bpe_encoded_words rails, so this key and q_bpe_apply can never
+    disagree about what the tokenizer did.
+
+    Scale shape: training is corpus-once/vocab-iterate (bpe_merge_rules);
+    the encode is map-only literal replaces riding the merge table as
+    plan literals; the report is one partial-aggregated rollup to the
+    (doc) grain then a second to the (lang, bucket) grain — both
+    bounded-output shuffles, no joins anywhere after the scan."""
+    enc = _bpe_encoded_words(spark, sf_dir)
+    n_sub, n_chr = _bpe_sub_chr_counters()
+    perdoc = enc.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(n_chr).cast("bigint").alias("n_chars"),
+        F.sum(n_sub).cast("bigint").alias("n_subwords"),
+    )
+    bucket = F.expr("(2 * n_subwords) div n_words").cast("int")
+    return perdoc.groupBy("lang", bucket.alias("fert_bucket_x2")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(F.sum("n_subwords") * 1.0 / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_subwords"), 6).alias("compression"),
     )
 
 

@@ -2139,6 +2139,46 @@ def test_rerank_score_matches_python_replay(spark, sf_dir):
     assert set(got) == set(expect)
 
 
+def test_tokenizer_fertility_distribution_matches_per_doc_rollup(spark, sf_dir):
+    """q_tokenizer_fertility's (lang, half-unit-bucket) rows must equal the
+    hand rollup of q_bpe_apply's per-doc stats (whose encode is itself
+    pinned to the reference tokenizer by the test below) joined with the
+    fixture langs — counts exactly, ratios under the engines' shared
+    shortest-repr HALF_UP rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+
+    r6 = lambda x: float(  # noqa: E731
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    lang_of = (
+        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .set_index("doc_id")["lang"]
+        .to_dict()
+    )
+    agg: dict = {}
+    for r in all_queries()["q_bpe_apply"](spark, sf_dir).collect():
+        k = (lang_of[r.doc_id], (2 * r.n_subwords) // r.n_words)
+        a = agg.setdefault(k, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_subwords
+        a[3] += r.n_chars
+    got = {
+        (r.lang, r.fert_bucket_x2): r
+        for r in all_queries()["q_tokenizer_fertility"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (nd, nw, ns, nc) in agg.items():
+        g = got[k]
+        assert (g.n_docs, g.n_words, g.n_subwords, g.n_chars) == (nd, nw, ns, nc), k
+        assert abs(g.fertility - r6(ns / nw)) < 1e-9, k
+        assert abs(g.compression - r6(nc / ns)) < 1e-9, k
+
+
 def test_retr_rails_cache_recovers_from_corrupt_layout(spark, sf_dir):
     """The shared retrieval-rails cache must (a) rebuild from scratch when
     absent, (b) self-heal a corrupt layout (files present, no _SUCCESS
