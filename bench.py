@@ -69,6 +69,7 @@ SINK_CACHE_KEYS = [
     "q_zorder", "q_text_ingest", "q_binary_ingest", "q_range_sort_sink",
     "q_dedup_minhash_incremental",  # persisted signature-index versions
     "q_stream_sink",  # landed foreachBatch epoch layout (cache since r6)
+    "q_stream_merge",  # landed DV/delta epoch layout (same rails, r8)
     # shared retrieval-rails cache (r8): first caller pays the corpus pass
     "q_retrieval_eval", "q_rerank_score",
 ]

@@ -437,8 +437,11 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_DV_FILES = 16  # base "files": o_orderkey % 16 buckets, row_number pos
 MERGE_DV_INSERT_OFFSET = 10_000_000  # synthetic insert key = o_orderkey + OFFSET
 
-_MERGE_DV_ORACLE = f"""
-WITH base AS (
+# The ONE DuckDB replay of the MERGE fixture (base files / feed / DV /
+# delta / merged read-path / expected copy-on-write rewrite) — shared by
+# the batch MERGE oracle and the streaming MERGE oracle (streaming/jobs.py),
+# since the streamed epochs must converge to exactly this state.
+MERGE_DV_CTES = f"""base AS (
   SELECT o_orderkey,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
          CAST(o_orderkey % {MERGE_DV_FILES} AS INT) AS file_id,
@@ -453,7 +456,7 @@ feed AS (
               ELSE (cents * 105 + 50) // 100 END AS new_cents
   FROM base WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
   UNION ALL
-  SELECT o_orderkey + 10000000, 'insert', cents + 1
+  SELECT o_orderkey + {MERGE_DV_INSERT_OFFSET}, 'insert', cents + 1
   FROM base WHERE o_orderkey % 997 = 0
 ),
 dv AS (
@@ -479,8 +482,12 @@ expected AS (
               ELSE b.cents END AS cents
   FROM base b WHERE b.o_orderkey % 13 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000, cents + 1 FROM base WHERE o_orderkey % 997 = 0
-),
+  SELECT o_orderkey + {MERGE_DV_INSERT_OFFSET}, cents + 1
+  FROM base WHERE o_orderkey % 997 = 0
+)"""
+
+_MERGE_DV_ORACLE = f"""
+WITH {MERGE_DV_CTES},
 per_file AS (
   SELECT b.file_id,
          CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -501,6 +508,70 @@ SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_files,
        (SELECT CAST(SUM(cents) AS BIGINT) FROM expected)          AS expected_cents
 FROM per_file
 """
+
+
+def merge_dv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The immutable base-table fixture under q_merge_dv AND the streaming
+    MERGE (q_stream_merge): orders keyed into MERGE_DV_FILES buckets with a
+    deterministic (file_id, pos) row address and integer cents. Guards the
+    insert-offset range (a real key at/above the offset would collide with
+    a synthetic insert — fail loudly via a lazy per-row check)."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").where(
+        F.when(F.col("o_orderkey") < MERGE_DV_INSERT_OFFSET, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_dv: o_orderkey "),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(
+                        f" >= insert offset {MERGE_DV_INSERT_OFFSET};"
+                        " raise MERGE_DV_INSERT_OFFSET"
+                    ),
+                )
+            )
+        )
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % MERGE_DV_FILES).cast("int").alias("file_id"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("file_id").orderBy("o_orderkey")
+            ),
+        )
+    )
+
+
+def merge_dv_feed(base: DataFrame) -> DataFrame:
+    """The MERGE feed (o_orderkey, op, new_cents) derived from the base
+    fixture — deletes (%13), updates (%7, integer-cents 5% bump), inserts
+    (%997, offset keys). ONE definition under the batch MERGE and the
+    streaming MERGE so their copy-on-write equality proofs are comparable
+    by construction."""
+    return (
+        base.where((F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr("(cents * 105 + 50) div 100"))
+            .alias("new_cents"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
+                F.lit("insert").alias("op"),
+                (F.col("cents") + 1).alias("new_cents"),
+            )
+        )
+    )
 
 
 @query("q_merge_dv", oracle=_MERGE_DV_ORACLE)
@@ -526,58 +597,9 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely that write amplification stays O(churn), not O(table) —
     dv_fraction per file is the compaction trigger a table service reads.
     All money arithmetic rides integer cents (the q_cdc_apply rule)."""
-    from pyspark.sql import Window
-
-    # Synthetic insert keys live at o_orderkey + MERGE_DV_INSERT_OFFSET; a
-    # real key at/above the offset would collide with an insert. Fail
-    # loudly (lazy per-row guard — no extra action):
-    orders = table(spark, sf_dir, "orders").where(
-        F.when(F.col("o_orderkey") < MERGE_DV_INSERT_OFFSET, F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("q_merge_dv: o_orderkey "),
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(
-                        f" >= insert offset {MERGE_DV_INSERT_OFFSET};"
-                        " raise MERGE_DV_INSERT_OFFSET"
-                    ),
-                )
-            )
-        )
-    )
-    base = (
-        orders.select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-            (F.col("o_orderkey") % MERGE_DV_FILES).cast("int").alias("file_id"),
-        )
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("file_id").orderBy("o_orderkey")
-            ),
-        )
-        .localCheckpoint()  # feeds feed/dv/live_base/per_file/expected
-    )
-    feed = (
-        base.where((F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0))
-        .select(
-            "o_orderkey",
-            F.when(F.col("o_orderkey") % 13 == 0, "delete")
-            .otherwise("update")
-            .alias("op"),
-            F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("long"))
-            .otherwise(F.expr("(cents * 105 + 50) div 100"))
-            .alias("new_cents"),
-        )
-        .unionByName(
-            base.where(F.col("o_orderkey") % 997 == 0).select(
-                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
-                F.lit("insert").alias("op"),
-                (F.col("cents") + 1).alias("new_cents"),
-            )
-        )
-    )
+    base = merge_dv_base(spark, sf_dir).localCheckpoint()
+    # checkpointed once: feeds feed/dv/live_base/per_file/expected
+    feed = merge_dv_feed(base)
     dv = (
         base.join(
             feed.where(F.col("op").isin("delete", "update")).select("o_orderkey"),

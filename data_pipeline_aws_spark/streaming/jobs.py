@@ -303,6 +303,199 @@ def _stream_sink_cache_dir(sf_dir: str) -> str:
     return versioned_cache_dir("stream_sink", sf_dir, __file__)
 
 
+STREAM_MERGE_SLICES = 3  # feed files landed → micro-batch epochs (1 file/trigger)
+
+# The oracle IS the batch MERGE's CTE chain (operators/setops.py): streamed
+# epochs must converge to exactly the batch MERGE state, plus the epoch
+# count the slice layout dictates.
+_STREAM_MERGE_ORACLE_TMPL = """
+WITH {ctes}
+SELECT CAST({slices} AS BIGINT)                           AS n_epochs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base)        AS n_base_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dv)          AS n_dv_marked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM delta)       AS n_delta_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM merged)      AS n_live,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM merged)    AS total_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM expected)    AS expected_rows,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM expected)  AS expected_cents
+"""
+
+
+def _stream_merge_oracle() -> str:
+    from data_pipeline_aws_spark.operators.setops import MERGE_DV_CTES
+
+    return _STREAM_MERGE_ORACLE_TMPL.format(
+        ctes=MERGE_DV_CTES, slices=STREAM_MERGE_SLICES
+    )
+
+
+def _stream_merge_cache_dir(sf_dir: str) -> str:
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    return versioned_cache_dir("stream_merge", sf_dir, __file__)
+
+
+def merge_land_fn(stage: str):
+    """foreachBatch body of the streaming MERGE-on-read: each micro-batch
+    of the feed lands as (a) deletion-vector rows — the (file_id, pos)
+    addresses of deleted/updated base rows, resolved by probing the
+    immutable base layout with the broadcast churn-sized batch — and
+    (b) delta value rows (updates' new values + inserts), each under its
+    own mode=overwrite `epoch=<id>` directory (the q_stream_sink
+    idempotent-by-layout contract: a replayed epoch overwrites itself, so
+    at-least-once delivery still yields an exactly-once table state).
+    Module-level so the mid-epoch-kill replay test drives the REAL sink
+    body, not a reimplementation; foreachBatch functions run driver-side,
+    so no worker-pickling constraint applies."""
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(os.path.join(stage, "base"))
+        marks = batch_df.where(F.col("op").isin("delete", "update")).select(
+            "o_orderkey"
+        )
+        base.join(F.broadcast(marks), "o_orderkey").select("file_id", "pos").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "dv", f"epoch={epoch_id}"))
+        batch_df.where(F.col("op").isin("update", "insert")).select(
+            "o_orderkey", F.col("new_cents").alias("cents")
+        ).write.mode("overwrite").parquet(
+            os.path.join(stage, "delta", f"epoch={epoch_id}")
+        )
+
+    return land
+
+
+@query("q_stream_merge", oracle=_stream_merge_oracle())
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-on-read: the q_merge_dv deletion-vector shape driven
+    through q_stream_sink's idempotent epoch rails. The MERGE feed arrives
+    as a file stream (one file per trigger — each arriving file IS a
+    micro-batch, the reference's event-triggered-batch model); every epoch
+    lands its deletes/updates as DV rows and its new values as delta
+    appends under mode=overwrite epoch=<id> dirs (replay-safe); base files
+    are NEVER rewritten. The read path — base LEFT ANTI broadcast(DV)
+    UNION delta — must equal the batch MERGE exactly: the report row
+    carries the same copy-on-write equality proof (expected_* from the
+    naive full rewrite) plus n_epochs, and the oracle is the batch MERGE's
+    own CTE chain, so streamed-epochs-converge-to-batch-MERGE is checked
+    by value hash, not by assertion.
+
+    Scale shape: per epoch the only base-table touch is the key probe that
+    resolves churn keys to (file_id, pos) — an inverted lookup a real table
+    format serves from key-indexed metadata (bloom/z-order pruning), here a
+    broadcast-churn join so base never shuffles; DV rows are fixed-width
+    regardless of row width; delta appends are zero-shuffle; write
+    amplification stays O(churn per epoch), not O(table). State lives in
+    the layout, not the stream — the streaming query itself is stateless
+    (no watermark/store), which is exactly why MERGE-on-read suits
+    continuous ingestion. Warm runs read the landed layout (versioned
+    cache, bench --cold measures the write-inclusive drain)."""
+    import shutil
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+    from data_pipeline_aws_spark.operators.setops import (
+        MERGE_DV_INSERT_OFFSET,
+        merge_dv_base,
+        merge_dv_feed,
+    )
+
+    out = _stream_merge_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        stage = staging_dir(out)
+        try:
+            base = merge_dv_base(spark, sf_dir)
+            base.write.mode("overwrite").parquet(os.path.join(stage, "base"))
+            base_back = spark.read.parquet(os.path.join(stage, "base"))
+            feed = merge_dv_feed(base_back)
+            # the feed arrives as STREAM_MERGE_SLICES files — deterministic
+            # key slices, one file each, so the file source triggers one
+            # micro-batch per slice
+            for s in range(STREAM_MERGE_SLICES):
+                feed.where(
+                    F.pmod(F.col("o_orderkey"), STREAM_MERGE_SLICES) == s
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(stage, "feed_in", f"slice={s}")
+                )
+            stream = (
+                spark.readStream.schema("o_orderkey long, op string, new_cents long")
+                .option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "*.parquet")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(stage, "feed_in"))
+            )
+            with _stream_partitions(spark):
+                q = stream.writeStream.foreachBatch(merge_land_fn(stage)).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination(30)
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+
+    base = spark.read.parquet(os.path.join(out, "base"))
+    dv = spark.read.parquet(os.path.join(out, "dv"))
+    delta = spark.read.parquet(os.path.join(out, "delta"))
+    live = base.join(
+        F.broadcast(dv.select("file_id", "pos")), ["file_id", "pos"], "left_anti"
+    )
+    merged = live.select("o_orderkey", "cents").unionByName(
+        delta.select("o_orderkey", "cents")
+    )
+    expected = (
+        base.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.expr("(cents * 105 + 50) div 100")
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
+                (F.col("cents") + 1).alias("cents"),
+            )
+        )
+    )
+    e_stats = expected.agg(
+        F.count(F.lit(1)).alias("expected_rows"),
+        F.sum("cents").alias("expected_cents"),
+    )
+    b_stats = base.agg(F.count(F.lit(1)).alias("n_base_rows"))
+    dv_stats = dv.agg(
+        F.count_distinct("epoch").alias("n_epochs"),
+        F.count(F.lit(1)).alias("n_dv_marked"),
+    )
+    d_stats = delta.agg(F.count(F.lit(1)).alias("n_delta_rows"))
+    m_stats = merged.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("total_cents"),
+    )
+    return (
+        dv_stats.crossJoin(F.broadcast(b_stats))
+        .crossJoin(F.broadcast(d_stats))
+        .crossJoin(F.broadcast(m_stats))
+        .crossJoin(F.broadcast(e_stats))
+        .select(
+            "n_epochs",
+            "n_base_rows",
+            "n_dv_marked",
+            "n_delta_rows",
+            "n_live",
+            "total_cents",
+            "expected_rows",
+            "expected_cents",
+        )
+    )
+
+
 @query(
     "q_stream_stream_join",
     oracle="""

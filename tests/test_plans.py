@@ -1182,6 +1182,20 @@ def test_bpe_apply_encode_is_map_only_one_shuffle(plans):
     assert "partial_count" in final, final
 
 
+def test_stream_merge_readpath_broadcast_dv_no_base_rewrite(plans):
+    """q_stream_merge's read path probes the churn-sized DV as a BROADCAST
+    left-anti join over the landed parquet layout — base rows never
+    shuffle with the feed, no orders re-scan (state lives in the layout),
+    and the only scans are the cache's base/dv/delta dirs."""
+    p = plans("q_stream_merge")
+    final = p.split("== Initial Plan ==")[0]
+    assert "orders.parquet" not in final, final
+    assert "dpas_stream_merge" in final, final
+    assert "BroadcastHashJoin" in final, final
+    assert "LeftAnti" in final, final
+    assert "CartesianProduct" not in final, final
+
+
 def test_containment_shingle_rails_no_window_no_cross(plans):
     """q_dedup_containment builds shingles in-row over the checkpointed
     augmented corpus (no posexplode+Window, no parquet re-scan in the

@@ -382,6 +382,95 @@ def test_sink_replay_after_midepoch_kill_is_idempotent(spark, arrival_dir):
     assert got == [1, 2, 3, 4, 5], got  # no loss, no duplication
 
 
+def test_stream_merge_replay_after_midepoch_kill_is_idempotent(spark, arrival_dir):
+    """The streaming MERGE's exactly-once contract through a real failure,
+    driving the OPERATOR'S OWN foreachBatch body (merge_land_fn): the DV +
+    delta epoch dirs for one micro-batch land, then the driver dies before
+    the checkpoint commit. On restart the same epoch replays and its
+    mode=overwrite epoch dirs land on top of the orphans — the merged
+    read-path state must equal the batch MERGE with no duplicate DV marks
+    and no double-applied delta rows."""
+    from data_pipeline_aws_spark.streaming.jobs import merge_land_fn
+
+    stage = os.path.join(arrival_dir, "stage")
+    ckpt = os.path.join(arrival_dir, "ckpt")
+    os.makedirs(stage)
+
+    # tiny base: 10 keys in 2 "files"; feed: delete k%5==0, update k%3==0,
+    # one insert — sliced into 3 arrival files like the operator's layout
+    base = spark.createDataFrame(
+        [(k, 100 * k, k % 2, k // 2 + 1) for k in range(1, 11)],
+        "o_orderkey long, cents long, file_id int, pos int",
+    )
+    base.write.mode("overwrite").parquet(os.path.join(stage, "base"))
+    feed = [
+        (k, "delete", None) if k % 5 == 0 else (k, "update", 100 * k + 7)
+        for k in range(1, 11)
+        if k % 5 == 0 or k % 3 == 0
+    ] + [(999, "insert", 42)]
+    for s in range(3):
+        rows = [r for i, r in enumerate(feed) if i % 3 == s]
+        spark.createDataFrame(
+            rows, "o_orderkey long, op string, new_cents long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "feed_in", f"slice={s}")
+        )
+
+    land = merge_land_fn(stage)
+    attempts: list[int] = []
+    poisoned: list[int] = []
+
+    def run(poison: bool):
+        stream = (
+            spark.readStream.schema("o_orderkey long, op string, new_cents long")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(stage, "feed_in"))
+        )
+
+        def wrapped(batch_df, epoch_id):
+            attempts.append(epoch_id)
+            land(batch_df, epoch_id)  # the real sink body SUCCEEDS...
+            if poison and epoch_id == 1 and 1 not in poisoned:
+                poisoned.append(epoch_id)
+                raise RuntimeError("injected crash after sink write, before commit")
+
+        q = (
+            stream.writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces as StreamingQueryException
+        finally:
+            q.stop()
+
+    run(poison=True)
+    assert poisoned == [1], f"epoch 1 never reached: {attempts}"
+    run(poison=False)
+    assert attempts.count(1) == 2, attempts  # replayed, same id
+    assert attempts.count(0) == 1, attempts  # committed epoch never reruns
+
+    dv = spark.read.parquet(os.path.join(stage, "dv"))
+    delta = spark.read.parquet(os.path.join(stage, "delta"))
+    live = base.join(dv.select("file_id", "pos"), ["file_id", "pos"], "left_anti")
+    merged = live.select("o_orderkey", "cents").unionByName(
+        delta.select("o_orderkey", "cents")
+    )
+    got = {(r.o_orderkey, r.cents) for r in merged.collect()}
+    want = {(k, 100 * k) for k in range(1, 11) if k % 5 != 0 and k % 3 != 0}
+    want |= {(k, 100 * k + 7) for k in range(1, 11) if k % 5 != 0 and k % 3 == 0}
+    want |= {(999, 42)}
+    assert got == want
+    assert merged.count() == len(want), "replay duplicated a delta/DV row"
+    # every DV mark unique: the replayed epoch overwrote, not appended
+    assert dv.count() == dv.select("file_id", "pos").distinct().count()
+
+
 def test_stream_sink_cache_self_heals_after_partial_drain(spark, sf_dir):
     """A drain that crashed before the _SUCCESS sentinel leaves orphan
     epoch=N dirs in the versioned cache; the rebuilt layout must clear
