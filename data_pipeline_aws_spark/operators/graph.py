@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -388,15 +388,27 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard hub guard applies: cap per-mid neighbor lists
     (WindowGroupLimit, the q_item_item_recs basket cap) before the wedge
     join so one celebrity node cannot go quadratic."""
+    return _link_predict_top(
+        _link_edges(spark, sf_dir), None, "n_common", "jaccard"
+    )
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected edge list under both link-prediction keys
+    (q_pagerank's derivation), checkpointed once for its three consumers
+    (degrees + both wedge sides — the q_pagerank edge-list rule: without
+    the checkpoint the wedge join re-runs the lineitem⋈orders+distinct
+    build per side, measured 2x the whole query's cost at sf0.1).
+
+    Parity-coded int64 node ids (customer 2k, supplier 2k+1) ride the
+    wedge join and aggregates — the ~Σdeg² wedge stream shuffles 8-byte
+    keys, not per-row strings; labels are reconstructed on the final rows
+    only. Internal pair orientation uses int order (any total order dedups
+    wedges), while the OUTPUT orients each pair by least/greatest label —
+    Jaccard/common are symmetric, so the emitted rows match the oracles'
+    string-ordered pairs exactly."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
     o = table(spark, sf_dir, "orders")
-    # Parity-coded int64 node ids (customer 2k, supplier 2k+1) ride the
-    # wedge join and aggregates — the ~Σdeg² wedge stream shuffles 8-byte
-    # keys, not per-row strings; labels are reconstructed on the final
-    # rows only. Internal pair orientation uses int order (any total
-    # order dedups wedges), while the OUTPUT orients each pair by
-    # least/greatest label — Jaccard/common are symmetric, so the emitted
-    # rows match the oracle's string-ordered pairs exactly.
     e0 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -405,20 +417,26 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # the q_pagerank edge-list rule: three consumers (degrees + both wedge
-    # sides) read the undirected edges from executor storage — without the
-    # checkpoint the wedge join re-runs the lineitem⋈orders+distinct build
-    # per side (measured 2x the whole query's cost at sf0.1)
-    e = e0.union(
+    return e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+
+
+def _link_predict_top(
+    e: DataFrame, e_wedge: DataFrame | None, common_name: str, score_name: str
+) -> DataFrame:
+    """Shared tail of the link-prediction keys: wedge join over ``e_wedge``
+    (hub-capped; None = the full edge list), TRUE degrees from ``e``,
+    integer Jaccard, top-20 heap."""
+    if e_wedge is None:
+        e_wedge = e
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     label = lambda c: F.when(  # noqa: E731
         c % 2 == 0, F.concat(F.lit("c"), (c / 2).cast("long"))
     ).otherwise(F.concat(F.lit("s"), ((c - 1) / 2).cast("long")))
-    a, b = e.alias("a"), e.alias("b")
+    a, b = e_wedge.alias("a"), e_wedge.alias("b")
     common = (
         a.join(
             b,
@@ -426,19 +444,95 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.src") < F.col("b.src")),
         )
         .groupBy(F.col("a.src").alias("ui"), F.col("b.src").alias("vi"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias(common_name))
     )
     du, dv = deg.alias("du"), deg.alias("dv")
-    jac = F.col("n_common") * 1.0 / (F.col("du.deg") + F.col("dv.deg") - F.col("n_common"))
+    jac = F.col(common_name) * 1.0 / (
+        F.col("du.deg") + F.col("dv.deg") - F.col(common_name)
+    )
     return (
         common.join(du, F.col("ui") == F.col("du.node"))
         .join(dv, F.col("vi") == F.col("dv.node"))
         .select(
             F.least(label(F.col("ui")), label(F.col("vi"))).alias("u"),
             F.greatest(label(F.col("ui")), label(F.col("vi"))).alias("v"),
-            "n_common",
-            jac.alias("jaccard"),
+            common_name,
+            jac.alias(score_name),
         )
-        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .orderBy(F.desc(score_name), F.asc("u"), F.asc("v"))
         .limit(20)
     )
+
+
+LINK_HUB_CAP = 32  # max wedge-side neighbors kept per mid node
+
+
+@query(
+    "q_link_predict_capped",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 45
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+en AS (
+  SELECT CASE WHEN src LIKE 'c%' THEN CAST(substr(src, 2) AS BIGINT) * 2
+              ELSE CAST(substr(src, 2) AS BIGINT) * 2 + 1 END AS srci,
+         src, dst
+  FROM e
+),
+ew AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY srci) AS rn
+    FROM en
+  ) WHERE rn <= {LINK_HUB_CAP}
+),
+common AS (
+  SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS n_common_capped
+  FROM ew a JOIN ew b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT u, v, n_common_capped,
+       n_common_capped * 1.0 / (du.deg + dv.deg - n_common_capped) AS jaccard_lb
+FROM common
+JOIN deg du ON u = du.node
+JOIN deg dv ON v = dv.node
+ORDER BY jaccard_lb DESC, u, v
+LIMIT 20
+""",
+)
+def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_link_predict's hub guard, executable — the documented 100-TB
+    defence against celebrity nodes made a runnable key. Before the wedge
+    join, each mid node keeps at most LINK_HUB_CAP neighbors (row_number
+    over the dst partition, int-id order — deterministic, replayed exactly
+    by the oracle), so the wedge stream is bounded by Σ min(deg, C)² and a
+    single million-degree hub can no longer go quadratic. Degrees in the
+    denominator stay TRUE degrees, so every emitted score is a LOWER BOUND
+    of the uncapped Jaccard (n_common can only be undercounted) — the
+    columns are named n_common_capped / jaccard_lb to say so. A property
+    test pins (a) cap ≥ max-degree reproduces q_link_predict exactly and
+    (b) the bite case only ever lowers per-pair scores.
+
+    Note the oracle's internal pair orientation: the Spark side orders the
+    wedge (a.src < b.src) on INT ids while the SQL orders on labels — both
+    dedup wedges under a total order, and the emitted pairs are re-oriented
+    by least/greatest label, so the 20 output rows agree; the CAP predicate
+    however must rank by the SAME order on both sides (srci in SQL = the
+    parity-coded int), or hub truncation would keep different neighbor
+    sets.
+
+    Scale shape: the cap compiles to partial+final WindowGroupLimit heaps
+    on the dst key (the q_domain_cap plan shape) — a hub ships C rows per
+    partition, not deg rows; everything after is the uncapped key's plan
+    on a bounded wedge stream."""
+    e = _link_edges(spark, sf_dir)
+    w = Window.partitionBy("dst").orderBy(F.asc("src"))
+    ew = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LINK_HUB_CAP)
+        .select("src", "dst")
+    )
+    return _link_predict_top(e, ew, "n_common_capped", "jaccard_lb")

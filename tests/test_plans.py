@@ -1052,6 +1052,19 @@ def test_link_predict_heap_topk_wedge_join_no_cross(plans):
     assert final.count("FileScan parquet") == 0, final
 
 
+def test_link_predict_capped_windowgrouplimit_heaps(plans):
+    """q_link_predict_capped's hub cap must compile to WindowGroupLimit
+    heaps on the mid key (partial+final — a hub ships cap rows, not deg
+    rows), with the uncapped key's plan invariants intact."""
+    p = plans("q_link_predict_capped")
+    final = p.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final, final
+    assert "TakeOrderedAndProject" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "Scan ExistingRDD" in final, final
+    assert final.count("FileScan parquet") == 0, final
+
+
 def test_readability_is_map_only(plans):
     """q_readability is a pure map: three in-row regexp/split counts plus
     fixed arithmetic — no shuffle, no explode, no Python stage, and the

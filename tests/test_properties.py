@@ -595,6 +595,48 @@ def test_multimodal_audio_features_replay_via_module_codec(spark, sf_dir, duck):
     assert got == want
 
 
+def test_link_predict_capped_lower_bound_and_uncapped_equality(spark, sf_dir):
+    """Hub-cap semantics: (a) with a cap no mid node reaches, the capped
+    key's pipeline reproduces q_link_predict exactly (plumbing proof);
+    (b) at the production cap every emitted pair's common-count and score
+    are LOWER BOUNDS of the true uncapped values (pandas adjacency
+    replay) — truncation may drop wedges, never invent them."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.graph import (
+        _link_edges,
+        _link_predict_top,
+    )
+
+    e = _link_edges(spark, sf_dir)
+    big = _link_predict_top(e, None, "n_common_capped", "jaccard_lb")
+    full = all_queries()["q_link_predict"](spark, sf_dir)
+    got_big = [(r.u, r.v, r.n_common_capped, r.jaccard_lb) for r in big.collect()]
+    got_full = [(r.u, r.v, r.n_common, r.jaccard) for r in full.collect()]
+    assert got_big == got_full  # cap machinery off == the uncapped key
+
+    # pandas truth: adjacency of the undirected graph, true common counts
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = li[li.l_quantity >= 45].merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    edges = {(f"c{c}", f"s{s}") for c, s in zip(j.o_custkey, j.l_suppkey)}
+    nbr = defaultdict(set)
+    for c, s in edges:
+        nbr[c].add(s)
+        nbr[s].add(c)
+
+    out = all_queries()["q_link_predict_capped"](spark, sf_dir).collect()
+    assert len(out) == 20
+    for r in out:
+        true_common = len(nbr[r.u] & nbr[r.v])
+        true_jac = true_common / len(nbr[r.u] | nbr[r.v])
+        assert r.n_common_capped <= true_common, (r, true_common)
+        assert r.jaccard_lb <= true_jac + 1e-12, (r, true_jac)
+
+
 def test_dedup_eval_sampled_extrapolates_within_binomial_envelope(spark):
     """The sampled-stratum truth mode's 100-TB claim, as data: at two SFs,
     every sampled pair count must sit inside the binomial 3σ envelope of
