@@ -1994,8 +1994,12 @@ ELSH_EVAL_STRIDE = 8  # originals with vec_id % 8 == 0 get a twin
 ELSH_EVAL_OFFSET = 1_000_000  # twin vec_id = original + OFFSET
 ELSH_EVAL_HAMMING = 24  # the operator's own full-signature acceptance gate
 
-_ELSH_EVAL_ORACLE = f"""
-WITH orig AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+def _elsh_eval_ctes(src_where: str = "") -> str:
+    """The embed-LSH audit's DuckDB pipeline up to the per-stratum counts,
+    parameterized by an optional predicate on the original vectors — the
+    sampled-stratum mode injects its hash-stratum filter there and the
+    twins/planes/signatures/truth replay is shared verbatim."""
+    return f"""orig AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings{src_where}),
 tw AS (
   SELECT vec_id + {ELSH_EVAL_OFFSET} AS vec_id,
          list_transform(range(0, 64), d -> e[d + 1] * (1 + a *
@@ -2079,7 +2083,11 @@ counts AS (
          CAST(SUM(CASE WHEN NOT is_true AND is_acc THEN 1 ELSE 0 END) AS BIGINT)
            AS n_false_accepted
   FROM cells GROUP BY stratum
-)
+)"""
+
+
+_ELSH_EVAL_ORACLE = f"""
+WITH {_elsh_eval_ctes()}
 SELECT *, ROUND(n_true_accepted * 1.0 / NULLIF(n_true, 0), 6) AS recall
 FROM counts
 """
@@ -2112,29 +2120,42 @@ def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs); exact truth is the blocked-matmul baseline — the
     declared audit cost, run on a sampled stratum + extrapolated at 100 TB
     exactly like q_dedup_eval's truth side (banding probability depends
-    only on pair similarity, so the calibration is sample-invariant)."""
-    import numpy as np
-    import pandas as pd
+    only on pair similarity, so the calibration is sample-invariant) —
+    that sampled mode is the RUNNABLE q_embed_lsh_eval_sampled below."""
+    return _elsh_eval_report(spark, _elsh_orig(spark, sf_dir))
 
-    n_planes, band_bits = EMBED_LSH_PLANES, EMBED_LSH_BAND_BITS
-    n_bands = n_planes // band_bits
+
+def _elsh_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guarded original-vector relation under both embed-LSH audit
+    keys. Planted twins live at vec_id + OFFSET; a real id at/above the
+    offset would be misclassified as planted, silently corrupting every
+    stratum row — fail loudly instead (lazy per-row guard, no extra
+    action)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    # Planted twins live at vec_id + OFFSET; a real id at/above the offset
-    # would be misclassified as planted, silently corrupting every stratum
-    # row. Fail loudly instead (lazy per-row guard — no extra action):
-    e = e.where(
+    return e.where(
         F.when(F.col("vec_id") < ELSH_EVAL_OFFSET, F.lit(True)).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("q_embed_lsh_eval: vec_id "),
+                    F.lit("embed_lsh_eval: vec_id "),
                     F.col("vec_id").cast("string"),
                     F.lit(f" >= twin offset {ELSH_EVAL_OFFSET}; raise ELSH_EVAL_OFFSET"),
                 )
             )
         )
     )
+
+
+def _elsh_eval_report(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The confusion pipeline under q_embed_lsh_eval(_sampled): plant the
+    stratified twins over the given original vectors, sign/band/screen,
+    blocked-matmul exact truth, one confusion row per stratum."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes, band_bits = EMBED_LSH_PLANES, EMBED_LSH_BAND_BITS
+    n_bands = n_planes // band_bits
     stratum = ((F.col("vec_id") / ELSH_EVAL_STRIDE).cast("long") % 4).cast("int")
     alpha = (
         F.when(stratum == 0, F.lit(ELSH_EVAL_ALPHAS[0]))
@@ -2332,6 +2353,68 @@ def q_embed_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_true_accepted") * 1.0 / F.nullif(F.col("n_true"), F.lit(0)), 6
         ).alias("recall"),
+    )
+
+
+# Sampled-stratum mode for the embed-LSH audit — same sampling constant as
+# q_dedup_eval_sampled (one definition repo-wide). The stratum is drawn on
+# ORIGINAL vectors, and twins exist iff their original is sampled, so a
+# PLANTED pair survives at rate s (one sampled endpoint implies the other)
+# while a NATURAL pair needs both endpoints: rate s². The extrapolation
+# multiplier is therefore stratum-dependent: 1/s for strata 0..3, 1/s² for
+# stratum -1.
+ELSH_SAMPLE_PCT = 50
+_ELSH_MULT_PLANTED = 100 // ELSH_SAMPLE_PCT
+_ELSH_MULT_NATURAL = _ELSH_MULT_PLANTED**2
+_ELSH_COUNT_COLS = (
+    "n_pairs",
+    "n_true",
+    "n_true_accepted",
+    "n_true_missed",
+    "n_false_accepted",
+)
+_ELSH_MULT_SQL = (
+    f"CASE WHEN stratum = -1 THEN {_ELSH_MULT_NATURAL} ELSE {_ELSH_MULT_PLANTED} END"
+)
+
+_ELSH_EVAL_SAMPLED_ORACLE = f"""
+WITH {_elsh_eval_ctes(f" WHERE (vec_id * {_HASH_MULT}) % 100 < {ELSH_SAMPLE_PCT}")}
+SELECT *,
+       CAST({ELSH_SAMPLE_PCT} AS INT) AS sample_pct,
+       {", ".join(f"CAST({c} * {_ELSH_MULT_SQL} AS BIGINT) AS est_{c}" for c in _ELSH_COUNT_COLS)},
+       ROUND(n_true_accepted * 1.0 / NULLIF(n_true, 0), 6) AS recall
+FROM counts
+"""
+
+
+@query("q_embed_lsh_eval_sampled", oracle=_ELSH_EVAL_SAMPLED_ORACLE)
+def q_embed_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_embed_lsh_eval's 100-TB mode, executable — the q_dedup_eval_sampled
+    pattern ported to the embedding audit: plant and screen only over a
+    deterministic hash stratum of the ORIGINAL vectors (ELSH_SAMPLE_PCT%,
+    the q_sample_stratified predicate, pushed to the scan) and extrapolate
+    each stratum's counts to full-corpus estimates. The multiplier is
+    stratum-aware: a planted pair's twin exists iff its original is sampled
+    (rate s → est = count × 1/s), while a natural pair needs both
+    endpoints sampled independently (rate s² → × 1/s²). Per-stratum recall
+    stays unextrapolated — band-collision probability depends only on pair
+    cosine, so the screen's calibration transfers to the full corpus
+    unchanged; the binomial extrapolation envelope vs the full-truth rows
+    is property-tested at two SFs."""
+    sampled = _elsh_orig(spark, sf_dir).where(
+        (F.col("vec_id") * _HASH_MULT) % 100 < ELSH_SAMPLE_PCT
+    )
+    report = _elsh_eval_report(spark, sampled)
+    mult = (
+        F.when(F.col("stratum") == -1, F.lit(_ELSH_MULT_NATURAL))
+        .otherwise(F.lit(_ELSH_MULT_PLANTED))
+    )
+    return report.select(
+        "stratum",
+        *_ELSH_COUNT_COLS,
+        F.lit(ELSH_SAMPLE_PCT).cast("int").alias("sample_pct"),
+        *[(F.col(c) * mult).cast("long").alias(f"est_{c}") for c in _ELSH_COUNT_COLS],
+        "recall",
     )
 
 

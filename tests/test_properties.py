@@ -673,6 +673,47 @@ def test_dedup_eval_sampled_extrapolates_within_binomial_envelope(spark):
             assert abs(samp["precision"] - full["precision"]) <= 0.25, (sf, samp, full)
 
 
+def test_embed_lsh_eval_sampled_extrapolates_within_binomial_envelope(spark):
+    """The embed-LSH audit's sampled mode at two SFs: per stratum, every
+    sampled count must sit inside the binomial 3σ envelope of its
+    expectation under the full-truth row — planted strata survive at rate
+    s (the twin follows its original), natural pairs at s² — est_* must be
+    exactly count × the stratum's multiplier, and per-stratum recall must
+    transfer within 0.25 where the sampled stratum has truth pairs."""
+    import math
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.dedup import (
+        _ELSH_COUNT_COLS,
+        _ELSH_MULT_NATURAL,
+        _ELSH_MULT_PLANTED,
+        ELSH_SAMPLE_PCT,
+    )
+
+    s = ELSH_SAMPLE_PCT / 100.0
+    qs = all_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        full = {r.stratum: r.asDict() for r in qs["q_embed_lsh_eval"](spark, sf).collect()}
+        samp = {
+            r.stratum: r.asDict()
+            for r in qs["q_embed_lsh_eval_sampled"](spark, sf).collect()
+        }
+        assert set(samp) <= set(full), (sf, samp, full)
+        for k, row in samp.items():
+            rate = s if k >= 0 else s * s
+            mult = _ELSH_MULT_PLANTED if k >= 0 else _ELSH_MULT_NATURAL
+            assert row["sample_pct"] == ELSH_SAMPLE_PCT
+            for c in _ELSH_COUNT_COLS:
+                assert row[f"est_{c}"] == row[c] * mult, (sf, k, c)
+                mean = full[k][c] * rate
+                sigma = math.sqrt(max(full[k][c] * rate * (1 - rate), 0.0))
+                assert abs(row[c] - mean) <= 3 * sigma + 1, (
+                    sf, k, c, row[c], full[k][c], mean, sigma,
+                )
+            if row["n_true"] and full[k]["n_true"]:
+                assert abs(row["recall"] - full[k]["recall"]) <= 0.25, (sf, k, row)
+
+
 def test_embed_lsh_finds_planted_duplicates_exactly(spark):
     """q_dedup_embed_lsh core on a corpus with PLANTED near-duplicates:
     every planted pair (cos >= 0.9 by construction) must be recovered and
