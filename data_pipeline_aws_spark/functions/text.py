@@ -2636,3 +2636,57 @@ def q_rerank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rerank_rank",
         )
     )
+
+
+# Sampled-query mode for the retrieval eval — the q_dedup_eval_sampled
+# pattern completing the eval-class trio. The stratum is drawn on QUERY
+# docs (the per-query rows are independent), so the corpus metrics are
+# sample MEANS over a deterministic 50% query stratum; counts extrapolate
+# by 1/s. MRR rides an integer micro-unit sum (each rr_fused is already a
+# 6-dp value; x1e6 is integer-exact), so the aggregate is cross-engine
+# byte-exact instead of a float-summation-order gamble.
+from data_pipeline_aws_spark.functions.curation import _HASH_MULT  # noqa: E402
+
+RETR_SAMPLE_PCT = 50
+_RETR_QMULT = 100 // RETR_SAMPLE_PCT
+
+_RETR_EVAL_SAMPLED_ORACLE = f"""
+WITH per AS ({_RETR_EVAL_ORACLE})
+SELECT CAST(COUNT(*) AS BIGINT)                          AS n_queries,
+       CAST(COUNT(*) * {_RETR_QMULT} AS BIGINT)          AS est_n_queries,
+       CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(SUM(CAST(ROUND(rr_fused * 1000000) AS BIGINT)) AS BIGINT) AS sum_rr_e6,
+       SUM(CASE WHEN found THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS recall_at10,
+       SUM(CAST(ROUND(rr_fused * 1000000) AS BIGINT)) / 1000000.0 / COUNT(*) AS mrr
+FROM per
+WHERE (query_doc * {_HASH_MULT}) % 100 < {RETR_SAMPLE_PCT}
+"""
+
+
+@query("q_retrieval_eval_sampled", oracle=_RETR_EVAL_SAMPLED_ORACLE)
+def q_retrieval_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_retrieval_eval's 100-TB mode, executable — the third port of the
+    sampled-stratum pattern (after q_dedup_eval_sampled /
+    q_embed_lsh_eval_sampled): corpus retrieval metrics (recall@10, MRR)
+    as sample means over a deterministic 50% hash stratum of the QUERY
+    docs, with the query count extrapolated by 1/s. Per-query rows are
+    independent bounded problems, so the stratum mean is an unbiased
+    estimator of the full-query mean — at 100 TB production pushes the
+    same one-constant predicate into the query-mining window and never
+    scores the unsampled queries at all (here the filter rides the shared
+    rails cache, value-identical by per-query independence). MRR is
+    aggregated in integer micro-units (rr_fused is a 6-dp value; x1e6 is
+    exact), then divided once — no float-summation-order drift; the
+    sample-vs-full envelope is property-tested at two SFs."""
+    per = q_retrieval_eval(spark, sf_dir)
+    samp = per.where((F.col("query_doc") * _HASH_MULT) % 100 < RETR_SAMPLE_PCT)
+    found_i = F.when(F.col("found"), 1).otherwise(0)
+    rr_e6 = F.round(F.col("rr_fused") * 1000000).cast("long")
+    return samp.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.count(F.lit(1)) * _RETR_QMULT).cast("long").alias("est_n_queries"),
+        F.sum(found_i).cast("long").alias("n_found"),
+        F.sum(rr_e6).cast("long").alias("sum_rr_e6"),
+        (F.sum(found_i) * 1.0 / F.count(F.lit(1))).alias("recall_at10"),
+        (F.sum(rr_e6) / 1000000.0 / F.count(F.lit(1))).alias("mrr"),
+    )

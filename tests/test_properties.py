@@ -673,6 +673,38 @@ def test_dedup_eval_sampled_extrapolates_within_binomial_envelope(spark):
             assert abs(samp["precision"] - full["precision"]) <= 0.25, (sf, samp, full)
 
 
+def test_retrieval_eval_sampled_is_exact_stratum_mean(spark):
+    """The sampled retrieval eval must be EXACTLY the aggregate of the
+    full per-query report restricted to the hash stratum (per-query rows
+    are independent, so no envelope is needed — the estimator is a plain
+    subset mean), with counts extrapolated by 1/s and the stratum mean
+    within the binomial 3σ envelope of the full recall@10 at two SFs."""
+    import math
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.functions.curation import _HASH_MULT
+    from data_pipeline_aws_spark.functions.text import _RETR_QMULT, RETR_SAMPLE_PCT
+
+    qs = all_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        per = qs["q_retrieval_eval"](spark, sf).collect()
+        keep = [r for r in per if (r.query_doc * _HASH_MULT) % 100 < RETR_SAMPLE_PCT]
+        row = qs["q_retrieval_eval_sampled"](spark, sf).collect()[0]
+        n_found = sum(1 for r in keep if r.found)
+        sum_e6 = sum(round(r.rr_fused * 1e6) for r in keep)
+        assert row.n_queries == len(keep), sf
+        assert row.est_n_queries == len(keep) * _RETR_QMULT, sf
+        assert row.n_found == n_found, sf
+        assert row.sum_rr_e6 == sum_e6, sf
+        assert abs(row.recall_at10 - n_found / len(keep)) < 1e-12, sf
+        assert abs(row.mrr - sum_e6 / 1e6 / len(keep)) < 1e-12, sf
+        # stratum-vs-full envelope: recall@10 is a mean of Bernoullis
+        s = RETR_SAMPLE_PCT / 100.0
+        full_found = sum(1 for r in per if r.found)
+        mean, var = full_found * s, full_found * s * (1 - s)
+        assert abs(n_found - mean) <= 3 * math.sqrt(var) + 1, (sf, n_found, mean)
+
+
 def test_embed_lsh_eval_sampled_extrapolates_within_binomial_envelope(spark):
     """The embed-LSH audit's sampled mode at two SFs: per stratum, every
     sampled count must sit inside the binomial 3σ envelope of its
