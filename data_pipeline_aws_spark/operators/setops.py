@@ -671,3 +671,79 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_cents",
         )
     )
+
+
+COMPACT_PLAN_TOP_K = 4  # files rewritten per maintenance cycle
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+WITH {MERGE_DV_CTES},
+per_file AS (
+  SELECT b.file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN dv.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dv_marked
+  FROM base b LEFT JOIN dv ON b.file_id = dv.file_id AND b.pos = dv.pos
+  GROUP BY b.file_id
+)
+SELECT file_id, n_rows, n_dv_marked,
+       ROUND(n_dv_marked * 1.0 / n_rows, 6) AS dv_fraction,
+       CAST(rk AS INT) AS compaction_rank,
+       n_rows - n_dv_marked AS live_rows_after
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           ORDER BY ROUND(n_dv_marked * 1.0 / n_rows, 6) DESC, file_id) AS rk
+  FROM per_file
+) WHERE rk <= {COMPACT_PLAN_TOP_K}
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-service compaction planner — the decision loop q_merge_dv's
+    per-file DV stats exist to feed: each maintenance cycle rewrites the
+    K files with the highest deletion-vector fraction (rank on the
+    ROUNDED fraction with a file_id tiebreak, so the plan is
+    deterministic cross-engine), reclaiming their dead rows and resetting
+    their DV. Emits the planned cycle: file, row/mark counts, fraction,
+    rank, and the live rows the rewrite will carry.
+
+    Scale shape: per-file stats are ONE broadcast-DV probe + file-grain
+    aggregate (|files| rows — bounded metadata, exactly what a real table
+    service reads from manifest/DV metadata without touching data); the
+    top-K is a window over that bounded relation. The expensive part of
+    compaction — the rewrite itself — is q_compact's verb; this key is
+    the policy that schedules it."""
+    base = merge_dv_base(spark, sf_dir).localCheckpoint()
+    feed = merge_dv_feed(base)
+    dv = base.join(
+        feed.where(F.col("op").isin("delete", "update")).select("o_orderkey"),
+        "o_orderkey",
+    ).select("file_id", "pos")
+    per_file = (
+        base.join(
+            F.broadcast(dv.withColumn("marked", F.lit(1))), ["file_id", "pos"], "left"
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce("marked", F.lit(0))).alias("n_dv_marked"),
+        )
+    )
+    from pyspark.sql import Window
+
+    frac = F.round(F.col("n_dv_marked") * 1.0 / F.col("n_rows"), 6)
+    w = Window.orderBy(F.desc("dv_fraction"), F.asc("file_id"))
+    return (
+        per_file.withColumn("dv_fraction", frac)
+        .withColumn("compaction_rank", F.row_number().over(w))
+        .where(F.col("compaction_rank") <= COMPACT_PLAN_TOP_K)
+        .select(
+            "file_id",
+            "n_rows",
+            "n_dv_marked",
+            "dv_fraction",
+            "compaction_rank",
+            (F.col("n_rows") - F.col("n_dv_marked")).alias("live_rows_after"),
+        )
+    )
