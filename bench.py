@@ -54,6 +54,9 @@ HEADLINE = [
     "q_domain_cap", "q_quality_classifier", "q_global_rownum",
     "q_exact_median", "q_range_sort_sink", "q_woe_iv",
     "q_allocation", "q_slo_burn", "q_stream_late_data", "q_fuzzy_match",
+    # round-8 additions (tail — dropped first if the line overflows)
+    "q_stream_merge", "q_dedup_eval_sampled", "q_tokenizer_fertility",
+    "q_link_predict_capped", "q_retrieval_eval", "q_rerank_score",
 ]
 # Keep safely under the driver's 2000-char stdout tail capture.
 MAX_LINE = 1800

@@ -1065,6 +1065,55 @@ def test_link_predict_capped_windowgrouplimit_heaps(plans):
     assert final.count("FileScan parquet") == 0, final
 
 
+def test_dedup_eval_sampled_same_shape_as_full_audit(plans):
+    """q_dedup_eval_sampled runs the identical confusion pipeline on the
+    stratum: banded-candidates-only join (no all-pairs), checkpointed
+    rails (no parquet re-scan inside the audit), stratum predicate folded
+    before the checkpoint builds."""
+    p = plans("q_dedup_eval_sampled")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "CartesianProduct" not in final, final
+
+
+def test_tokenizer_fertility_single_scan_no_joins(plans):
+    """q_tokenizer_fertility's encode is map-only literal replaces (the
+    merge table rides as plan literals): ONE documents scan, two
+    partial-aggregated rollups, no joins and no Python stage."""
+    p = plans("q_tokenizer_fertility")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "Join" not in final, final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
+    assert final.count("HashAggregate") >= 2, final
+
+
+def test_retrieval_eval_sampled_rides_rails_cache(plans):
+    """q_retrieval_eval_sampled reads the persisted rails cache (never the
+    documents table) and aggregates the stratum-filtered per-query rows —
+    same scan discipline as q_retrieval_eval."""
+    p = plans("q_retrieval_eval_sampled")
+    final = p.split("== Initial Plan ==")[0]
+    assert "documents.parquet" not in final, final
+    assert "dpas_retr_rails" in final, final
+    assert "CartesianProduct" not in final, final
+
+
+def test_compaction_plan_bounded_metadata_topk(plans):
+    """q_compaction_plan's top-K runs over the bounded |files|-grain
+    relation (TakeOrderedAndProject / small window — never a corpus
+    sort), with the DV probed as a broadcast join off the checkpointed
+    base."""
+    p = plans("q_compaction_plan")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
+    assert "BroadcastHashJoin" in final, final
+    assert "TakeOrderedAndProject" in final, final
+    assert "CartesianProduct" not in final, final
+
+
 def test_readability_is_map_only(plans):
     """q_readability is a pure map: three in-row regexp/split counts plus
     fixed arithmetic — no shuffle, no explode, no Python stage, and the
