@@ -5,13 +5,18 @@ Pandas functions.
 The testdata has no true media files, so the *payload* is the document text
 encoded as bytes — which keeps the Spark-side plumbing (binary schema,
 partition-parallel mapInPandas, batch shapes, metadata structs) fully real
-while the image/video codecs are deterministic fakes. The AUDIO rung is
-real since round 8: payloads are genuine RIFF/WAVE 8-bit-PCM containers
-decoded by an actual chunk-walking parser (encode_wav_pcm8 /
-decode_wav_pcm8 — byte-identical to the stdlib `wave` writer, pinned by
-test). The remaining decoders (PIL/ffmpeg, compressed audio) stay stubbed
-behind import-tries with explicit NotImplementedError markers, exactly
-where a production build would plug in.
+while the remaining codecs are deterministic fakes. Real since round 8:
+the AUDIO rung (genuine RIFF/WAVE 8-bit-PCM containers decoded by an
+actual chunk-walking parser — encode_wav_pcm8 / decode_wav_pcm8,
+byte-identical to the stdlib `wave` writer, pinned by test) and an IMAGE
+rung (q_multimodal_image: binary Netpbm P5/PGM containers parsed by a
+real whitespace/comment-tolerant header scanner — encode_pgm /
+decode_pgm). Both formats are byte-lossless for raw payloads, which is
+what keeps the DuckDB oracles exact. The remaining decoders (PIL for
+color/compressed images, ffmpeg for video, soundfile for compressed
+audio) stay stubbed behind import-tries with explicit
+NotImplementedError markers, exactly where a production build would
+plug in.
 
 Scale notes: binary payloads ride through scans/joins untouched (Parquet
 stores them as BYTE_ARRAY; column pruning keeps them out of queries that
@@ -301,6 +306,168 @@ def decode_wav_pcm8(payload: bytes):
             "require soundfile/torchaudio (production plug point)"
         )
     return np.frombuffer(data, dtype=np.uint8)
+
+
+def encode_pgm(pixels: bytes, width: int | None = None) -> bytes:
+    """Canonical binary Netpbm PGM (P5) container around raw 8-bit
+    grayscale pixels — a REAL image format any viewer/ImageMagick opens,
+    pure stdlib. Default layout is a single row (width = n, height = 1);
+    the emitted comment line exercises parsers' comment handling. PGM has
+    no row padding, so the container is byte-lossless for any payload —
+    the same property that made the WAV rung's oracle exact."""
+    n = len(pixels)
+    w = n if width is None else width
+    h = (n // w) if w else 0
+    if w * h != n:
+        raise ValueError(f"width {w} does not tile {n} pixels")
+    return f"P5\n# dpas fixture\n{w} {h}\n255\n".encode("ascii") + pixels
+
+
+def decode_pgm(payload: bytes):
+    """Genuine Netpbm P5 parse: magic, then header tokens (width, height,
+    maxval) separated by arbitrary whitespace with '#' comments running to
+    end-of-line (the real grammar — written by hand here because the
+    header is text while the raster is raw), a single whitespace byte,
+    then exactly width*height raw bytes. Returns (width, height, maxval,
+    numpy uint8 pixels). Refuses other Netpbm flavors (P2 ASCII, P6 color)
+    and truncated rasters loudly — those are the PIL plug points."""
+    import numpy as np
+
+    if payload[:2] in (b"P2", b"P3", b"P6"):
+        raise NotImplementedError(
+            "only binary grayscale P5 is decoded in pure numpy; other "
+            "Netpbm flavors / compressed formats require PIL (plug point)"
+        )
+    if payload[:2] != b"P5":
+        raise ValueError("not a PGM (P5) container")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PGM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit (maxval 255) PGM in pure numpy")
+    raster = payload[pos : pos + w * h]
+    if len(raster) != w * h:
+        raise ValueError("truncated PGM raster")
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8)
+
+
+@query(
+    "q_multimodal_image",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+px AS (
+  SELECT doc_id, n,
+         CAST(concat('0x', substr(hx, 2 * p + 1, 2)) AS INT) AS byte
+  FROM b, (SELECT unnest(generate_series(0, 255)) AS p)
+  WHERE n > p
+)
+SELECT doc_id,
+       CAST(n AS INT)            AS width,
+       1                         AS height,
+       255                       AS maxval,
+       CAST(byte // 32 AS INT)   AS bucket,
+       CAST(COUNT(*) AS BIGINT)  AS n_pixels
+FROM px
+GROUP BY doc_id, n, byte // 32
+""",
+)
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over a REAL container format — the WAV
+    rung's pattern applied to images: each payload is a genuine binary
+    Netpbm PGM file (fixture generation renders the text bytes as a 1-row
+    grayscale raster; PGM has no row padding, so the container is
+    byte-lossless), decoded back by an actual header parser (magic,
+    whitespace/comment-tolerant token scan, maxval check, exact-raster
+    length validation — decode_pgm), then mapInPandas computes an 8-bin
+    luminance histogram over the first 256 pixels per image — the 1:N
+    fan-out and vectorized bincount a real thumbnail/stats pass has.
+    Decoded pixels equal the original bytes, so the DuckDB oracle replays
+    the histogram byte-exactly from hex(encode(text)). Color formats and
+    ASCII Netpbm stay behind decode_pgm's documented PIL plug point."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    # encode_pgm/decode_pgm twins inlined: worker closures must be
+    # self-contained (see the WAV rung's note); the module-level originals
+    # are pinned equal to these by the codec tests.
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def enc(pixels: bytes) -> bytes:
+            n = len(pixels)
+            return f"P5\n# dpas fixture\n{n} 1\n255\n".encode("ascii") + pixels
+
+        def dec(payload: bytes):
+            if payload[:2] != b"P5":
+                raise ValueError("not a PGM (P5) container")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                c = payload[pos : pos + 1]
+                if c == b"#":
+                    while payload[pos : pos + 1] != b"\n":
+                        pos += 1
+                elif c.isspace():
+                    pos += 1
+                else:
+                    start = pos
+                    while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    tokens.append(int(payload[start:pos]))
+            pos += 1
+            w, h, maxval = tokens
+            raster = payload[pos : pos + w * h]
+            if len(raster) != w * h:
+                raise ValueError("truncated PGM raster")
+            return w, h, maxval, np.frombuffer(raster, dtype=np.uint8)
+
+        for pdf in batches:
+            doc, wid, hei, mxv, bkt, cnt = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not len(payload):
+                    continue
+                w, h, maxval, pixels = dec(enc(bytes(payload)))
+                hist = np.bincount(pixels[:256] >> 5, minlength=8)
+                for b in range(8):
+                    if hist[b]:
+                        doc.append(doc_id)
+                        wid.append(w)
+                        hei.append(h)
+                        mxv.append(maxval)
+                        bkt.append(b)
+                        cnt.append(int(hist[b]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "width": pd.Series(wid, dtype="int32"),
+                    "height": pd.Series(hei, dtype="int32"),
+                    "maxval": pd.Series(mxv, dtype="int32"),
+                    "bucket": pd.Series(bkt, dtype="int32"),
+                    "n_pixels": pd.Series(cnt, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, maxval int, bucket int, n_pixels long",
+    )
 
 
 def decode_audio(payload: bytes) -> "object":

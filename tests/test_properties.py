@@ -562,6 +562,68 @@ def test_wav_codec_matches_stdlib_wave_and_round_trips():
         decode_wav_pcm8(buf16.getvalue())
 
 
+def test_pgm_codec_round_trips_and_parses_real_grammar():
+    """The PGM writer/parser pair must round-trip any byte payload, parse
+    the REAL Netpbm header grammar (arbitrary whitespace, '#' comments to
+    end-of-line, multi-row dims), validate raster length, and refuse
+    non-P5 flavors with the documented plug-point errors."""
+    import numpy as np
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import decode_pgm, encode_pgm
+
+    for pixels in (b"\x00", bytes(range(256)), b"spark" * 99):
+        w, h, maxval, got = decode_pgm(encode_pgm(pixels))
+        assert (w, h, maxval) == (len(pixels), 1, 255)
+        assert bytes(got) == pixels
+    # multi-row layout
+    w, h, _, got = decode_pgm(encode_pgm(bytes(range(24)), width=6))
+    assert (w, h) == (6, 4) and bytes(got) == bytes(range(24))
+    # hand-built header with hostile-but-legal whitespace and comments
+    raster = bytes(range(12))
+    wild = b"P5 # c1\n#c2\n\t 4\r\n# mid\n 3 \n255 " + raster
+    w, h, maxval, got = decode_pgm(wild)
+    assert (w, h, maxval, bytes(got)) == (4, 3, 255, raster)
+    # refusals: wrong magic, other flavors, truncated raster, 16-bit
+    with pytest.raises(ValueError):
+        decode_pgm(b"not an image")
+    with pytest.raises(NotImplementedError):
+        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError):
+        decode_pgm(encode_pgm(bytes(10))[:-3])
+    with pytest.raises(NotImplementedError):
+        decode_pgm(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError):
+        encode_pgm(bytes(10), width=3)  # width must tile the raster
+    assert isinstance(got, np.ndarray)
+
+
+def test_multimodal_image_histogram_replays_via_module_codec(spark, sf_dir, duck):
+    """q_multimodal_image's inlined worker codec must agree with the
+    module-level PGM pair: the per-doc 8-bin luminance histograms replayed
+    through encode_pgm → decode_pgm must equal the operator output."""
+    import numpy as np
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import decode_pgm, encode_pgm
+
+    want = {}
+    for doc_id, text in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        payload = text.encode("utf-8")
+        if not payload:
+            continue
+        w, h, maxval, pixels = decode_pgm(encode_pgm(payload))
+        hist = np.bincount(pixels[:256] >> 5, minlength=8)
+        for b in range(8):
+            if hist[b]:
+                want[(doc_id, b)] = (w, h, maxval, int(hist[b]))
+    got = {
+        (r.doc_id, r.bucket): (r.width, r.height, r.maxval, r.n_pixels)
+        for r in all_queries()["q_multimodal_image"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_multimodal_audio_features_replay_via_module_codec(spark, sf_dir, duck):
     """q_multimodal_audio's inlined worker codec must agree with the
     module-level encode/decode pair (the documented production API): the
