@@ -133,22 +133,15 @@ def _clear_sink_caches(sf_dir: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:
-        sf = -1.0
-
-    # Quiet-host guard: co-tenant load inflates totals ~17% (measured round
-    # 4) and confounded every round-6 cross-round signal (start loadavg
-    # 4.62), so a contended start now WAITS for the host to go quiet
-    # (default up to 10 min, 30 s re-samples) before recording — the
-    # artifact is the round's perf evidence and a hot-host number is worse
-    # than a late one. Every artifact still carries start/end loadavg and
-    # a host_contended flag. SPARK_GRAFT_BENCH_QUIET_WAIT=0 skips the wait;
-    # SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 hard-refuses instead of stamping.
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+def quiet_gate(max_load: float | None = None) -> tuple[float, float]:
+    """Shared quiet-host gate (bench/remeasure/scaling): wait (default up
+    to 10 min, 30 s re-samples) for the 1-min loadavg to fall under the
+    threshold before recording. Returns (load_start, max_load). A
+    contended start inflates totals ~17% and confounded round-6's every
+    cross-round signal, so a hot-host number is worse than a late one.
+    SPARK_GRAFT_BENCH_QUIET_WAIT=0 skips the wait."""
+    if max_load is None:
+        max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
     wait_left = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
     load_start = _loadavg_1min()
     while load_start > max_load and wait_left > 0:
@@ -161,6 +154,38 @@ def main() -> None:
         time.sleep(30)
         wait_left -= 30
         load_start = _loadavg_1min()
+    return load_start, max_load
+
+
+def _flag_value(args: list[str], flag: str) -> str | None:
+    """Value following ``flag`` in args, exiting with usage (not a
+    post-run IndexError) when the flag dangles without one."""
+    if flag not in args:
+        return None
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        sys.exit(f"usage: {flag} <value> (flag given without a value)")
+    return args[i + 1]
+
+
+def main() -> None:
+    # Parse argv FIRST: a dangling --out must die at startup, not after a
+    # 15-minute run has already produced the data it then fails to write.
+    out_name = (
+        _flag_value(sys.argv, "--out")
+        or os.environ.get("SPARK_GRAFT_BENCH_OUT", "")
+        or "BENCH_LATEST.json"  # untracked scratch — see header note
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    # Quiet-host guard (shared quiet_gate; every artifact still carries
+    # start/end loadavg and a host_contended flag).
+    # SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 hard-refuses instead of stamping.
+    load_start, max_load = quiet_gate()
     if load_start > max_load and os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET") == "1":
         print(
             f"host busy (1-min loadavg {load_start} > {max_load}); refusing to record",
@@ -257,11 +282,6 @@ def main() -> None:
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
         "sink_cache_keys": [n for n in SINK_CACHE_KEYS if n in timings],
     }
-    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "")
-    if "--out" in sys.argv:
-        out_name = sys.argv[sys.argv.index("--out") + 1]
-    if not out_name:
-        out_name = "BENCH_LATEST.json"  # untracked scratch — see header note
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name)
     try:
         with open(full_path, "w") as f:

@@ -293,6 +293,8 @@ def decode_wav_pcm8(payload: bytes):
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # short fmt must be a parse error, not a crash
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -412,17 +414,21 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         def enc(pixels: bytes) -> bytes:
-            n = len(pixels)
-            return f"P5\n# dpas fixture\n{n} 1\n255\n".encode("ascii") + pixels
+            n = len(pixels)  # h matches module encode_pgm even at n=0
+            return f"P5\n# dpas fixture\n{n} {1 if n else 0}\n255\n".encode(
+                "ascii"
+            ) + pixels
 
         def dec(payload: bytes):
             if payload[:2] != b"P5":
                 raise ValueError("not a PGM (P5) container")
             pos, tokens = 2, []
             while len(tokens) < 3:
+                if pos >= len(payload):  # EOF mid-header: raise, never spin
+                    raise ValueError("truncated PGM header")
                 c = payload[pos : pos + 1]
                 if c == b"#":
-                    while payload[pos : pos + 1] != b"\n":
+                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
                         pos += 1
                 elif c.isspace():
                     pos += 1

@@ -574,6 +574,42 @@ def merge_dv_feed(base: DataFrame) -> DataFrame:
     )
 
 
+def merge_dv_marks(base: DataFrame, feed: DataFrame) -> DataFrame:
+    """The deletion-vector relation (file_id, pos) for a base + feed pair —
+    ONE definition under q_merge_dv, q_compaction_plan and the streaming
+    MERGE's read path, so a change to which ops mark a row can never fork
+    between the MERGE, the compaction policy and the stream."""
+    return base.join(
+        feed.where(F.col("op").isin("delete", "update")).select("o_orderkey"),
+        "o_orderkey",
+    ).select("file_id", "pos")
+
+
+def merge_dv_expected(base: DataFrame) -> DataFrame:
+    """The naive copy-on-write rewrite (o_orderkey, cents) the MERGE must
+    equal — the equality-proof side of q_merge_dv AND q_stream_merge, kept
+    as one definition so the churn rule (delete %13, update 5%% integer
+    bump, insert %997 at offset keys) cannot drift between the two
+    proofs."""
+    return (
+        base.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.expr("(cents * 105 + 50) div 100")
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
+                (F.col("cents") + 1).alias("cents"),
+            )
+        )
+    )
+
+
 @query("q_merge_dv", oracle=_MERGE_DV_ORACLE)
 def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO with deletion vectors — the merge-on-read strategy of
@@ -600,34 +636,13 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = merge_dv_base(spark, sf_dir).localCheckpoint()
     # checkpointed once: feeds feed/dv/live_base/per_file/expected
     feed = merge_dv_feed(base)
-    dv = (
-        base.join(
-            feed.where(F.col("op").isin("delete", "update")).select("o_orderkey"),
-            "o_orderkey",
-        ).select("file_id", "pos")
-    )
+    dv = merge_dv_marks(base, feed)
     delta = feed.where(F.col("op").isin("update", "insert")).select(
         "o_orderkey", F.col("new_cents").alias("cents")
     )
     live_base = base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
     merged = live_base.select("o_orderkey", "cents").unionByName(delta)
-    expected = (
-        base.where(F.col("o_orderkey") % 13 != 0)
-        .select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 7 == 0, F.expr("(cents * 105 + 50) div 100")
-            )
-            .otherwise(F.col("cents"))
-            .alias("cents"),
-        )
-        .unionByName(
-            base.where(F.col("o_orderkey") % 997 == 0).select(
-                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
-                (F.col("cents") + 1).alias("cents"),
-            )
-        )
-    )
+    expected = merge_dv_expected(base)
     per_file = (
         base.join(F.broadcast(dv.withColumn("marked", F.lit(1))), ["file_id", "pos"], "left")
         .groupBy("file_id")
@@ -715,11 +730,7 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction — the rewrite itself — is q_compact's verb; this key is
     the policy that schedules it."""
     base = merge_dv_base(spark, sf_dir).localCheckpoint()
-    feed = merge_dv_feed(base)
-    dv = base.join(
-        feed.where(F.col("op").isin("delete", "update")).select("o_orderkey"),
-        "o_orderkey",
-    ).select("file_id", "pos")
+    dv = merge_dv_marks(base, merge_dv_feed(base))
     per_file = (
         base.join(
             F.broadcast(dv.withColumn("marked", F.lit(1))), ["file_id", "pos"], "left"

@@ -349,14 +349,15 @@ def merge_land_fn(stage: str):
     so no worker-pickling constraint applies."""
 
     def land(batch_df: DataFrame, epoch_id: int) -> None:
+        from data_pipeline_aws_spark.operators.setops import merge_dv_marks
+
         spark = batch_df.sparkSession
         base = spark.read.parquet(os.path.join(stage, "base"))
-        marks = batch_df.where(F.col("op").isin("delete", "update")).select(
-            "o_orderkey"
+        # merge_dv_marks IS the one DV definition; the broadcast hint on
+        # the churn-sized batch side rides through its filter/select
+        merge_dv_marks(base, F.broadcast(batch_df)).write.mode("overwrite").parquet(
+            os.path.join(stage, "dv", f"epoch={epoch_id}")
         )
-        base.join(F.broadcast(marks), "o_orderkey").select("file_id", "pos").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, "dv", f"epoch={epoch_id}"))
         batch_df.where(F.col("op").isin("update", "insert")).select(
             "o_orderkey", F.col("new_cents").alias("cents")
         ).write.mode("overwrite").parquet(
@@ -395,7 +396,6 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_aws_spark.caches import publish, staging_dir
     from data_pipeline_aws_spark.operators.setops import (
-        MERGE_DV_INSERT_OFFSET,
         merge_dv_base,
         merge_dv_feed,
     )
@@ -447,23 +447,9 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = live.select("o_orderkey", "cents").unionByName(
         delta.select("o_orderkey", "cents")
     )
-    expected = (
-        base.where(F.col("o_orderkey") % 13 != 0)
-        .select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 7 == 0, F.expr("(cents * 105 + 50) div 100")
-            )
-            .otherwise(F.col("cents"))
-            .alias("cents"),
-        )
-        .unionByName(
-            base.where(F.col("o_orderkey") % 997 == 0).select(
-                (F.col("o_orderkey") + MERGE_DV_INSERT_OFFSET).alias("o_orderkey"),
-                (F.col("cents") + 1).alias("cents"),
-            )
-        )
-    )
+    from data_pipeline_aws_spark.operators.setops import merge_dv_expected
+
+    expected = merge_dv_expected(base)
     e_stats = expected.agg(
         F.count(F.lit(1)).alias("expected_rows"),
         F.sum("cents").alias("expected_cents"),

@@ -552,6 +552,14 @@ def test_wav_codec_matches_stdlib_wave_and_round_trips():
 
     with pytest.raises(ValueError):
         decode_wav_pcm8(b"not a wav at all")
+    # short fmt chunk is a PARSE error (ValueError), never a raw
+    # struct.error escaping decode_audio's plug-point routing
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + struct.pack("<HH", 1, 1)
+    )
+    with pytest.raises(ValueError):
+        decode_wav_pcm8(short_fmt)
     buf16 = io.BytesIO()
     with wave.open(buf16, "wb") as w:
         w.setnchannels(1)
@@ -584,9 +592,14 @@ def test_pgm_codec_round_trips_and_parses_real_grammar():
     wild = b"P5 # c1\n#c2\n\t 4\r\n# mid\n 3 \n255 " + raster
     w, h, maxval, got = decode_pgm(wild)
     assert (w, h, maxval, bytes(got)) == (4, 3, 255, raster)
-    # refusals: wrong magic, other flavors, truncated raster, 16-bit
+    # refusals: wrong magic, other flavors, truncated raster, 16-bit,
+    # and EOF mid-header (incl. inside a comment) must raise, never spin
     with pytest.raises(ValueError):
         decode_pgm(b"not an image")
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n# a comment that never ends")
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n4 ")
     with pytest.raises(NotImplementedError):
         decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")
     with pytest.raises(ValueError):

@@ -91,6 +91,8 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: --only key1,key2 [sf_dir ...]")
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2 :]
     sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

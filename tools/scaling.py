@@ -55,17 +55,23 @@ def _fit_exponent(sfs: list[float], ts: list[float]) -> float:
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
 
 
+def _take_flag(args: list[str], flag: str) -> tuple[list[str], str | None]:
+    """Pop ``flag <value>`` from args, exiting with usage on a dangling
+    flag (the bench.py lesson: argv mistakes must die at startup)."""
+    if flag not in args:
+        return args, None
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        sys.exit(f"usage: {flag} <value> (flag given without a value)")
+    return args[:i] + args[i + 2 :], args[i + 1]
+
+
 def main() -> None:
     args = sys.argv[1:]
-    n_passes, top_k = 2, None
-    if "-n" in args:
-        i = args.index("-n")
-        n_passes = int(args[i + 1])
-        args = args[:i] + args[i + 2 :]
-    if "--top" in args:
-        i = args.index("--top")
-        top_k = int(args[i + 1])
-        args = args[:i] + args[i + 2 :]
+    args, n_val = _take_flag(args, "-n")
+    args, top_val = _take_flag(args, "--top")
+    n_passes = int(n_val) if n_val else 2
+    top_k = int(top_val) if top_val else None
     if not args and top_k is None:
         top_k = 10
 
@@ -80,23 +86,16 @@ def main() -> None:
     if unknown:
         sys.exit(f"unknown keys: {unknown}")
 
-    # Quiet-host gate + calib anchor: scaling exponents compare times taken
-    # minutes apart, so a mid-run co-tenant burst would masquerade as
-    # superlinear growth. The per-SF loadavg stamps let a reader reject a
-    # contaminated column; the bench protocol's quiet-wait reduces the odds.
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
-    wait_left = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
-    load_start = os.getloadavg()[0]
-    while load_start > max_load and wait_left > 0:
-        print(f"host busy ({load_start} > {max_load}); waiting", file=sys.stderr, flush=True)
-        time.sleep(30)
-        wait_left -= 30
-        load_start = os.getloadavg()[0]
+    # Quiet-host gate + calib anchor (bench.py's shared quiet_gate):
+    # scaling exponents compare times taken minutes apart, so a mid-run
+    # co-tenant burst would masquerade as superlinear growth. The per-SF
+    # loadavg stamps let a reader reject a contaminated column.
+    from bench import SINK_CACHE_KEYS, _cpu_calibration, _loadavg_1min, quiet_gate
+
+    load_start, max_load = quiet_gate()
 
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
-
-    from bench import SINK_CACHE_KEYS, _cpu_calibration
 
     times: dict[str, dict[str, float]] = {k: {} for k in keys}
     load_by_sf: dict[str, float] = {}
@@ -114,7 +113,7 @@ def main() -> None:
                 if cur is None or elapsed < cur:
                     times[name][tag] = elapsed
                 print(f"{tag} pass{p} {name} {elapsed}", file=sys.stderr, flush=True)
-        load_by_sf[tag] = round(os.getloadavg()[0], 2)
+        load_by_sf[tag] = round(_loadavg_1min(), 2)
 
     sfs = [float(os.path.basename(d).removeprefix("sf")) for d in SF_DIRS]
     tags = [os.path.basename(d) for d in SF_DIRS]
