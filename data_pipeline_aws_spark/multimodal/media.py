@@ -5,16 +5,18 @@ Pandas functions.
 The testdata has no true media files, so the *payload* is the document text
 encoded as bytes — which keeps the Spark-side plumbing (binary schema,
 partition-parallel mapInPandas, batch shapes, metadata structs) fully real
-while the remaining codecs are deterministic fakes. Real since round 8:
-the AUDIO rung (genuine RIFF/WAVE 8-bit-PCM containers decoded by an
-actual chunk-walking parser — encode_wav_pcm8 / decode_wav_pcm8,
-byte-identical to the stdlib `wave` writer, pinned by test) and an IMAGE
-rung (q_multimodal_image: binary Netpbm P5/PGM containers parsed by a
-real whitespace/comment-tolerant header scanner — encode_pgm /
-decode_pgm). Both formats are byte-lossless for raw payloads, which is
-what keeps the DuckDB oracles exact. The remaining decoders (PIL for
-color/compressed images, ffmpeg for video, soundfile for compressed
-audio) stay stubbed behind import-tries with explicit
+while the remaining codecs are deterministic fakes. Real since round 8,
+one rung per modality: AUDIO (genuine RIFF/WAVE 8-bit-PCM containers
+decoded by an actual chunk-walking parser — encode_wav_pcm8 /
+decode_wav_pcm8, byte-identical to the stdlib `wave` writer, pinned by
+test), IMAGE (q_multimodal_image: binary Netpbm P5/PGM parsed by a real
+whitespace/comment-tolerant header scanner — encode_pgm / decode_pgm)
+and VIDEO (q_multimodal_video: YUV4MPEG2 Cmono clips parsed by a real
+stream-parameter + per-FRAME-marker walk — encode_y4m / decode_y4m).
+All three formats are byte-lossless for raw payloads, which is what
+keeps the DuckDB oracles exact. The remaining decoders (PIL for
+color/compressed images, ffmpeg for chroma/compressed video, soundfile
+for compressed audio) stay stubbed behind import-tries with explicit
 NotImplementedError markers, exactly where a production build would
 plug in.
 
@@ -473,6 +475,182 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         extract,
         "doc_id long, width int, height int, maxval int, bucket int, n_pixels long",
+    )
+
+
+Y4M_W, Y4M_H = 8, 8  # fixture frame geometry (Cmono: frame = W*H bytes)
+
+
+def encode_y4m(samples: bytes, w: int = Y4M_W, h: int = Y4M_H) -> bytes:
+    """Canonical YUV4MPEG2 (Y4M) container around raw monochrome frames —
+    a REAL uncompressed video format (mpv/ffmpeg open it directly), pure
+    stdlib. `Cmono` colorspace makes each frame exactly w*h luma bytes
+    (no chroma planes, no padding — byte-lossless for the frames kept);
+    trailing bytes that don't fill a frame are dropped, mirroring how a
+    fixture clip ends on its last whole frame."""
+    n_frames = len(samples) // (w * h)
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode("ascii")
+    body = b"".join(
+        b"FRAME\n" + samples[i * w * h : (i + 1) * w * h] for i in range(n_frames)
+    )
+    return head + body
+
+
+def decode_y4m(payload: bytes):
+    """Genuine Y4M parse: the `YUV4MPEG2` magic, space-separated stream
+    parameters (W/H required, C colorspace checked, unknown tags like
+    X-metadata tolerated per spec), then a FRAME walk — each `FRAME`
+    marker may carry its own parameters up to the newline, followed by
+    exactly one frame of raw planes. Returns (w, h, [numpy uint8 frame
+    arrays]). Non-mono colorspaces (C420 etc. — the chroma-plane formats)
+    refuse at the documented ffmpeg plug point; a truncated frame raises."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 container")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    w = h = None
+    cspace = "420"  # the Y4M default when no C tag is present
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"C":
+            cspace = val.decode("ascii")
+        # F/I/A/X tags are valid stream parameters this decoder can ignore
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cspace != "mono":
+        raise NotImplementedError(
+            "only Cmono Y4M is decoded in pure numpy; chroma-plane and "
+            "compressed video require ffmpeg (production plug point)"
+        )
+    frames = []
+    pos = nl + 1
+    size = w * h
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        raster = payload[fnl + 1 : fnl + 1 + size]
+        if len(raster) != size:
+            raise ValueError("truncated frame")
+        frames.append(np.frombuffer(raster, dtype=np.uint8))
+        pos = fnl + 1 + size
+    return w, h, frames
+
+
+@query(
+    "q_multimodal_video",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, hx, n, f.f AS frame_idx
+  FROM b, unnest(generate_series(0, n // {Y4M_W * Y4M_H} - 1)) f(f)
+),
+px AS (
+  SELECT doc_id, frame_idx,
+         CAST(concat('0x', substr(hx, 2 * (frame_idx * {Y4M_W * Y4M_H} + p.p) + 1, 2))
+              AS INT) AS byte
+  FROM fr, unnest(generate_series(0, {Y4M_W * Y4M_H - 1})) p(p)
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT)                        AS frame_idx,
+       {Y4M_W}                                       AS width,
+       {Y4M_H}                                       AS height,
+       CAST(SUM(byte) AS BIGINT)                     AS luma_sum,
+       CAST(MAX(byte) AS INT)                        AS luma_peak
+FROM px
+GROUP BY doc_id, frame_idx
+""",
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video feature extraction over a REAL container format — the third
+    real codec rung (WAV audio, PGM image, now Y4M video): each payload is
+    a genuine YUV4MPEG2 clip (fixture renders the text bytes as 8x8
+    monochrome frames — Cmono frames are exactly w*h bytes, so the kept
+    frames are byte-lossless), decoded by an actual parser (magic, stream
+    parameter tags with unknown-tag tolerance, per-FRAME marker walk,
+    exact-raster validation — decode_y4m), then mapInPandas emits one row
+    per frame with integer luma statistics — the 1:N frame fan-out a real
+    ffmpeg keyframe sampler has (q_multimodal_framesample's shape, now
+    over a real container). Integer sums are cross-engine exact, so the
+    DuckDB oracle replays every frame's stats from hex(encode(text)).
+    Chroma-plane colorspaces and compressed codecs refuse at decode_y4m's
+    documented ffmpeg plug point."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    w_, h_ = Y4M_W, Y4M_H
+
+    # encode_y4m/decode_y4m twins inlined: worker closures must be
+    # self-contained (the WAV rung's note); pinned equal by the codec test.
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        size = w_ * h_
+
+        def enc(samples: bytes) -> bytes:
+            n_frames = len(samples) // size
+            head = f"YUV4MPEG2 W{w_} H{h_} F25:1 Ip A1:1 Cmono\n".encode("ascii")
+            return head + b"".join(
+                b"FRAME\n" + samples[i * size : (i + 1) * size]
+                for i in range(n_frames)
+            )
+
+        def dec(payload: bytes):
+            if not payload.startswith(b"YUV4MPEG2"):
+                raise ValueError("not a YUV4MPEG2 container")
+            nl = payload.find(b"\n")
+            if nl < 0:
+                raise ValueError("truncated Y4M stream header")
+            frames, pos = [], nl + 1
+            while pos < len(payload):
+                if payload[pos : pos + 5] != b"FRAME":
+                    raise ValueError("missing FRAME marker")
+                fnl = payload.find(b"\n", pos)
+                if fnl < 0:
+                    raise ValueError("truncated FRAME header")
+                raster = payload[fnl + 1 : fnl + 1 + size]
+                if len(raster) != size:
+                    raise ValueError("truncated frame")
+                frames.append(np.frombuffer(raster, dtype=np.uint8))
+                pos = fnl + 1 + size
+            return frames
+
+        for pdf in batches:
+            doc, idx, lsum, lpeak = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(dec(enc(bytes(payload)))):
+                    doc.append(doc_id)
+                    idx.append(i)
+                    lsum.append(int(frame.sum()))
+                    lpeak.append(int(frame.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "frame_idx": pd.Series(idx, dtype="int32"),
+                    "width": pd.Series([w_] * len(doc), dtype="int32"),
+                    "height": pd.Series([h_] * len(doc), dtype="int32"),
+                    "luma_sum": pd.Series(lsum, dtype="int64"),
+                    "luma_peak": pd.Series(lpeak, dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, frame_idx int, width int, height int, luma_sum long, luma_peak int",
     )
 
 

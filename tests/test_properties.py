@@ -637,6 +637,79 @@ def test_multimodal_image_histogram_replays_via_module_codec(spark, sf_dir, duck
     assert got == want
 
 
+def test_y4m_codec_round_trips_and_parses_real_grammar():
+    """The Y4M writer/parser pair must round-trip whole frames, drop the
+    sub-frame tail, tolerate unknown stream/frame parameters (X tags, the
+    spec's extension mechanism), and refuse chroma colorspaces and
+    truncated frames with the documented plug-point errors."""
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import (
+        Y4M_H,
+        Y4M_W,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    size = Y4M_W * Y4M_H
+    payload = bytes(range(256)) * 2  # 512 bytes → 8 whole 64-byte frames
+    w, h, frames = decode_y4m(encode_y4m(payload))
+    assert (w, h, len(frames)) == (Y4M_W, Y4M_H, len(payload) // size)
+    assert b"".join(bytes(f) for f in frames) == payload[: len(frames) * size]
+    # sub-frame tail dropped
+    _, _, frames = decode_y4m(encode_y4m(payload + b"tail"))
+    assert len(frames) == len(payload) // size
+    # hand-built stream with extension tags and per-FRAME parameters
+    raster = bytes(range(size))
+    wild = (
+        f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F30000:1001 Ip A1:1 Cmono XYSCSS=MONO\n".encode()
+        + b"FRAME Xtimecode=00:00\n" + raster
+    )
+    w, h, frames = decode_y4m(wild)
+    assert (w, h, len(frames)) == (Y4M_W, Y4M_H, 1) and bytes(frames[0]) == raster
+    # refusals
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a video")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + bytes(6))
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(6))  # default C420
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W8 H8 Cmono\nFRAME\n" + bytes(10))  # short frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W8 H8 Cmono\nJUNK\n" + bytes(64))
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 Cmono\nFRAME\n")  # missing W/H
+
+
+def test_multimodal_video_stats_replay_via_module_codec(spark, sf_dir, duck):
+    """q_multimodal_video's inlined worker codec must agree with the
+    module-level Y4M pair: per-frame luma stats replayed through
+    encode_y4m → decode_y4m must equal the operator output."""
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import (
+        Y4M_H,
+        Y4M_W,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    want = {}
+    for doc_id, text in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        payload = text.encode("utf-8")
+        if len(payload) < Y4M_W * Y4M_H:
+            continue
+        _, _, frames = decode_y4m(encode_y4m(payload))
+        for i, f in enumerate(frames):
+            want[(doc_id, i)] = (Y4M_W, Y4M_H, int(f.sum()), int(f.max()))
+    got = {
+        (r.doc_id, r.frame_idx): (r.width, r.height, r.luma_sum, r.luma_peak)
+        for r in all_queries()["q_multimodal_video"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no whole frames — test would be vacuous"
+
+
 def test_multimodal_audio_features_replay_via_module_codec(spark, sf_dir, duck):
     """q_multimodal_audio's inlined worker codec must agree with the
     module-level encode/decode pair (the documented production API): the
