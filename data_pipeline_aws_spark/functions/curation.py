@@ -22,6 +22,30 @@ from data_pipeline_aws_spark.tables import table
 
 # Knuth multiplicative hash on the stable doc key → uniform buckets 0..99.
 _HASH_MULT = 2654435761
+# Width-safe stratum construction: mask the key to 31 bits BEFORE the
+# multiply so the product (≤ (2^31-1) * 2654435761 ≈ 5.7e18) always fits
+# int64 in every engine. Without the mask the raw pattern
+# (key * _HASH_MULT) % 100 is engine-divergent at production key
+# magnitudes: Spark wraps int64 overflow to negative (and negative % 100
+# skews the stratum), DuckDB raises on BIGINT overflow. The mask is also
+# sign-safe — two's-complement AND with a positive mask yields a
+# non-negative value in Python, Spark, and DuckDB alike — and identical to
+# the unmasked predicate for all keys in [0, 2^31), so committed-SF
+# results are unchanged. New hash-stratum predicates must use these
+# helpers, one per engine, so the two sides can never drift.
+_STRATUM_MASK = (1 << 31) - 1
+
+
+def stratum_bucket(col: "F.Column") -> "F.Column":
+    """Spark side of the width-safe 0..99 stratum bucket."""
+    return (col.bitwiseAND(F.lit(_STRATUM_MASK)) * F.lit(_HASH_MULT)) % 100
+
+
+def stratum_bucket_sql(expr: str) -> str:
+    """DuckDB twin of :func:`stratum_bucket` (identical bit semantics)."""
+    return f"((({expr}) & {_STRATUM_MASK}) * {_HASH_MULT}) % 100"
+
+
 _KEEP_PCT = {"en": 60, "de": 35, "fr": 35, "es": 35, "zh": 20}
 
 _RATE_SQL = (

@@ -2645,7 +2645,10 @@ def q_rerank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by 1/s. MRR rides an integer micro-unit sum (each rr_fused is already a
 # 6-dp value; x1e6 is integer-exact), so the aggregate is cross-engine
 # byte-exact instead of a float-summation-order gamble.
-from data_pipeline_aws_spark.functions.curation import _HASH_MULT  # noqa: E402
+from data_pipeline_aws_spark.functions.curation import (  # noqa: E402
+    stratum_bucket,
+    stratum_bucket_sql,
+)
 
 RETR_SAMPLE_PCT = 50
 _RETR_QMULT = 100 // RETR_SAMPLE_PCT
@@ -2659,7 +2662,7 @@ SELECT CAST(COUNT(*) AS BIGINT)                          AS n_queries,
        SUM(CASE WHEN found THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS recall_at10,
        SUM(CAST(ROUND(rr_fused * 1000000) AS BIGINT)) / 1000000.0 / COUNT(*) AS mrr
 FROM per
-WHERE (query_doc * {_HASH_MULT}) % 100 < {RETR_SAMPLE_PCT}
+WHERE {stratum_bucket_sql("query_doc")} < {RETR_SAMPLE_PCT}
 """
 
 
@@ -2679,7 +2682,7 @@ def q_retrieval_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), then divided once — no float-summation-order drift; the
     sample-vs-full envelope is property-tested at two SFs."""
     per = q_retrieval_eval(spark, sf_dir)
-    samp = per.where((F.col("query_doc") * _HASH_MULT) % 100 < RETR_SAMPLE_PCT)
+    samp = per.where(stratum_bucket(F.col("query_doc")) < RETR_SAMPLE_PCT)
     found_i = F.when(F.col("found"), 1).otherwise(0)
     rr_e6 = F.round(F.col("rr_fused") * 1000000).cast("long")
     return samp.agg(

@@ -294,6 +294,14 @@ def decode_wav_pcm8(payload: bytes):
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # loud-truncation contract shared with decode_pgm/decode_y4m: a
+            # chunk header promising more bytes than the payload carries
+            # must not decode silently to a short sample array
+            raise ValueError(
+                f"truncated {cid!r} chunk: header promises {size} bytes, "
+                f"payload carries {len(body)}"
+            )
         if cid == b"fmt ":
             if len(body) < 16:  # short fmt must be a parse error, not a crash
                 raise ValueError("truncated fmt chunk")

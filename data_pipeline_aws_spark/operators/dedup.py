@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_aws_spark.functions.curation import _HASH_MULT
+from data_pipeline_aws_spark.functions.curation import (
+    stratum_bucket,
+    stratum_bucket_sql,
+)
 from data_pipeline_aws_spark.registry import query
 from data_pipeline_aws_spark.tables import table
 
@@ -1847,7 +1850,7 @@ _EVAL_COUNT_COLS = (
 
 _MH_EVAL_SAMPLED_ORACLE = f"""
 WITH sdocs AS (
-  SELECT * FROM documents WHERE (doc_id * {_HASH_MULT}) % 100 < {EVAL_SAMPLE_PCT}
+  SELECT * FROM documents WHERE {stratum_bucket_sql("doc_id")} < {EVAL_SAMPLE_PCT}
 ),
 {_mh_eval_confusion_ctes("sdocs")}
 SELECT *,
@@ -1876,7 +1879,7 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 (tests/test_properties.py) — the estimator's variance, not just
     its formula, is pinned to committed evidence."""
     docs = table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") * _HASH_MULT) % 100 < EVAL_SAMPLE_PCT
+        stratum_bucket(F.col("doc_id")) < EVAL_SAMPLE_PCT
     )
     report = _dedup_eval_report(docs)
     return report.select(
@@ -2378,7 +2381,7 @@ _ELSH_MULT_SQL = (
 )
 
 _ELSH_EVAL_SAMPLED_ORACLE = f"""
-WITH {_elsh_eval_ctes(f" WHERE (vec_id * {_HASH_MULT}) % 100 < {ELSH_SAMPLE_PCT}")}
+WITH {_elsh_eval_ctes(f" WHERE {stratum_bucket_sql('vec_id')} < {ELSH_SAMPLE_PCT}")}
 SELECT *,
        CAST({ELSH_SAMPLE_PCT} AS INT) AS sample_pct,
        {", ".join(f"CAST({c} * {_ELSH_MULT_SQL} AS BIGINT) AS est_{c}" for c in _ELSH_COUNT_COLS)},
@@ -2402,7 +2405,7 @@ def q_embed_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged; the binomial extrapolation envelope vs the full-truth rows
     is property-tested at two SFs."""
     sampled = _elsh_orig(spark, sf_dir).where(
-        (F.col("vec_id") * _HASH_MULT) % 100 < ELSH_SAMPLE_PCT
+        stratum_bucket(F.col("vec_id")) < ELSH_SAMPLE_PCT
     )
     report = _elsh_eval_report(spark, sampled)
     mult = (

@@ -455,9 +455,15 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("expected_cents"),
     )
     b_stats = base.agg(F.count(F.lit(1)).alias("n_base_rows"))
-    dv_stats = dv.agg(
-        F.count_distinct("epoch").alias("n_epochs"),
-        F.count(F.lit(1)).alias("n_dv_marked"),
+    # n_epochs counts distinct epochs over the UNION of dv and delta rows:
+    # an insert-only (or empty) micro-batch lands an empty dv/epoch=N dir
+    # that contributes no dv ROWS, so counting dv epochs alone would
+    # silently drop it and break the oracle's STREAM_MERGE_SLICES constant
+    dv_stats = (
+        dv.select("epoch")
+        .unionByName(delta.select("epoch"))
+        .agg(F.count_distinct("epoch").alias("n_epochs"))
+        .crossJoin(F.broadcast(dv.agg(F.count(F.lit(1)).alias("n_dv_marked"))))
     )
     d_stats = delta.agg(F.count(F.lit(1)).alias("n_delta_rows"))
     m_stats = merged.agg(

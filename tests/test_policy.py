@@ -114,21 +114,31 @@ def test_every_query_module_is_registered():
     assert defining_files <= registered_files, defining_files - registered_files
 
 
-def test_priority_prefix_is_valid_and_family_representative():
-    """__spark_entry__.queries() leads with the curated _PRIORITY prefix:
-    every priority name must exist in the registry (a rename that orphans a
-    priority entry silently demotes that family from the graded prefix),
-    and the prefix must stay mostly oracle-backed."""
+def test_priority_prefix_covers_every_never_graded_key():
+    """The driver hash-grades roughly the first 50 keys of queries() each
+    round. The prefix is COMPUTED as (registry − union of committed
+    CORRECTNESS_r*.json keys) in registration order, so a key that has
+    never received a driver hash row — including every key added this
+    round — must lead queries() and must fit inside the grading window.
+    This is the structural fix for the round-8 lapse where a stale
+    hand-maintained list shipped 9 keys without a driver row."""
     import __spark_entry__ as e
     from data_pipeline_aws_spark import all_oracles, all_queries
 
     qs = all_queries()
-    missing = [n for n in e._PRIORITY if n not in qs]
-    assert not missing, f"_PRIORITY names not registered: {missing}"
+    never_graded = e._priority()
+    missing = [n for n in never_graded if n not in qs]
+    assert not missing, f"prefix names not registered: {missing}"
     names = list(e.queries())
-    assert names[: len(e._PRIORITY)] == e._PRIORITY
+    assert names[: len(never_graded)] == never_graded
+    # every never-graded key must sit inside the driver's grading window
+    # (observed driver cap: 50 keys/round)
+    assert len(never_graded) <= 50, (
+        f"{len(never_graded)} never-driver-graded keys exceed the ~50-key "
+        f"grading window; split across rounds: {never_graded}"
+    )
     oracles = all_oracles()
-    rows_only = [n for n in e._PRIORITY if n not in oracles]
+    rows_only = [n for n in never_graded if n not in oracles]
     # rows-only entries are allowed (sketches/eigensolves) but stay rare
     assert len(rows_only) <= 3, rows_only
 

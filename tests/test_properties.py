@@ -560,6 +560,13 @@ def test_wav_codec_matches_stdlib_wave_and_round_trips():
     )
     with pytest.raises(ValueError):
         decode_wav_pcm8(short_fmt)
+    # truncated data chunk: header promises more bytes than the payload
+    # carries — must raise loudly (same contract as PGM raster / Y4M
+    # frame truncation), never decode silently to a short sample array
+    whole = encode_wav_pcm8(b"0123456789")
+    for cut in (1, 5, 10):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav_pcm8(whole[:-cut])
     buf16 = io.BytesIO()
     with wave.open(buf16, "wb") as w:
         w.setnchannels(1)
@@ -2763,3 +2770,45 @@ def test_bm25_term_spark_and_sql_definitions_agree(spark):
     }
     for r in sp:
         assert r.s == dk[(r.tf, r.df, r.dl)], (r, dk[(r.tf, r.df, r.dl)])
+
+
+def test_stratum_bucket_width_safe_and_engine_identical(spark):
+    """The sampled-eval trio's stratum predicate must be well-defined at
+    ARBITRARY key magnitudes (the round-8 ADVICE finding): the raw
+    (key * 2654435761) % 100 pattern overflows int64 above ~2^31.8 —
+    Spark wraps to negative (skewing the stratum), DuckDB raises. The
+    width-safe construction masks the key to 31 bits first, so Spark,
+    DuckDB, and infinite-precision Python must agree exactly, including
+    at INT64 extremes and on negative keys, and must match the legacy
+    unmasked predicate everywhere below 2^31 (committed-SF results
+    unchanged)."""
+    import duckdb
+
+    from data_pipeline_aws_spark.functions.curation import (
+        _HASH_MULT,
+        _STRATUM_MASK,
+        stratum_bucket,
+        stratum_bucket_sql,
+    )
+
+    keys = [
+        0, 1, 99, 12345, 2**31 - 1, 2**31, 2**31 + 1, 2**40 + 12345,
+        2**62 + 7, 2**63 - 1, -1, -99, -(2**40) - 3, -(2**63) + 1,
+    ]
+    py = {k: ((k & _STRATUM_MASK) * _HASH_MULT) % 100 for k in keys}
+    sp = spark.createDataFrame([(k,) for k in keys], "k long").select(
+        "k", stratum_bucket(F.col("k")).alias("b")
+    ).collect()
+    for r in sp:
+        assert r.b == py[r.k], f"spark diverges at {r.k}: {r.b} != {py[r.k]}"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    for k, b in con.execute(
+        f"SELECT k, {stratum_bucket_sql('k')} FROM t"
+    ).fetchall():
+        assert b == py[k], f"duckdb diverges at {k}: {b} != {py[k]}"
+    # below 2^31 the masked and unmasked predicates are identical — the
+    # committed parity rows for the sampled trio did not move
+    for k in (0, 1, 99, 12345, 2**31 - 1):
+        assert py[k] == (k * _HASH_MULT) % 100
