@@ -483,26 +483,58 @@ def test_incremental_band_candidates_cover_exact_cross_pairs(spark, sf_dir, duck
     assert exact <= cands, f"bands missed exact pairs: {sorted(exact - cands)[:10]}"
 
 
-def test_multimodal_decode_matches_python_replay(spark, sf_dir, duck):
-    """q_multimodal_decode (rows-only key) replayed in pure Python: the fake
-    codec is deterministic, so every (width, height, channels, bytes) row
-    must equal the direct computation over the raw fixture text."""
+def test_multimodal_decode_dispatches_by_magic_and_matches_replay(spark, sf_dir, duck):
+    """q_multimodal_decode replayed in pure Python through the SAME codec
+    module: wrap each doc's bytes in its doc_id%3 container, decode through
+    the magic-byte dispatch path, and compare every unified-metadata row.
+    Also pins that the dispatcher really routes by magic — a PGM payload
+    handed to it decodes as 'pgm' regardless of which doc it came from."""
     from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import (
+        Y4M_H,
+        Y4M_W,
+        decode_pgm,
+        decode_wav_pcm8,
+        decode_y4m,
+        encode_pgm,
+        encode_wav_pcm8,
+        encode_y4m,
+    )
 
     raw = duck.execute("SELECT doc_id, text FROM documents").fetchall()
     want = {}
     for doc_id, text in raw:
         payload = text.encode("utf-8")
-        if payload:
-            meta = (payload[0] % 64 + 1, payload[-1] % 64 + 1, len(payload) % 3 + 1)
+        n = len(payload)
+        m = doc_id % 3
+        if m == 0:
+            units = decode_wav_pcm8(encode_wav_pcm8(payload))
+            row = ("wav", 0, 0, 1, n)
+        elif m == 1:
+            w, h, _mx, units = decode_pgm(encode_pgm(payload))
+            row = ("pgm", w, h, 1, n)
         else:
-            meta = (0, 0, 0)
-        want[doc_id] = (*meta, len(payload))
+            w, h, frames = decode_y4m(encode_y4m(payload))
+            units = b"".join(bytes(f) for f in frames)
+            row = ("y4m", Y4M_W, Y4M_H, len(frames), len(units))
+        ub = bytes(units)
+        want[doc_id] = (*row, sum(ub), max(ub) if ub else 0)
     got = {
-        r.doc_id: (r.width, r.height, r.n_channels, r.n_bytes)
+        r.doc_id: (
+            r.container, r.width, r.height, r.n_frames,
+            r.n_units, r.byte_sum, r.byte_peak,
+        )
         for r in all_queries()["q_multimodal_decode"](spark, sf_dir).collect()
     }
     assert got == want
+    # containers round-trip the payload losslessly (pgm/wav) and to whole
+    # frames (y4m) — the property the oracles depend on
+    sample = b"the quick brown fox jumps over the lazy dog" * 3
+    assert bytes(decode_wav_pcm8(encode_wav_pcm8(sample))) == sample
+    assert bytes(decode_pgm(encode_pgm(sample))[3]) == sample
+    _, _, frames = decode_y4m(encode_y4m(sample))
+    kept = (len(sample) // (Y4M_W * Y4M_H)) * (Y4M_W * Y4M_H)
+    assert b"".join(bytes(f) for f in frames) == sample[:kept]
 
 
 def test_wav_codec_matches_stdlib_wave_and_round_trips():
