@@ -901,10 +901,11 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ppl_buckets",
-    oracle="""
-WITH tok AS (
+# The ONE DuckDB replay of the unigram-LM document scoring (token
+# explode → corpus model → per-doc rounded mean logprob, joined to lang)
+# — shared by the NTILE bucketing oracle and the histogram-cut oracle so
+# the scoring definition can never fork between the two.
+_PPL_SCORED_CTES = """tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
@@ -914,7 +915,37 @@ scored AS (
          CAST(COUNT(*) AS BIGINT) AS n_tok,
          ROUND(AVG(LN(CAST(c AS DOUBLE) / (SELECT total FROM tot))), 4) AS lp
   FROM tok JOIN freq USING (token) GROUP BY doc_id
-),
+)"""
+
+
+def _ppl_scored_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_tok, lp): every document scored by the
+    corpus-trained unigram LM — the shared Spark half of _PPL_SCORED_CTES,
+    one definition under both perplexity-bucketing keys."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("total"))
+    model = freq.crossJoin(F.broadcast(tot)).select(
+        "token", F.log(F.col("c") / F.col("total")).alias("lp1")
+    )
+    scored = (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg("lp1"), 4).alias("lp"),
+        )
+    )
+    return scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", "doc_id", "n_tok", "lp"
+    )
+
+
+@query(
+    "q_ppl_buckets",
+    oracle=f"""
+WITH {_PPL_SCORED_CTES},
 bucketed AS (
   SELECT d.lang, s.n_tok, s.lp,
          NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.lp DESC, s.doc_id) AS t
@@ -943,25 +974,10 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: scoring is the broadcast-model lookup (corpus never shuffles
     for it); the NTILE is the only per-doc shuffle (one partition per
-    language — at extreme doc counts swap in approx_percentile cut points
-    per language, the q_approx_percentile machinery, and bucket by
+    language — at extreme doc counts q_ppl_buckets_approx is the
+    executable swap: histogram cut points per language, bucket by
     comparison instead of a global sort)."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = freq.agg(F.sum("c").cast("double").alias("total"))
-    model = freq.crossJoin(F.broadcast(tot)).select(
-        "token", F.log(F.col("c") / F.col("total")).alias("lp1")
-    )
-    scored = (
-        tok.join(F.broadcast(model), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.round(F.avg("lp1"), 4).alias("lp"),
-        )
-    )
-    bucketed = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+    bucketed = _ppl_scored_lang(spark, sf_dir).select(
         "lang",
         "n_tok",
         "lp",
@@ -990,6 +1006,104 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "avg_lp",
         )
+    )
+
+
+@query(
+    "q_ppl_buckets_approx",
+    oracle=f"""
+WITH {_PPL_SCORED_CTES},
+sl AS (
+  SELECT d.lang, s.n_tok, s.lp FROM scored s JOIN documents d USING (doc_id)
+),
+hist AS (SELECT lang, lp, COUNT(*) AS c FROM sl GROUP BY lang, lp),
+cum AS (
+  SELECT lang, lp,
+         SUM(c) OVER (PARTITION BY lang ORDER BY lp DESC) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN cum >= (n + 2) // 3 THEN lp END) AS cut_head,
+         MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lp END) AS cut_tail
+  FROM cum GROUP BY lang
+),
+bucketed AS (
+  SELECT sl.lang,
+         CASE WHEN lp > cut_head THEN 'head'
+              WHEN lp > cut_tail THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_tok, lp, cut_head, cut_tail
+  FROM sl JOIN cuts USING (lang)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_lp,
+       cut_head, cut_tail
+FROM bucketed GROUP BY lang, bucket, cut_head, cut_tail
+""",
+)
+def q_ppl_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ppl_buckets' extreme-scale mode, executable — the last documented
+    prose-only swap in the sketch class made runnable: tercile CUT POINTS
+    per language are computed from a bounded VALUE HISTOGRAM of the 4-dp
+    rounded score (the q_exact_median trick — distinct rounded lp values
+    are a bounded domain, so the cumulative walk touches histogram rows,
+    never documents), then every document buckets by COMPARISON against
+    its language's broadcast cut points — a map-side predicate. The
+    per-doc shuffle q_ppl_buckets spends on NTILE's per-language global
+    sort is gone; what remains is the histogram aggregate (bounded rows)
+    and its tiny window walk. Cut semantics differ from NTILE by design:
+    ties at a cut all land on one side (deterministic in both engines,
+    rather than NTILE's positional splitting), which is what a real
+    CCNet-style pipeline wants anyway — a document's bucket depends on
+    its score, not its sort position. k-th thresholds use pure integer
+    arithmetic ((n+2)//3 — no float ceil) and the cut points ride along
+    in the output so the policy is auditable. The oracle replays the
+    histogram walk exactly; scoring rides the shared _PPL_SCORED_CTES
+    definition."""
+    sl = _ppl_scored_lang(spark, sf_dir)
+    hist = sl.groupBy("lang", "lp").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy(F.desc("lp"))
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "lp",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("lp"))
+        ).alias("cut_head"),
+        F.max(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("lp"))
+        ).alias("cut_tail"),
+    )
+    bucketed = sl.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("lp") > F.col("cut_head"), "head")
+        .when(F.col("lp") > F.col("cut_tail"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_tok",
+        "lp",
+        "cut_head",
+        "cut_tail",
+    )
+    return bucketed.groupBy("lang", "bucket", "cut_head", "cut_tail").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_lp"),
+    ).select(
+        "lang", "bucket", "n_docs", "n_tokens", "avg_lp", "cut_head", "cut_tail"
     )
 
 

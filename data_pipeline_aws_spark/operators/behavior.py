@@ -565,6 +565,84 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_active_users_hll",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau_exact FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau_exact
+  FROM (SELECT DISTINCT day FROM ud) d
+  JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT d.day, d.dau_exact, w.wau_exact,
+       TRUE AS dau_within_5pct,
+       TRUE AS wau_within_5pct
+FROM dau d JOIN wau w ON d.day = w.day
+""",
+)
+def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_active_users' extreme-scale mode, executable — the documented HLL
+    swap as running code instead of prose. One pass over events builds a
+    per-day HyperLogLog sketch of the active-user set (hll_sketch_agg,
+    lgConfigK=12 → 4 KB registers, ~1.6% standard error); the trailing-
+    7-day WAU is then `hll_union_agg` over the 7 sketches in each day's
+    band — merging kilobytes per day, NEVER rescanning events or shuffling
+    the (user, day) grid, which is exactly how a 100 TB DAU/WAU dashboard
+    refreshes (the grid band join q_active_users runs is the piece that
+    stops scaling when distinct users explode; sketch merge replaces it).
+
+    Oracle pattern = q_hll_merge's BOUND ASSERTION: estimates have no SQL
+    twin, so the row carries the exact DAU/WAU (computed here the
+    q_active_users way purely to judge the sketch — production drops
+    them) plus boolean verdicts that each day's DAU estimate and merged
+    WAU estimate land within 5% of exact; the oracle recomputes the exact
+    counts and asserts TRUE. HLL register updates are order-insensitive,
+    so the verdicts are deterministic bounds, not flaky statistics."""
+    e = table(spark, sf_dir, "events")
+    per_day = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("dau_exact"),
+    )
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    spine = per_day.select(F.col("day").alias("s_day"))
+    wau_est = (
+        spine.join(
+            per_day.select("day", "sk"),
+            (F.col("day") >= F.col("s_day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("day") <= F.col("s_day")),
+        )
+        .groupBy("s_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
+    )
+    wau_exact = (
+        spine.withColumnRenamed("s_day", "x_day")
+        .join(
+            ud,
+            (F.col("day") >= F.col("x_day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("day") <= F.col("x_day")),
+        )
+        .groupBy("x_day")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
+    return (
+        per_day.withColumn("dau_approx", F.hll_sketch_estimate("sk"))
+        .join(wau_est, per_day.day == wau_est.s_day)
+        .join(wau_exact, per_day.day == F.col("x_day"))
+        .select(
+            "day",
+            "dau_exact",
+            "wau_exact",
+            within("dau_approx", "dau_exact").alias("dau_within_5pct"),
+            within("wau_approx", "wau_exact").alias("wau_within_5pct"),
+        )
+    )
+
+
+@query(
     "q_event_paths",
     oracle="""
 WITH seq AS (

@@ -114,6 +114,127 @@ def q_fhir_relationalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 3-level bundle schema: Bundle → observation[] → component[] on one
+# branch, Patient name[] → given[] on the other. Explicit, never inferred.
+_BUNDLE_SCHEMA = (
+    "struct<id:bigint,"
+    "name:array<struct<family:string,given:array<string>>>,"
+    "observation:array<struct<o_orderkey:bigint,"
+    "component:array<struct<l_linenumber:int,qty:double,extended:double>>>>>"
+)
+
+
+@query(
+    "q_fhir_bundle_deep",
+    oracle="""
+SELECT
+  c_custkey                                               AS custkey,
+  c_name                                                  AS family,
+  array_to_string(string_split(c_name, '#'), ' ')         AS given_all,
+  CAST(DENSE_RANK() OVER (PARTITION BY c_custkey ORDER BY o_orderkey) - 1
+       AS BIGINT)                                         AS obs_idx,
+  o_orderkey                                              AS orderkey,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey
+         ORDER BY l_linenumber, l_quantity, l_extendedprice) - 1
+       AS BIGINT)                                         AS comp_idx,
+  l_linenumber                                            AS linenumber,
+  l_quantity                                              AS qty,
+  l_extendedprice                                         AS extended
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+""",
+)
+def q_fhir_bundle_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationalize a GENUINELY DEEP FHIR bundle — three nesting levels on
+    the resource branch (Bundle → Observation entry[] → component[], the
+    reference domain's Observation.component shape) plus a parallel
+    string-array branch (Patient name[] → given[]). The fixture builds one
+    JSON bundle per customer from the 3-table star (customer → orders →
+    lineitem), so array cardinalities at BOTH levels vary row by row; the
+    operator under test is `from_json` with the explicit 3-level schema,
+    nested-array indexing into name[0].given, and a CHAIN of two
+    `posexplode`s emitting the grandchild table with full (fk, idx)
+    lineage — custkey → obs_idx → comp_idx — Glue Relationalize's
+    child/grandchild table emission as one Catalyst pipeline. The oracle
+    replays the lineage with DENSE_RANK (parent index is constant across a
+    parent's grandchildren) and ROW_NUMBER (child index, tie-broken on the
+    FULL struct tuple — the fixture's l_linenumber is NOT unique per
+    order, so the oracle mirrors sort_array's field-by-field struct
+    comparison), and matching
+    proves the 3-level nest→serialize→parse→double-flatten roundtrip is
+    lossless including bit-exact doubles at the deepest level.
+
+    Scale shape: two shuffles build the fixture's nested arrays (lineitem
+    → per-order components, orders → per-customer observations — both
+    bounded TPC-H group sizes); a real deployment reads the bundles
+    directly and the whole parse→flatten is a per-row narrow pipeline,
+    zero shuffle, codegen'd, no UDF — posexplode multiplies rows inside
+    whole-stage codegen without materializing the nested form."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    comp = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_linenumber",
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("extended"),
+                )
+            )
+        ).alias("component")
+    )
+    obs = (
+        o.join(comp, o.o_orderkey == comp.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderkey", "component"))
+            ).alias("observation")
+        )
+    )
+    docs = obs.join(c, obs.o_custkey == c.c_custkey).select(
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").alias("id"),
+                F.array(
+                    F.struct(
+                        F.col("c_name").alias("family"),
+                        F.split(F.col("c_name"), "#").alias("given"),
+                    )
+                ).alias("name"),
+                F.col("observation"),
+            )
+        ).alias("doc")
+    )
+    parsed = docs.select(F.from_json("doc", _BUNDLE_SCHEMA).alias("r"))
+    level1 = parsed.select(
+        F.col("r.id").alias("custkey"),
+        F.col("r.name")[0]["family"].alias("family"),
+        F.array_join(F.col("r.name")[0]["given"], " ").alias("given_all"),
+        F.posexplode("r.observation").alias("obs_idx", "obs"),
+    )
+    return level1.select(
+        "custkey",
+        "family",
+        "given_all",
+        F.col("obs_idx").cast("long").alias("obs_idx"),
+        F.col("obs.o_orderkey").alias("orderkey"),
+        F.posexplode("obs.component").alias("comp_idx", "comp"),
+    ).select(
+        "custkey",
+        "family",
+        "given_all",
+        "obs_idx",
+        "orderkey",
+        F.col("comp_idx").cast("long").alias("comp_idx"),
+        F.col("comp.l_linenumber").alias("linenumber"),
+        F.col("comp.qty").alias("qty"),
+        F.col("comp.extended").alias("extended"),
+    )
+
+
 @query(
     "q_fhir_choice",
     oracle="""

@@ -758,3 +758,246 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") - F.col("n_dv_marked")).alias("live_rows_after"),
         )
     )
+
+
+def _compaction_exec_cache_dir(sf_dir: str) -> str:
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    return versioned_cache_dir("compactexec", sf_dir, __file__)
+
+
+@query(
+    "q_compaction_execute",
+    oracle=f"""
+WITH {MERGE_DV_CTES},
+per_file AS (
+  SELECT b.file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN dv.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dv_marked
+  FROM base b LEFT JOIN dv ON b.file_id = dv.file_id AND b.pos = dv.pos
+  GROUP BY b.file_id
+),
+sel AS (
+  SELECT file_id FROM (
+    SELECT file_id, ROW_NUMBER() OVER (
+             ORDER BY ROUND(n_dv_marked * 1.0 / n_rows, 6) DESC, file_id) AS rk
+    FROM per_file
+  ) WHERE rk <= {COMPACT_PLAN_TOP_K}
+),
+rewritten AS (
+  SELECT b.o_orderkey, b.cents, b.file_id, b.pos
+  FROM base b JOIN sel s ON b.file_id = s.file_id
+  LEFT JOIN dv ON b.file_id = dv.file_id AND b.pos = dv.pos
+  WHERE dv.pos IS NULL
+),
+untouched AS (
+  SELECT b.o_orderkey, b.cents, b.file_id, b.pos
+  FROM base b LEFT JOIN sel s ON b.file_id = s.file_id
+  WHERE s.file_id IS NULL
+),
+dv_after AS (
+  SELECT d.file_id, d.pos
+  FROM dv d LEFT JOIN sel s ON d.file_id = s.file_id
+  WHERE s.file_id IS NULL
+),
+after_base AS (
+  SELECT * FROM untouched UNION ALL SELECT * FROM rewritten
+),
+after_live AS (
+  SELECT a.o_orderkey, a.cents
+  FROM after_base a LEFT JOIN dv_after d
+    ON a.file_id = d.file_id AND a.pos = d.pos
+  WHERE d.pos IS NULL
+  UNION ALL SELECT o_orderkey, cents FROM delta
+),
+pf_after AS (
+  SELECT a.file_id,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS marked
+  FROM after_base a LEFT JOIN dv_after d
+    ON a.file_id = d.file_id AND a.pos = d.pos
+  GROUP BY a.file_id
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM sel)          AS n_files_selected,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM rewritten)    AS rows_written,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM base)         AS n_base_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dv)           AS dv_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dv_after)     AS dv_after,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM dv_after d JOIN sel s ON d.file_id = s.file_id) AS dv_on_rewritten,
+  (SELECT ROUND(MAX(marked * 1.0 / n_rows), 6) FROM pf_after)
+                                                      AS max_file_dv_fraction_after,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM merged)       AS n_live_before,
+  (SELECT CAST(SUM(cents) AS BIGINT) FROM merged)     AS cents_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM after_live)   AS n_live_after,
+  (SELECT CAST(SUM(cents) AS BIGINT) FROM after_live) AS cents_after
+""",
+)
+def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the compaction cycle q_compaction_plan schedules — closing
+    the MERGE → DV stats → plan → EXECUTE loop a production lakehouse
+    table service runs. The layout lands physically (versioned cache, the
+    q_stream_merge rails): base as file_id-partitioned parquet, DV and
+    delta sidecars; the executor then rewrites ONLY the planned top-K
+    files — live rows (DV-applied) written to a `rewritten/` layout — and
+    drops those files' DV entries. Untouched base files are NEVER
+    re-written or re-opened for write (the post-compaction table is the
+    original untouched dirs UNION the K rewritten dirs — write
+    amplification is O(selected live rows), pinned by the rows_written
+    column and the layout test). The report row carries the full proof:
+    the post-compaction read path (after_base ANTI dv_after UNION delta)
+    must equal the pre-compaction MERGE state in row count AND exact
+    integer-cents total; dv_on_rewritten must be 0 (the rewrite reset
+    them); max_file_dv_fraction_after shows the policy bite (the worst
+    remaining file is the (K+1)-th ranked one). The oracle replays the
+    entire chain — plan ranking, rewrite, DV reset, both read paths —
+    as one CTE pipeline, so convergence is checked by value hash.
+
+    Scale shape: planning reads bounded per-file metadata (|files| rows);
+    the rewrite shuffles nothing — it is a partition-pruned scan of the K
+    selected files anti-joined against a broadcast churn-sized DV, written
+    back partition-parallel; the equality proof aggregates each read path
+    to one row. At 100 TB the rewrite cost is proportional to the K files'
+    live bytes, never the table, which is the entire point of DV-first
+    MERGE + scheduled compaction. Money stays integer cents end to end."""
+    import os
+    import shutil
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+
+    out = _compaction_exec_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        stage = staging_dir(out)
+        try:
+            base = merge_dv_base(spark, sf_dir)
+            base.write.partitionBy("file_id").mode("overwrite").parquet(
+                os.path.join(stage, "base")
+            )
+            base_b = spark.read.parquet(os.path.join(stage, "base"))
+            feed = merge_dv_feed(base_b)
+            merge_dv_marks(base_b, feed).write.mode("overwrite").parquet(
+                os.path.join(stage, "dv")
+            )
+            feed.where(F.col("op").isin("update", "insert")).select(
+                "o_orderkey", F.col("new_cents").alias("cents")
+            ).write.mode("overwrite").parquet(os.path.join(stage, "delta"))
+            dv_b = spark.read.parquet(os.path.join(stage, "dv"))
+            per_file = (
+                base_b.join(
+                    F.broadcast(dv_b.withColumn("marked", F.lit(1))),
+                    ["file_id", "pos"],
+                    "left",
+                )
+                .groupBy("file_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.coalesce("marked", F.lit(0))).alias("n_dv_marked"),
+                )
+            )
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.desc("dv_fraction"), F.asc("file_id"))
+            # the planned file set: K ints — bounded metadata, the one
+            # driver-side decision a table service makes per cycle
+            selected = [
+                r.file_id
+                for r in per_file.withColumn(
+                    "dv_fraction",
+                    F.round(F.col("n_dv_marked") * 1.0 / F.col("n_rows"), 6),
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= COMPACT_PLAN_TOP_K)
+                .select("file_id")
+                .collect()
+            ]
+            spark.createDataFrame(
+                [(int(f),) for f in selected], "file_id int"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, "selected")
+            )
+            # THE rewrite: live rows of the K planned files only —
+            # partition-pruned scan, broadcast DV anti-join, zero shuffle
+            base_b.where(F.col("file_id").isin(selected)).join(
+                F.broadcast(dv_b), ["file_id", "pos"], "left_anti"
+            ).write.partitionBy("file_id").mode("overwrite").parquet(
+                os.path.join(stage, "rewritten")
+            )
+            # DV reset for the rewritten files
+            dv_b.where(~F.col("file_id").isin(selected)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, "dv_after"))
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+
+    base = spark.read.parquet(os.path.join(out, "base"))
+    dv = spark.read.parquet(os.path.join(out, "dv"))
+    delta = spark.read.parquet(os.path.join(out, "delta"))
+    sel = spark.read.parquet(os.path.join(out, "selected"))
+    rewritten = spark.read.parquet(os.path.join(out, "rewritten"))
+    dv_after = spark.read.parquet(os.path.join(out, "dv_after"))
+
+    untouched = base.join(F.broadcast(sel), "file_id", "left_anti")
+    after_base = untouched.select(
+        "o_orderkey", "cents", "file_id", "pos"
+    ).unionByName(rewritten.select("o_orderkey", "cents", "file_id", "pos"))
+    before_live = base.join(
+        F.broadcast(dv.select("file_id", "pos")), ["file_id", "pos"], "left_anti"
+    ).select("o_orderkey", "cents").unionByName(delta.select("o_orderkey", "cents"))
+    after_live = after_base.join(
+        F.broadcast(dv_after.select("file_id", "pos")), ["file_id", "pos"], "left_anti"
+    ).select("o_orderkey", "cents").unionByName(delta.select("o_orderkey", "cents"))
+    pf_after = (
+        after_base.join(
+            F.broadcast(dv_after.withColumn("marked", F.lit(1))),
+            ["file_id", "pos"],
+            "left",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce("marked", F.lit(0))).alias("marked"),
+        )
+    )
+
+    one = lambda df, *aggs: F.broadcast(df.agg(*aggs))  # noqa: E731
+    return (
+        one(sel, F.count(F.lit(1)).alias("n_files_selected"))
+        .crossJoin(one(rewritten, F.count(F.lit(1)).alias("rows_written")))
+        .crossJoin(one(base, F.count(F.lit(1)).alias("n_base_rows")))
+        .crossJoin(one(dv, F.count(F.lit(1)).alias("dv_before")))
+        .crossJoin(one(dv_after, F.count(F.lit(1)).alias("dv_after")))
+        .crossJoin(
+            one(
+                dv_after.join(F.broadcast(sel), "file_id"),
+                F.count(F.lit(1)).alias("dv_on_rewritten"),
+            )
+        )
+        .crossJoin(
+            one(
+                pf_after,
+                F.round(F.max(F.col("marked") * 1.0 / F.col("n_rows")), 6).alias(
+                    "max_file_dv_fraction_after"
+                ),
+            )
+        )
+        .crossJoin(
+            one(
+                before_live,
+                F.count(F.lit(1)).alias("n_live_before"),
+                F.sum("cents").alias("cents_before"),
+            )
+        )
+        .crossJoin(
+            one(
+                after_live,
+                F.count(F.lit(1)).alias("n_live_after"),
+                F.sum("cents").alias("cents_after"),
+            )
+        )
+    )

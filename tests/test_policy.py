@@ -47,6 +47,8 @@ def test_no_unbounded_collect_in_operators():
         # bounded model state, collected once per query)
         "aggregates.py": 2,  # exact-median 1-row count/min/max pre-scan +
         # its budget-bounded (<= _KTH_BUCKET_BUDGET+1 rows) histogram
+        "setops.py": 1,  # compaction-execute's planned file set: K=4 ints,
+        # the one driver-side decision a table service makes per cycle
     }
     offenders = {
         path: text.count(".collect()")

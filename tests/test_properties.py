@@ -2509,12 +2509,20 @@ def test_retr_rails_cache_recovers_from_corrupt_layout(spark, sf_dir):
     assert not os.path.exists(os.path.join(root, "qt", "garbage.parquet"))
     assert healed == fresh
 
-    # warm path: second key reuses the published layout (no rebuild — the
-    # layout's inode set is unchanged) and its rows agree with the replay
-    # tests above; here just assert it runs off the same published dir
-    ino_before = os.stat(root).st_ino
+    # warm path: a SECOND caller in the same session reuses the published
+    # layout — the cold-cost accounting contract (BASELINE.md bills the
+    # corpus build to the FIRST caller only): every data file's inode is
+    # unchanged after the second key runs, so no rebuild, no re-publish
+    def inodes():
+        return {
+            os.path.join(r, f): os.stat(os.path.join(r, f)).st_ino
+            for r, _d, fs in os.walk(root)
+            for f in fs
+        }
+
+    before = inodes()
     all_queries()["q_retrieval_eval"](spark, sf_dir).count()
-    assert os.stat(root).st_ino == ino_before, "warm caller rebuilt the cache"
+    assert inodes() == before, "warm caller rebuilt the cache"
 
 
 def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
@@ -2844,3 +2852,66 @@ def test_stratum_bucket_width_safe_and_engine_identical(spark):
     # committed parity rows for the sampled trio did not move
     for k in (0, 1, 99, 12345, 2**31 - 1):
         assert py[k] == (k * _HASH_MULT) % 100
+
+
+def test_compaction_execute_layout_rewrites_only_planned_files(spark, sf_dir):
+    """The compaction EXECUTOR's write-amplification contract, pinned on
+    the physical landed layout: rewritten/ contains exactly the K planned
+    file dirs (never the whole table), every base file dir survives, the
+    DV sidecar after compaction carries no entries for rewritten files,
+    re-serving the compacted state never mutates base bytes, and the
+    report row proves the read paths converged (equal counts and exact
+    integer cents) with dv_on_rewritten = 0."""
+    import hashlib
+    import os
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.setops import (
+        COMPACT_PLAN_TOP_K,
+        MERGE_DV_FILES,
+        _compaction_exec_cache_dir,
+    )
+
+    row = all_queries()["q_compaction_execute"](spark, sf_dir).collect()[0]
+    assert row.n_files_selected == COMPACT_PLAN_TOP_K
+    assert row.dv_on_rewritten == 0
+    assert row.n_live_after == row.n_live_before
+    assert row.cents_after == row.cents_before
+    assert row.dv_after < row.dv_before
+    # the rewrite carried live rows of K files only — strictly less than
+    # the table (write amplification O(selected), not O(table))
+    assert 0 < row.rows_written < row.n_base_rows
+
+    out = _compaction_exec_cache_dir(sf_dir)
+
+    def part_dirs(sub):
+        return {
+            int(n.split("=", 1)[1])
+            for n in os.listdir(os.path.join(out, sub))
+            if n.startswith("file_id=")
+        }
+
+    selected = {
+        r.file_id for r in spark.read.parquet(os.path.join(out, "selected")).collect()
+    }
+    assert len(selected) == COMPACT_PLAN_TOP_K
+    assert part_dirs("rewritten") == selected
+    assert part_dirs("base") == set(range(MERGE_DV_FILES))
+    dv_after_files = {
+        r.file_id for r in spark.read.parquet(os.path.join(out, "dv_after")).collect()
+    }
+    assert not (dv_after_files & selected)
+
+    def base_digest():
+        h = {}
+        for root, _dirs, files in os.walk(os.path.join(out, "base")):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    h[p] = hashlib.md5(fh.read()).hexdigest()
+        return h
+
+    before = base_digest()
+    rerun = all_queries()["q_compaction_execute"](spark, sf_dir).collect()[0]
+    assert rerun == row
+    assert base_digest() == before, "serving the compacted state mutated base files"
