@@ -70,8 +70,13 @@ def main() -> None:
     args = sys.argv[1:]
     args, n_val = _take_flag(args, "-n")
     args, top_val = _take_flag(args, "--top")
+    args, dirs_val = _take_flag(args, "--sf-dirs")
     n_passes = int(n_val) if n_val else 2
     top_k = int(top_val) if top_val else None
+    sf_dirs = tuple(dirs_val.split(",")) if dirs_val else SF_DIRS
+    for d in sf_dirs:
+        if not os.path.isdir(d):
+            sys.exit(f"sf dir missing: {d}")
     if not args and top_k is None:
         top_k = 10
 
@@ -99,7 +104,7 @@ def main() -> None:
 
     times: dict[str, dict[str, float]] = {k: {} for k in keys}
     load_by_sf: dict[str, float] = {}
-    for sf_dir in SF_DIRS:
+    for sf_dir in sf_dirs:
         tag = os.path.basename(sf_dir.rstrip("/"))
         # warmup (uncounted): JVM + file metadata + Python worker fork
         queries["q_agg_basic"](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -115,15 +120,19 @@ def main() -> None:
                 print(f"{tag} pass{p} {name} {elapsed}", file=sys.stderr, flush=True)
         load_by_sf[tag] = round(_loadavg_1min(), 2)
 
-    sfs = [float(os.path.basename(d).removeprefix("sf")) for d in SF_DIRS]
-    tags = [os.path.basename(d) for d in SF_DIRS]
+    sfs = [float(os.path.basename(d).removeprefix("sf")) for d in sf_dirs]
+    tags = [os.path.basename(d) for d in sf_dirs]
     report = {}
     flagged = []
     for name in keys:
         ts = [times[name][t] for t in tags]
         exp3 = _fit_exponent(sfs, ts)
+        # exponent_hi = slope over the LAST two (largest) SFs, where data
+        # cost dominates fixed overhead
         exp_hi = round(
-            math.log(max(ts[2], 1e-3) / max(ts[1], 1e-3)) / math.log(sfs[2] / sfs[1]), 3
+            math.log(max(ts[-1], 1e-3) / max(ts[-2], 1e-3))
+            / math.log(sfs[-1] / sfs[-2]),
+            3,
         )
         report[name] = {
             **{t: times[name][t] for t in tags},
@@ -137,6 +146,7 @@ def main() -> None:
 
     out = {
         "keys": report,
+        "sf_dirs": list(sf_dirs),
         "passes": n_passes,
         "flag_threshold": FLAG_EXPONENT,
         "flagged": sorted(flagged),
