@@ -808,6 +808,182 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_cut_ctes(dim: str) -> str:
+    """Per-dimension histogram→cumulative→quintile-cut CTE chain (DuckDB
+    side of the shared construction — the Spark twin is _rfm_cuts)."""
+    return f"""
+{dim}_hist AS (SELECT {dim}_v AS v, COUNT(*) AS c FROM dims GROUP BY 1),
+{dim}_cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v DESC) AS cum, SUM(c) OVER () AS n
+  FROM {dim}_hist
+),
+{dim}_cuts AS (
+  SELECT MAX(CASE WHEN cum >= (1*n + 4) // 5 THEN v END) AS {dim}_q1,
+         MAX(CASE WHEN cum >= (2*n + 4) // 5 THEN v END) AS {dim}_q2,
+         MAX(CASE WHEN cum >= (3*n + 4) // 5 THEN v END) AS {dim}_q3,
+         MAX(CASE WHEN cum >= (4*n + 4) // 5 THEN v END) AS {dim}_q4
+  FROM {dim}_cum
+)"""
+
+
+def _rfm_score_sql(dim: str) -> str:
+    return f"""CAST(CASE WHEN {dim}_v > {dim}_q1 THEN 5
+         WHEN {dim}_v > {dim}_q2 THEN 4
+         WHEN {dim}_v > {dim}_q3 THEN 3
+         WHEN {dim}_v > {dim}_q4 THEN 2
+         ELSE 1 END AS INT) AS {dim}_score"""
+
+
+@query(
+    "q_rfm_approx",
+    oracle=f"""
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT ref_date FROM ref))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+dims AS (
+  SELECT o_custkey, monetary,
+         CAST(-recency_days AS BIGINT) AS r_v,
+         CAST(frequency AS BIGINT)     AS f_v,
+         CAST(monetary * 100 AS BIGINT) // 100000 AS m_v
+  FROM cust
+),
+{_rfm_cut_ctes('r')},
+{_rfm_cut_ctes('f')},
+{_rfm_cut_ctes('m')},
+scored AS (
+  SELECT o_custkey, monetary,
+         {_rfm_score_sql('r')},
+         {_rfm_score_sql('f')},
+         {_rfm_score_sql('m')}
+  FROM dims, r_cuts, f_cuts, m_cuts
+)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def q_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_rfm's extreme-scale mode, executable — the last documented
+    prose-only NTILE swap made runnable (the q_ppl_buckets_approx
+    histogram-cut construction, applied three times). Each R/F/M quintile
+    CUT POINT set comes from a bounded VALUE HISTOGRAM: recency is integer
+    days, frequency a small integer count, and monetary is binned to
+    $1000 integer-cent bins (CAST(monetary*100 AS BIGINT) DIV 100000 —
+    pure integer arithmetic, so both engines bin identically; a fixed-
+    width-histogram quantile, the HDR-histogram trick). The cumulative
+    walk and the four k-th thresholds ((k*n+4) DIV 5 — integer ceil)
+    touch histogram rows, never customers; scoring is then a map-side
+    comparison against three broadcast 1-row cut tables. The three
+    single-partition customer-grain NTILE sorts q_rfm runs are gone —
+    what remains at 100 TB is the one customer-grain aggregate plus three
+    bounded-histogram shuffles that map-side combine collapses.
+
+    Cut semantics differ from NTILE by design (the q_ppl_buckets_approx
+    contract): ties at a cut land together on one side, so a customer's
+    score depends on their VALUE, not their sort position — deterministic
+    in both engines and what a segmentation policy wants anyway. Recency
+    is negated so 'higher value = better score' holds uniformly across
+    the three dimensions (score 5 = most recent, matching q_rfm).
+    Oracle replays the histogram walk exactly; segments and the ≤125-cell
+    grid match q_rfm's output shape so the two modes are comparable."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    dims = cust.select(
+        "o_custkey",
+        "monetary",
+        (-F.col("recency_days")).cast("long").alias("r_v"),
+        F.col("frequency").cast("long").alias("f_v"),
+        F.expr("CAST(monetary * 100 AS BIGINT) DIV 100000").alias("m_v"),
+    )
+
+    def cuts_for(dim: str) -> DataFrame:
+        hist = dims.groupBy(F.col(f"{dim}_v").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        cum = hist.select(
+            "v",
+            F.sum("c").over(Window.orderBy(F.desc("v"))).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("n"),
+        )
+        return cum.agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({k}*n + 4) DIV 5"), F.col("v")
+                    )
+                ).alias(f"{dim}_q{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    def score(dim: str):
+        return (
+            F.when(F.col(f"{dim}_v") > F.col(f"{dim}_q1"), 5)
+            .when(F.col(f"{dim}_v") > F.col(f"{dim}_q2"), 4)
+            .when(F.col(f"{dim}_v") > F.col(f"{dim}_q3"), 3)
+            .when(F.col(f"{dim}_v") > F.col(f"{dim}_q4"), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias(f"{dim}_score")
+        )
+
+    scored = (
+        dims.crossJoin(F.broadcast(cuts_for("r")))
+        .crossJoin(F.broadcast(cuts_for("f")))
+        .crossJoin(F.broadcast(cuts_for("m")))
+        .select("o_custkey", "monetary", score("r"), score("f"), score("m"))
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            segment.alias("segment"),
+            "n_customers",
+            "total_monetary",
+        )
+    )
+
+
 @query(
     "q_cohort_ltv",
     oracle="""

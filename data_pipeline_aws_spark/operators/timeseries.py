@@ -1238,6 +1238,77 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_running_distinct_hll",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS first_month
+  FROM orders GROUP BY o_custkey
+),
+per_month AS (
+  SELECT first_month AS month, CAST(COUNT(*) AS BIGINT) AS new_customers
+  FROM firsts GROUP BY first_month
+)
+SELECT month,
+       CAST(SUM(new_customers) OVER (ORDER BY month) AS BIGINT) AS cum_exact,
+       TRUE AS cum_within_5pct
+FROM per_month
+""",
+)
+def q_running_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_running_distinct's streaming-friendly extreme-scale mode,
+    executable — the documented 'mergeable HLL per period, union prefix'
+    swap as running code (completing the q_active_users_hll pattern for
+    the cumulative-uniques class). One pass over orders builds a
+    per-month HyperLogLog sketch of the customer set (hll_sketch_agg,
+    lgConfigK=12 → 4 KB registers); cumulative distinct at month M is
+    `hll_union_agg` over the ≤|months| sketches with month ≤ M — merging
+    kilobytes per spine row, never rescanning orders. The first-month
+    identity q_running_distinct exploits is exact but must re-aggregate
+    FULL history per refresh (a customer's first month can only be
+    decided globally); persisted per-month sketches make the refresh
+    incremental — a new month appends ONE sketch and extends the prefix,
+    which is how a 100 TB growth dashboard actually updates.
+
+    Oracle pattern = q_hll_merge's BOUND ASSERTION: the estimate has no
+    SQL twin, so the row carries the exact cumulative count (computed via
+    the first-month identity purely to judge the sketch) plus a boolean
+    verdict that the estimate lands within 5% of exact; the oracle
+    recomputes exact and asserts TRUE. HLL register updates are
+    order-insensitive, so the verdict is a deterministic bound."""
+    o = table(spark, sf_dir, "orders")
+    per_month = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk")
+    )
+    spine = per_month.select(F.col("month").alias("s_month"))
+    cum_est = (
+        spine.join(per_month, F.col("month") <= F.col("s_month"))
+        .groupBy("s_month")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("cum_approx"))
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("first_month")
+    )
+    pm = firsts.groupBy(F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    exact = pm.select(
+        "month",
+        F.sum("new_customers").over(Window.orderBy("month")).alias("cum_exact"),
+    )
+    return (
+        exact.join(cum_est, exact.month == cum_est.s_month)
+        .select(
+            "month",
+            "cum_exact",
+            (
+                F.abs(F.col("cum_approx") - F.col("cum_exact"))
+                <= 0.05 * F.col("cum_exact")
+            ).alias("cum_within_5pct"),
+        )
+    )
+
+
 
 _FC_HOLDOUT = 6  # test months held out at the end of the series
 

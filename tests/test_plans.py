@@ -1282,3 +1282,63 @@ def test_filter_eval_single_scan_no_join(plans):
     assert final.count("FileScan parquet") == 1, final
     assert "Join" not in final, final
     assert "Generate explode" in final, final
+
+
+def test_rfm_approx_no_ntile_broadcast_cut_tables(plans):
+    """q_rfm_approx replaces q_rfm's three single-partition customer-grain
+    NTILE sorts with histogram-derived cut points: no ntile anywhere in
+    the plan, scoring is a map-side comparison after broadcast
+    cross-joins of the three 1-row cut tables (+ the 1-row ref date),
+    and the orders scan is pruned to the three needed columns."""
+    p = plans("q_rfm_approx")
+    final = p.split("== Initial Plan ==")[0]
+    assert "ntile" not in final, final
+    assert final.count("BroadcastNestedLoopJoin") >= 4, final
+    assert "o_comment" not in final  # ReadSchema pruned
+
+
+def test_running_distinct_hll_sketch_prefix_union(plans):
+    """q_running_distinct_hll merges per-month HLL sketches (prefix
+    union) instead of re-aggregating customers per period: both sketch
+    aggregates appear, and the only window is the exact-judge running
+    sum over the bounded month spine — never an expanding frame over
+    customers."""
+    p = plans("q_running_distinct_hll")
+    final = p.split("== Initial Plan ==")[0]
+    assert "hll_sketch_agg" in final, final
+    assert "hll_union_agg" in final, final
+    assert final.count("windowspecdefinition") == 1, final
+
+
+def test_ppl_buckets_approx_no_ntile_broadcast_cuts(plans):
+    """q_ppl_buckets_approx's tercile cuts come from the bounded value
+    histogram, broadcast back to documents on lang — NTILE's
+    per-language global document sort is gone from the plan."""
+    p = plans("q_ppl_buckets_approx")
+    final = p.split("== Initial Plan ==")[0]
+    assert "ntile" not in final, final
+    assert "BroadcastHashJoin [lang" in final, final
+
+
+def test_active_users_hll_sketch_and_judge_share_one_pass(plans):
+    """q_active_users_hll builds the per-day sketch AND the exact DAU
+    judge in ONE ObjectHashAggregate over events (same grouping), then
+    merges kilobyte sketches for WAU — hll_sketch_agg and the exact
+    count(distinct) ride the same aggregate line."""
+    p = plans("q_active_users_hll")
+    final = p.split("== Initial Plan ==")[0]
+    assert "hll_union_agg" in final, final
+    assert any(
+        "hll_sketch_agg" in ln and "count(distinct" in ln
+        for ln in final.splitlines()
+    ), final
+
+
+def test_fhir_bundle_deep_double_posexplode_lineage(plans):
+    """q_fhir_bundle_deep relationalizes the 3-level bundle with chained
+    posexplode generators (observation[] then component[]) so (fk, idx)
+    lineage comes from the generator, not a join; dims broadcast."""
+    p = plans("q_fhir_bundle_deep")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Generate posexplode") >= 2, final
+    assert "BroadcastHashJoin" in final, final
