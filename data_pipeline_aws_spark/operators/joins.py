@@ -1180,3 +1180,82 @@ def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(
         o, F.col("custkey") == o.o_custkey
     ).select("custkey", "total_spend", "o_orderkey", "o_totalprice", "o_orderdate")
+
+
+_IVM_CUT = "1997-01-01"  # base/delta arrival cutoff for the join-view refresh
+
+
+@query(
+    "q_incremental_join",
+    oracle=f"""
+SELECT o_orderpriority, l_returnflag,
+       CAST(COUNT(*) AS BIGINT)                      AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                                                     AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority, l_returnflag
+""",
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta algebra that keeps a
+    materialized join refreshable without re-joining history (the join
+    sibling of q_incremental_rollup's monoid merge): with base/delta
+    splits A∪ΔA and B∪ΔB,
+
+        (A∪ΔA) ⋈ (B∪ΔB) = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    so a refresh touches three delta-sided joins plus the STORED view —
+    never A⋈B again. Orders split on o_orderdate and lineitem on
+    l_shipdate at the same cutoff, deliberately NOT aligned per orderkey:
+    a late shipment (ΔB row joining an A order) and a new order are both
+    exercised, the cases that make naive "re-join the new partition"
+    refreshes silently wrong. Each quadrant aggregates to the bounded
+    (priority × returnflag) grid with monoid measures (counts, BIGINT
+    quantity, integer cents) and the four partials re-aggregate — the
+    oracle recomputes the whole join from scratch; equality proves the
+    algebra lossless.
+
+    At 100 TB: the A⋈B term is the persisted view (computed here only
+    because tests carry no state — the same caveat q_incremental_rollup
+    documents); the two mixed terms join a DAY'S delta against history
+    partitioned/bucketed on the join key, so only matching buckets are
+    touched and the delta side broadcasts; ΔA⋈ΔB is delta-sized. Money
+    rides integer cents end to end (per-row ROUND(price*100) is engine-
+    exact; a 6M-row double SUM is not)."""
+    cut = F.lit(_IVM_CUT).cast("timestamp_ntz")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_shipdate",
+    )
+    base_o, delta_o = o.where(o.o_orderdate < cut), o.where(o.o_orderdate >= cut)
+    base_l, delta_l = l.where(l.l_shipdate < cut), l.where(l.l_shipdate >= cut)
+
+    def partial(odf: DataFrame, ldf: DataFrame) -> DataFrame:
+        return (
+            odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qty").alias("q"),
+                F.sum("cents").alias("c"),
+            )
+        )
+
+    view = partial(base_o, base_l)  # the stored A⋈B partials
+    refresh = (
+        view.unionByName(partial(delta_o, base_l))
+        .unionByName(partial(base_o, delta_l))
+        .unionByName(partial(delta_o, delta_l))
+    )
+    return refresh.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("q").alias("sum_qty"),
+        F.round(F.sum("c") / 100.0, 2).alias("revenue"),
+    )

@@ -289,3 +289,116 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Poisson-bootstrap configuration: replicate count and the Poisson(1) CDF
+# as integer micro-thresholds (round(CDF*1e6)) — the SAME ladder in both
+# engines, so the resample weights are deterministic by construction.
+_BOOT_B = 40
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+_BOOT_MASK = (1 << 31) - 1
+_BOOT_MULT = 2654435761
+_BOOT_STEP = 40503  # replicate offset in the hash (coprime to the modulus)
+
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+) + f" ELSE {len(_BOOT_CDF)} END"
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+rep AS (
+  SELECT o_orderpriority, cents,
+         ((o_orderkey & {_BOOT_MASK}) * {_BOOT_MULT} + b * {_BOOT_STEP})
+           % 1000000 AS u,
+         b
+  FROM o, range({_BOOT_B}) r(b)
+),
+wtd AS (SELECT o_orderpriority, b, cents, {_BOOT_W_SQL} AS w FROM rep),
+per_rep AS (
+  SELECT o_orderpriority, b,
+         SUM(w * cents) * 1.0 / SUM(w) AS mean_cents
+  FROM wtd GROUP BY 1, 2
+),
+ci AS (
+  SELECT o_orderpriority, list_sort(list(mean_cents)) AS ms
+  FROM per_rep GROUP BY 1
+),
+exact AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(cents) * 1.0 / COUNT(*) / 100.0, 4) AS mean_price
+  FROM o GROUP BY 1
+)
+SELECT e.o_orderpriority, e.n_orders, e.mean_price,
+       ROUND(ms[2] / 100.0, 4)  AS ci_lo,
+       ROUND(ms[{_BOOT_B - 1}] / 100.0, 4) AS ci_hi
+FROM exact e JOIN ci USING (o_orderpriority)
+""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for a group mean via the
+    POISSON BOOTSTRAP — the resampling scheme that works on data too large
+    to multinomial-resample (each row draws an independent Poisson(1)
+    replicate weight, so resampling is one map-side expression instead of
+    a global sample-with-replacement; Chamandy et al., 'Estimating
+    uncertainty for massive data streams', 2012). Every row fans out to
+    B=40 replicates (map-side explode of a literal sequence); the weight
+    is a deterministic inverse-CDF lookup on a width-safe integer hash of
+    (o_orderkey, replicate) — the stratum_bucket construction, so both
+    engines draw THE SAME resamples and the whole operator is exactly
+    replayable in SQL. Replicate means are single divisions of exact
+    BIGINT sums (< 2^53, double-exact); the 95% CI is the (2nd, 39th)
+    order statistic of the 40 replicate means — an order-statistic
+    bracket, not an interpolated quantile, so engine interpolation
+    conventions never enter.
+
+    At 100 TB: cost is B× the scan in ONE pass with map-side partial
+    aggregation to the (group × B) grid — no global resample shuffle, no
+    driver-side statistics; the CI collapse runs on ≤ |groups|·B rows.
+    The point estimate stays the EXACT mean; only the uncertainty is
+    bootstrapped."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rep = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))))
+    u = (
+        F.col("o_orderkey").bitwiseAND(F.lit(_BOOT_MASK)) * F.lit(_BOOT_MULT)
+        + F.col("b") * F.lit(_BOOT_STEP)
+    ) % F.lit(1000000)
+    w = F.lit(len(_BOOT_CDF))
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _BOOT_CDF[k], k).otherwise(w)
+    per_rep = (
+        rep.withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")) * 1.0 / F.sum("w")).alias(
+                "mean_cents"
+            )
+        )
+    )
+    ci = per_rep.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list("mean_cents")).alias("ms")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents") * 1.0 / F.count(F.lit(1)) / 100.0, 4).alias(
+            "mean_price"
+        ),
+    )
+    return exact.join(F.broadcast(ci), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "mean_price",
+        F.round(F.element_at("ms", 2) / 100.0, 4).alias("ci_lo"),
+        F.round(F.element_at("ms", _BOOT_B - 1) / 100.0, 4).alias("ci_hi"),
+    )

@@ -1342,3 +1342,31 @@ def test_fhir_bundle_deep_double_posexplode_lineage(plans):
     final = p.split("== Initial Plan ==")[0]
     assert final.count("Generate posexplode") >= 2, final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_incremental_join_pushes_cutoff_to_every_quadrant_scan(plans):
+    """q_incremental_join's base/delta split must reach the parquet scans:
+    both the < cutoff and >= cutoff predicates appear as PushedFilters on
+    the orders (o_orderdate) and lineitem (l_shipdate) sides, and the
+    four quadrant joins are all hash joins (no nested loop)."""
+    p = plans("q_incremental_join")
+    final = p.split("== Initial Plan ==")[0]
+    assert "LessThan(o_orderdate" in final, final
+    assert "GreaterThanOrEqual(o_orderdate" in final, final
+    assert "LessThan(l_shipdate" in final, final
+    assert "GreaterThanOrEqual(l_shipdate" in final, final
+    assert final.count("Join") >= 4, final
+    assert "NestedLoop" not in final, final
+
+
+def test_bootstrap_ci_map_side_explode_no_window(plans):
+    """q_bootstrap_ci fans rows out B× with a literal-sequence explode
+    (map-side), partial-aggregates to the (group × replicate) grid before
+    any exchange, broadcasts the bounded CI table back, and needs no
+    window anywhere."""
+    p = plans("q_bootstrap_ci")
+    final = p.split("== Initial Plan ==")[0]
+    assert "Generate explode" in final, final
+    assert final.count("HashAggregate(keys=[o_orderpriority") >= 2, final
+    assert "BroadcastHashJoin" in final, final
+    assert "windowspecdefinition" not in final, final

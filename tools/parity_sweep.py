@@ -89,6 +89,17 @@ def sweep(spark: SparkSession, sf_dir: str, only: set[str] | None = None) -> dic
 def main() -> None:
     args = sys.argv[1:]
     only: set[str] | None = None
+    out_path = os.path.join(_REPO, "PARITY_MULTI_SF.json")
+    if "--out" in args:
+        # A separate artifact (e.g. the one-off sf1.0 scale probe) — the
+        # policy test requires every tag in PARITY_MULTI_SF.json to cover
+        # the WHOLE registry, so partial-keyset sweeps at extra SFs must
+        # not merge into it.
+        i = args.index("--out")
+        if i + 1 >= len(args):
+            sys.exit("usage: --out path.json [--only ...] sf_dir [sf_dir ...]")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     if "--only" in args:
         i = args.index("--only")
         if i + 1 >= len(args):
@@ -102,6 +113,11 @@ def main() -> None:
         .appName("parity_multi_sf")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # the sf1.0 probe OOMs a default-memory (1g) driver JVM; match
+        # the package session helper's sizing
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -109,7 +125,7 @@ def main() -> None:
         sf_dir.rstrip("/").split("/")[-1]: sweep(spark, sf_dir, only)
         for sf_dir in sf_dirs
     }
-    path = os.path.join(_REPO, "PARITY_MULTI_SF.json")
+    path = out_path
     if only is not None and os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
