@@ -1370,3 +1370,16 @@ def test_bootstrap_ci_map_side_explode_no_window(plans):
     assert final.count("HashAggregate(keys=[o_orderpriority") >= 2, final
     assert "BroadcastHashJoin" in final, final
     assert "windowspecdefinition" not in final, final
+
+
+def test_sim_ivfpq_arrow_stages_no_sort_merge(plans):
+    """q_sim_ivfpq's heavy stages are Arrow-vectorized MapInPandas passes
+    (list assignment, PQ encode, routed ADC scoring) and every join in
+    the audit (code⋈list index build, shortlist gather, verdict joins)
+    is a hash/broadcast join — no sort-merge join of the float corpus
+    anywhere."""
+    p = plans("q_sim_ivfpq")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") >= 3, final
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
