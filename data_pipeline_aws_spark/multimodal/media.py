@@ -510,11 +510,13 @@ def decode_pgm(payload: bytes):
     and truncated rasters loudly — those are the PIL plug points."""
     import numpy as np
 
-    if payload[:2] in (b"P2", b"P3", b"P6"):
+    if payload[:2] in (b"P2", b"P3"):
         raise NotImplementedError(
-            "only binary grayscale P5 is decoded in pure numpy; other "
-            "Netpbm flavors / compressed formats require PIL (plug point)"
+            "ASCII Netpbm flavors / compressed formats require PIL (plug "
+            "point); binary P5/P6 decode natively (decode_pgm/decode_ppm)"
         )
+    if payload[:2] == b"P6":
+        raise ValueError("color P6 container: decode via decode_ppm")
     if payload[:2] != b"P5":
         raise ValueError("not a PGM (P5) container")
     pos, tokens = 2, []
@@ -651,6 +653,162 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_ppm(rgb: bytes, width: int | None = None) -> bytes:
+    """Canonical binary Netpbm PPM (P6) container around raw interleaved
+    RGB triplets — the COLOR sibling of encode_pgm, equally real (any
+    viewer/ImageMagick opens it), pure stdlib. `rgb` must hold whole
+    pixels (len divisible by 3); default layout is a single row. P6 has
+    no row padding or channel alignment, so the container is byte-
+    lossless for any whole-pixel payload — the property every multimodal
+    oracle in this module rides."""
+    n = len(rgb)
+    if n % 3:
+        raise ValueError(f"{n} bytes do not form whole RGB pixels")
+    n_px = n // 3
+    w = n_px if width is None else width
+    h = (n_px // w) if w else 0
+    if w * h != n_px:
+        raise ValueError(f"width {w} does not tile {n_px} pixels")
+    return f"P6\n# dpas fixture\n{w} {h}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(payload: bytes):
+    """Genuine Netpbm P6 parse — the same hand-written header grammar as
+    decode_pgm (magic, whitespace/'#'-comment-tolerant token scan, maxval
+    check) but the raster carries 3*width*height interleaved RGB bytes.
+    Returns (width, height, maxval, numpy uint8 array shaped (pixels, 3)).
+    Grayscale P5 routes to decode_pgm; ASCII flavors (P2/P3) and 16-bit
+    maxval stay behind the documented PIL plug point; truncated rasters
+    raise loudly (the module-wide contract)."""
+    import numpy as np
+
+    if payload[:2] in (b"P2", b"P3"):
+        raise NotImplementedError(
+            "ASCII Netpbm flavors require PIL (plug point); binary P5/P6 "
+            "decode natively via decode_pgm/decode_ppm"
+        )
+    if payload[:2] == b"P5":
+        raise ValueError("grayscale P5 container: decode via decode_pgm")
+    if payload[:2] != b"P6":
+        raise ValueError("not a PPM (P6) container")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit (maxval 255) PPM in pure numpy")
+    raster = payload[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(w * h, 3)
+
+
+@query(
+    "q_multimodal_color",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+px AS (
+  SELECT doc_id, CAST(n // 3 AS INT) AS width, p,
+         CAST(concat('0x', substr(hx, 2 * p + 1, 2)) AS INT) AS byte
+  FROM b, (SELECT unnest(generate_series(0, 767)) AS p)
+  WHERE p < 3 * LEAST(n // 3, 256)
+)
+SELECT doc_id,
+       width,
+       1                           AS height,
+       255                         AS maxval,
+       CAST(p % 3 AS INT)          AS channel,
+       CAST(SUM(byte) AS BIGINT)   AS ch_sum,
+       CAST(MIN(byte) AS INT)      AS ch_min,
+       CAST(MAX(byte) AS INT)      AS ch_max,
+       CAST(COUNT(*) AS BIGINT)    AS n_px
+FROM px
+GROUP BY doc_id, width, p % 3
+""",
+)
+def q_multimodal_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR image feature extraction over a real container — retires the
+    grayscale-only caveat the P5 rung documented: each payload's whole-
+    pixel prefix (3 bytes per pixel, sub-pixel tail dropped exactly like
+    Y4M's sub-frame tail) is wrapped in a genuine binary Netpbm PPM (P6)
+    file and decoded back by an actual parser (encode_ppm / decode_ppm —
+    the same hand-written comment-tolerant header grammar as the P5 rung,
+    now with a 3-channel interleaved raster), then mapInPandas emits one
+    row per (image, channel) with integer per-channel statistics over the
+    first 256 pixels — the per-band stats pass a real color thumbnailer
+    runs. Interleaved P6 is byte-lossless, so the DuckDB oracle replays
+    every channel's sum/min/max from hex(encode(text)) positions p with
+    channel = p mod 3. ASCII Netpbm and 16-bit maxval still refuse at
+    decode_ppm's documented PIL plug point."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    # Worker imports the codec from the package zip tune_session ships
+    # (the q_multimodal_decode pattern — one definition repo-wide).
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_aws_spark.multimodal.media import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            doc, wid, hei, mxv, chn, csum, cmin, cmax, npx = ([] for _ in range(9))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                kept = (len(b) // 3) * 3
+                if not kept:
+                    continue
+                w, h, maxval, px = decode_ppm(encode_ppm(b[:kept]))
+                head = px[:256]
+                for c in range(3):
+                    col = head[:, c]
+                    doc.append(doc_id)
+                    wid.append(w)
+                    hei.append(h)
+                    mxv.append(maxval)
+                    chn.append(c)
+                    csum.append(int(col.sum()))
+                    cmin.append(int(col.min()))
+                    cmax.append(int(col.max()))
+                    npx.append(len(col))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "width": pd.Series(wid, dtype="int32"),
+                    "height": pd.Series(hei, dtype="int32"),
+                    "maxval": pd.Series(mxv, dtype="int32"),
+                    "channel": pd.Series(chn, dtype="int32"),
+                    "ch_sum": pd.Series(csum, dtype="int64"),
+                    "ch_min": pd.Series(cmin, dtype="int32"),
+                    "ch_max": pd.Series(cmax, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, maxval int, channel int, "
+        "ch_sum long, ch_min int, ch_max int, n_px long",
+    )
+
+
 def encode_y4m(samples: bytes, w: int = Y4M_W, h: int = Y4M_H) -> bytes:
     """Canonical YUV4MPEG2 (Y4M) container around raw monochrome frames —
     a REAL uncompressed video format (mpv/ffmpeg open it directly), pure
@@ -696,10 +854,13 @@ def decode_y4m(payload: bytes):
         # F/I/A/X tags are valid stream parameters this decoder can ignore
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
+    if cspace.startswith("420"):
+        raise ValueError("4:2:0 chroma stream: decode via decode_y4m_420")
     if cspace != "mono":
         raise NotImplementedError(
-            "only Cmono Y4M is decoded in pure numpy; chroma-plane and "
-            "compressed video require ffmpeg (production plug point)"
+            "only Cmono (here) and the C420 family (decode_y4m_420) are "
+            "decoded in pure numpy; other chroma layouts and compressed "
+            "video require ffmpeg (production plug point)"
         )
     frames = []
     pos = nl + 1
@@ -821,6 +982,177 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         extract,
         "doc_id long, frame_idx int, width int, height int, luma_sum long, luma_peak int",
+    )
+
+
+def encode_y4m_420(samples: bytes, w: int = Y4M_W, h: int = Y4M_H) -> bytes:
+    """Canonical YUV4MPEG2 container in the C420 colorspace — the format's
+    DEFAULT planar layout (every real-world Y4M from ffmpeg is 4:2:0):
+    each frame is w*h luma bytes followed by two (w/2)*(h/2) subsampled
+    chroma planes (U then V), 3/2 * w*h bytes total. The payload bytes
+    fill the planes in stream order, so kept frames stay byte-lossless;
+    the sub-frame tail is dropped (the Cmono rung's convention)."""
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even frame dimensions")
+    fs = w * h + 2 * ((w // 2) * (h // 2))
+    n_frames = len(samples) // fs
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode("ascii")
+    return head + b"".join(
+        b"FRAME\n" + samples[i * fs : (i + 1) * fs] for i in range(n_frames)
+    )
+
+
+def decode_y4m_420(payload: bytes):
+    """Genuine Y4M parse for the 4:2:0 chroma-plane family — retires the
+    'chroma colorspaces refuse' caveat the Cmono rung documented: the same
+    stream-parameter grammar as decode_y4m (W/H required, unknown tags
+    tolerated), but the C tag must name a 420 variant (C420, C420jpeg,
+    C420mpeg2, C420paldv — all share the plane geometry; they differ only
+    in chroma SITING, which moves no bytes), and each FRAME carries three
+    planes: w*h luma, then two (w/2)*(h/2) chroma. Returns (w, h,
+    [(y, u, v) numpy uint8 plane triples]). Cmono routes to decode_y4m;
+    4:2:2 / 4:4:4 and compressed codecs stay behind the documented ffmpeg
+    plug point; truncated frames raise loudly."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 container")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    w = h = None
+    cspace = "420"  # the Y4M default when no C tag is present
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"C":
+            cspace = val.decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cspace == "mono":
+        raise ValueError("Cmono stream: decode via decode_y4m")
+    if not cspace.startswith("420"):
+        raise NotImplementedError(
+            "only the 4:2:0 plane family is decoded in pure numpy; 4:2:2/"
+            "4:4:4 and compressed video require ffmpeg (production plug point)"
+        )
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even frame dimensions")
+    ys, cs = w * h, (w // 2) * (h // 2)
+    fs = ys + 2 * cs
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        raster = payload[fnl + 1 : fnl + 1 + fs]
+        if len(raster) != fs:
+            raise ValueError("truncated frame")
+        arr = np.frombuffer(raster, dtype=np.uint8)
+        frames.append((arr[:ys], arr[ys : ys + cs], arr[ys + cs :]))
+        pos = fnl + 1 + fs
+    return w, h, frames
+
+
+_C420_FS = Y4M_W * Y4M_H + 2 * ((Y4M_W // 2) * (Y4M_H // 2))  # 96 for 8x8
+_C420_YS = Y4M_W * Y4M_H  # 64
+_C420_CS = (Y4M_W // 2) * (Y4M_H // 2)  # 16
+
+
+@query(
+    "q_multimodal_chroma",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, hx, f.f AS frame_idx
+  FROM b, unnest(generate_series(0, n // {_C420_FS} - 1)) f(f)
+),
+px AS (
+  SELECT doc_id, frame_idx, p.p AS p,
+         CAST(concat('0x', substr(hx, 2 * (frame_idx * {_C420_FS} + p.p) + 1, 2))
+              AS INT) AS byte
+  FROM fr, unnest(generate_series(0, {_C420_FS - 1})) p(p)
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT)  AS frame_idx,
+       {Y4M_W}                 AS width,
+       {Y4M_H}                 AS height,
+       CAST(SUM(CASE WHEN p < {_C420_YS} THEN byte END) AS BIGINT)  AS y_sum,
+       CAST(SUM(CASE WHEN p >= {_C420_YS} AND p < {_C420_YS + _C420_CS}
+                     THEN byte END) AS BIGINT)                      AS u_sum,
+       CAST(SUM(CASE WHEN p >= {_C420_YS + _C420_CS} THEN byte END)
+            AS BIGINT)                                              AS v_sum,
+       CAST(MAX(CASE WHEN p < {_C420_YS} THEN byte END) AS INT)     AS y_peak
+FROM px
+GROUP BY doc_id, frame_idx
+""",
+)
+def q_multimodal_chroma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-plane video feature extraction over a real container — the
+    C420 rung the Cmono parser pointed at: each payload is a genuine
+    YUV4MPEG2 clip in the format's DEFAULT 4:2:0 planar colorspace (8x8
+    luma + two 4x4 subsampled chroma planes per frame, 96 bytes — what
+    ffmpeg emits for `-pix_fmt yuv420p`), decoded by a real parser
+    (encode_y4m_420 / decode_y4m_420 — stream-tag grammar, 420-family C
+    check, per-FRAME three-plane walk, exact-raster validation), then
+    mapInPandas emits one row per frame with integer per-PLANE statistics
+    — the luma/chroma split a real video-quality or shot-detection pass
+    reads. Plane fill is byte-lossless in stream order, so the DuckDB
+    oracle replays every plane's sums from hex(encode(text)) byte
+    positions (p < 64 luma, 64-79 U, 80-95 V within each 96-byte frame).
+    Non-420 chroma and compressed codecs still refuse at decode_y4m_420's
+    documented ffmpeg plug point."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_aws_spark.multimodal.media import (
+            Y4M_H,
+            Y4M_W,
+            decode_y4m_420,
+            encode_y4m_420,
+        )
+
+        for pdf in batches:
+            doc, idx, ysum, usum, vsum, ypeak = ([] for _ in range(6))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m_420(encode_y4m_420(bytes(payload)))
+                for i, (y, u, v) in enumerate(frames):
+                    doc.append(doc_id)
+                    idx.append(i)
+                    ysum.append(int(y.sum()))
+                    usum.append(int(u.sum()))
+                    vsum.append(int(v.sum()))
+                    ypeak.append(int(y.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "frame_idx": pd.Series(idx, dtype="int32"),
+                    "width": pd.Series([Y4M_W] * len(doc), dtype="int32"),
+                    "height": pd.Series([Y4M_H] * len(doc), dtype="int32"),
+                    "y_sum": pd.Series(ysum, dtype="int64"),
+                    "u_sum": pd.Series(usum, dtype="int64"),
+                    "v_sum": pd.Series(vsum, dtype="int64"),
+                    "y_peak": pd.Series(ypeak, dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, frame_idx int, width int, height int, "
+        "y_sum long, u_sum long, v_sum long, y_peak int",
     )
 
 

@@ -639,8 +639,8 @@ def test_pgm_codec_round_trips_and_parses_real_grammar():
         decode_pgm(b"P5\n# a comment that never ends")
     with pytest.raises(ValueError):
         decode_pgm(b"P5\n4 ")
-    with pytest.raises(NotImplementedError):
-        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="decode_ppm"):
+        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")  # color routes to the P6 parser
     with pytest.raises(ValueError):
         decode_pgm(encode_pgm(bytes(10))[:-3])
     with pytest.raises(NotImplementedError):
@@ -709,10 +709,12 @@ def test_y4m_codec_round_trips_and_parses_real_grammar():
     # refusals
     with pytest.raises(ValueError):
         decode_y4m(b"not a video")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="decode_y4m_420"):
         decode_y4m(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + bytes(6))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="decode_y4m_420"):
         decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(6))  # default C420
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + bytes(8))  # ffmpeg plug
     with pytest.raises(ValueError):
         decode_y4m(b"YUV4MPEG2 W8 H8 Cmono\nFRAME\n" + bytes(10))  # short frame
     with pytest.raises(ValueError):
@@ -744,6 +746,175 @@ def test_multimodal_video_stats_replay_via_module_codec(spark, sf_dir, duck):
     got = {
         (r.doc_id, r.frame_idx): (r.width, r.height, r.luma_sum, r.luma_peak)
         for r in all_queries()["q_multimodal_video"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no whole frames — test would be vacuous"
+
+
+def test_ppm_codec_round_trips_and_parses_real_grammar():
+    """The P6 writer/parser pair must round-trip any whole-pixel payload,
+    share the P5 rung's comment-tolerant header grammar, validate the
+    3-channel raster length, and route/refuse other flavors with the
+    documented errors (P5 → decode_pgm, ASCII → PIL plug point)."""
+    import numpy as np
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import decode_ppm, encode_ppm
+
+    for rgb in (b"\x00\x01\x02", bytes(range(255)) * 3, b"spark!" * 33):
+        w, h, maxval, got = decode_ppm(encode_ppm(rgb))
+        assert (w, h, maxval) == (len(rgb) // 3, 1, 255)
+        assert got.shape == (len(rgb) // 3, 3)
+        assert bytes(got.reshape(-1)) == rgb
+    # multi-row layout: 24 pixels as 6x4
+    w, h, _, got = decode_ppm(encode_ppm(bytes(range(72)), width=6))
+    assert (w, h) == (6, 4) and bytes(got.reshape(-1)) == bytes(range(72))
+    # hostile-but-legal whitespace and comments in the header
+    raster = bytes(range(36))
+    wild = b"P6 # c1\n#c2\n\t 4\r\n# mid\n 3 \n255 " + raster
+    w, h, maxval, got = decode_ppm(wild)
+    assert (w, h, maxval, bytes(got.reshape(-1))) == (4, 3, 255, raster)
+    # refusals/routing
+    with pytest.raises(ValueError):
+        decode_ppm(b"not an image")
+    with pytest.raises(ValueError, match="decode_pgm"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # grayscale routes to the P5 parser
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII: PIL plug point
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))  # 16-bit: PIL plug point
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(bytes(30))[:-4])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n# a comment that never ends")
+    with pytest.raises(ValueError):
+        encode_ppm(bytes(10))  # not whole pixels
+    with pytest.raises(ValueError):
+        encode_ppm(bytes(30), width=4)  # width must tile the pixels
+    assert isinstance(got, np.ndarray)
+
+
+def test_multimodal_color_stats_replay_via_module_codec(spark, sf_dir, duck):
+    """q_multimodal_color's worker path (package-zip import) must agree
+    with the module-level P6 pair: per-channel stats replayed through
+    encode_ppm → decode_ppm must equal the operator output."""
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import decode_ppm, encode_ppm
+
+    want = {}
+    for doc_id, text in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        payload = text.encode("utf-8")
+        kept = (len(payload) // 3) * 3
+        if not kept:
+            continue
+        w, h, maxval, px = decode_ppm(encode_ppm(payload[:kept]))
+        head = px[:256]
+        for c in range(3):
+            col = head[:, c]
+            want[(doc_id, c)] = (
+                w, h, maxval, int(col.sum()), int(col.min()), int(col.max()),
+                len(col),
+            )
+    got = {
+        (r.doc_id, r.channel): (
+            r.width, r.height, r.maxval, r.ch_sum, r.ch_min, r.ch_max, r.n_px,
+        )
+        for r in all_queries()["q_multimodal_color"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no whole pixels — test would be vacuous"
+
+
+def test_y4m_420_codec_round_trips_and_parses_real_grammar():
+    """The C420 writer/parser pair must round-trip whole 3-plane frames,
+    accept every 420 siting variant (same plane bytes), tolerate unknown
+    tags, route Cmono to decode_y4m, and refuse non-420 chroma and
+    truncated frames with the documented errors."""
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import (
+        Y4M_H,
+        Y4M_W,
+        decode_y4m_420,
+        encode_y4m_420,
+    )
+
+    fs = Y4M_W * Y4M_H + 2 * ((Y4M_W // 2) * (Y4M_H // 2))
+    payload = bytes(range(256)) * 2  # 512 bytes → 5 whole 96-byte frames + tail
+    w, h, frames = decode_y4m_420(encode_y4m_420(payload))
+    assert (w, h, len(frames)) == (Y4M_W, Y4M_H, len(payload) // fs)
+    flat = b"".join(bytes(y) + bytes(u) + bytes(v) for y, u, v in frames)
+    assert flat == payload[: len(frames) * fs]  # byte-lossless plane fill
+    ys, cs = Y4M_W * Y4M_H, (Y4M_W // 2) * (Y4M_H // 2)
+    assert all(
+        (len(y), len(u), len(v)) == (ys, cs, cs) for y, u, v in frames
+    )
+    # sub-frame tail dropped
+    _, _, frames2 = decode_y4m_420(encode_y4m_420(payload + b"tail"))
+    assert len(frames2) == len(frames)
+    # all 420 siting variants decode identically (siting moves no bytes);
+    # the no-C-tag default is 420 per spec
+    blob = encode_y4m_420(payload)
+    for variant in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        w2, h2, fr = decode_y4m_420(blob.replace(b"C420", variant, 1))
+        assert len(fr) == len(frames)
+    head, body = blob.split(b"\n", 1)
+    w3, h3, fr = decode_y4m_420(head.replace(b" C420", b"") + b"\n" + body)
+    assert len(fr) == len(frames)
+    # unknown stream/frame tags tolerated
+    raster = bytes(range(fs % 256)) + bytes(fs - fs % 256)
+    wild = (
+        f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F30000:1001 Ip A1:1 C420 XYSCSS=420\n".encode()
+        + b"FRAME Xtimecode=00:00\n" + raster[:fs]
+    )
+    _, _, fr = decode_y4m_420(wild)
+    assert len(fr) == 1
+    # refusals/routing
+    with pytest.raises(ValueError):
+        decode_y4m_420(b"not a video")
+    with pytest.raises(ValueError, match="decode_y4m"):
+        decode_y4m_420(b"YUV4MPEG2 W8 H8 Cmono\nFRAME\n" + bytes(64))
+    with pytest.raises(NotImplementedError):
+        decode_y4m_420(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError):
+        decode_y4m_420(b"YUV4MPEG2 W3 H3 C420\nFRAME\n" + bytes(13))  # odd dims
+    with pytest.raises(ValueError):
+        decode_y4m_420(b"YUV4MPEG2 W8 H8 C420\nFRAME\n" + bytes(10))  # short
+    with pytest.raises(ValueError):
+        decode_y4m_420(b"YUV4MPEG2 W8 H8 C420\nJUNK\n" + bytes(96))
+    with pytest.raises(ValueError):
+        decode_y4m_420(b"YUV4MPEG2 C420\nFRAME\n")  # missing W/H
+    with pytest.raises(ValueError):
+        encode_y4m_420(bytes(96), w=3, h=3)  # odd dims refuse at encode too
+
+
+def test_multimodal_chroma_stats_replay_via_module_codec(spark, sf_dir, duck):
+    """q_multimodal_chroma's worker path (package-zip import) must agree
+    with the module-level C420 pair: per-frame per-plane stats replayed
+    through encode_y4m_420 → decode_y4m_420 must equal the operator
+    output."""
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.multimodal.media import (
+        Y4M_H,
+        Y4M_W,
+        decode_y4m_420,
+        encode_y4m_420,
+    )
+
+    want = {}
+    for doc_id, text in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        payload = text.encode("utf-8")
+        _, _, frames = decode_y4m_420(encode_y4m_420(payload))
+        for i, (y, u, v) in enumerate(frames):
+            want[(doc_id, i)] = (
+                Y4M_W, Y4M_H, int(y.sum()), int(u.sum()), int(v.sum()),
+                int(y.max()),
+            )
+    got = {
+        (r.doc_id, r.frame_idx): (
+            r.width, r.height, r.y_sum, r.u_sum, r.v_sum, r.y_peak,
+        )
+        for r in all_queries()["q_multimodal_chroma"](spark, sf_dir).collect()
     }
     assert got == want
     assert want, "fixture produced no whole frames — test would be vacuous"

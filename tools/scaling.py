@@ -4,7 +4,12 @@ each SF dir, plus fitted growth exponents vs scale factor — turning the plan
 pins' structural 100×-scale claims into committed data (SCALING.json).
 
 Usage:
-    python tools/scaling.py [-n 2] [--top K] [key ...]
+    python tools/scaling.py [-n 2] [--top K] [--sf-dirs d1,d2,...] [--cold] [key ...]
+
+--cold clears each SF's sink caches first and keeps cache-backed keys'
+pass-0 (write-inclusive BUILD) numbers — bench.py --cold's convention —
+writing to SCALING_COLD.json so build exponents never overwrite the
+warm-readback artifact.
 
 With --top K (default 10 when no keys given) the key list is the K most
 expensive queries of the committed BENCH_FULL.json map. Per key the tool
@@ -71,6 +76,13 @@ def main() -> None:
     args, n_val = _take_flag(args, "-n")
     args, top_val = _take_flag(args, "--top")
     args, dirs_val = _take_flag(args, "--sf-dirs")
+    cold = "--cold" in args
+    if cold:
+        # --cold: sink caches are cleared per SF so pass 0 measures the
+        # write-inclusive BUILD; later passes keep a cache key's pass-0
+        # number (bench.py --cold's convention), giving the cache family's
+        # build cost its own exponent curve in a SEPARATE artifact.
+        args = [a for a in args if a != "--cold"]
     n_passes = int(n_val) if n_val else 2
     top_k = int(top_val) if top_val else None
     sf_dirs = tuple(dirs_val.split(",")) if dirs_val else SF_DIRS
@@ -95,7 +107,13 @@ def main() -> None:
     # scaling exponents compare times taken minutes apart, so a mid-run
     # co-tenant burst would masquerade as superlinear growth. The per-SF
     # loadavg stamps let a reader reject a contaminated column.
-    from bench import SINK_CACHE_KEYS, _cpu_calibration, _loadavg_1min, quiet_gate
+    from bench import (
+        SINK_CACHE_KEYS,
+        _clear_sink_caches,
+        _cpu_calibration,
+        _loadavg_1min,
+        quiet_gate,
+    )
 
     load_start, max_load = quiet_gate()
 
@@ -106,11 +124,15 @@ def main() -> None:
     load_by_sf: dict[str, float] = {}
     for sf_dir in sf_dirs:
         tag = os.path.basename(sf_dir.rstrip("/"))
+        if cold:
+            _clear_sink_caches(sf_dir)
         # warmup (uncounted): JVM + file metadata + Python worker fork
         queries["q_agg_basic"](spark, sf_dir).write.mode("overwrite").format("noop").save()
         queries["q_pandas_udaf"](spark, sf_dir).write.mode("overwrite").format("noop").save()
         for p in range(n_passes):
             for name in keys:
+                if cold and p > 0 and name in SINK_CACHE_KEYS:
+                    continue  # keep the write-inclusive pass-0 number
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
                 elapsed = round(time.perf_counter() - t0, 3)
@@ -153,8 +175,9 @@ def main() -> None:
         "loadavg_1min_after_sf": load_by_sf,
         "host_contended": load_start > max_load,
         "calib_sec": _cpu_calibration(),
+        "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
     }
-    path = os.path.join(_REPO, "SCALING.json")
+    path = os.path.join(_REPO, "SCALING_COLD.json" if cold else "SCALING.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"flagged": sorted(flagged), "n_keys": len(report), "out": path}))
