@@ -136,6 +136,7 @@ def _exact_jaccard_pairs(
     shh: DataFrame,
     candidates: DataFrame | None = None,
     threshold: float = JACCARD_THRESHOLD,
+    with_union: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard over a (doc_id, h) fingerprint relation, for all
     shared-shingle pairs or only for the given (d1, d2) candidate pairs.
@@ -176,11 +177,18 @@ def _exact_jaccard_pairs(
         )
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
-    jac = F.col("n_common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    union_sz = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    jac = F.col("n_common") * 1.0 / union_sz
+    cols = ["d1", "d2", "n_common", jac.alias("jaccard")]
+    if with_union:
+        # opt-in so existing consumers' schemas (q_dedup_ngram returns this
+        # relation verbatim) stay frozen; n_union enables INTEGER Jaccard
+        # bucketing (n_common*10 div n_union) with zero float drift
+        cols.insert(3, union_sz.alias("n_union"))
     return (
         inter.join(ca, F.col("d1") == F.col("ca.doc_id"))
         .join(cb, F.col("d2") == F.col("cb.doc_id"))
-        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .select(*cols)
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -1758,14 +1766,12 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_eval_report(table(spark, sf_dir, "documents"))
 
 
-def _dedup_eval_report(docs: DataFrame) -> DataFrame:
-    """The confusion pipeline under q_dedup_eval / q_dedup_eval_sampled:
-    sketch candidates + screen decisions vs exact shingle-Jaccard truth over
-    the given corpus relation, one bounded report row."""
-    sig = _mh_sig_table(docs).localCheckpoint()
+def _mh_band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (d1, d2) candidate pairs from the 16x2 band self-join —
+    the one LSH candidate-generation definition the eval family shares."""
     band = _mh_band_rows(sig).alias("a")
     bandb = _mh_band_rows(sig).alias("b")
-    cand = (
+    return (
         band.join(
             bandb,
             (F.col("a.band") == F.col("b.band"))
@@ -1776,6 +1782,14 @@ def _dedup_eval_report(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def _dedup_eval_report(docs: DataFrame) -> DataFrame:
+    """The confusion pipeline under q_dedup_eval / q_dedup_eval_sampled:
+    sketch candidates + screen decisions vs exact shingle-Jaccard truth over
+    the given corpus relation, one bounded report row."""
+    sig = _mh_sig_table(docs).localCheckpoint()
+    cand = _mh_band_candidates(sig)
     matches = sum(
         F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
         for i in range(_MH_N)
@@ -1891,6 +1905,111 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "recall",
         "precision",
+    )
+
+
+_LSH_TUNE_ORACLE = f"""
+WITH {_shingle_ctes()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pj AS (
+  SELECT d1, d2, n_common, ca.n + cb.n - n_common AS n_union
+  FROM inter
+  JOIN cnt ca ON d1 = ca.doc_id
+  JOIN cnt cb ON d2 = cb.doc_id
+),
+{_mh_sig_ctes()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+  WHERE x.doc_id < y.doc_id
+),
+bucketed AS (
+  SELECT LEAST((p.n_common * 10) // p.n_union, 9) AS bucket,
+         c.d1 IS NOT NULL AS is_cand
+  FROM pj p LEFT JOIN cand c ON p.d1 = c.d1 AND p.d2 = c.d2
+),
+agg AS (
+  SELECT CAST(bucket AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+  FROM bucketed GROUP BY bucket
+),
+mid AS (SELECT *, (2 * bucket + 1) / 20.0 AS s FROM agg),
+p1 AS (SELECT *, 1.0 - s * s AS t1 FROM mid),
+p2 AS (SELECT *, t1 * t1 AS t2 FROM p1),
+p4 AS (SELECT *, t2 * t2 AS t4 FROM p2),
+p8 AS (SELECT *, t4 * t4 AS t8 FROM p4)
+SELECT bucket, n_pairs, n_cand,
+       ROUND(n_cand * 1.0 / n_pairs, 6) AS emp_rate,
+       ROUND(1.0 - t8 * t8, 6) AS analytic_rate
+FROM p8
+"""
+
+
+@query("q_lsh_tune", oracle=_LSH_TUNE_ORACLE)
+def q_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve calibration — the tuning table behind every
+    (bands, rows) choice (Leskovec-Rajaraman-Ullman ch. 3): bucket all
+    shared-shingle pairs by exact Jaccard decile and report, per bucket,
+    the EMPIRICAL band-collision rate of the production 16x2 MinHash
+    banding next to the ANALYTIC curve 1-(1-s^2)^16 at the bucket
+    midpoint. This is how an operator decides whether the deployed
+    banding's knee sits at the dedup threshold before re-signaturing a
+    100 TB corpus — and the empirical column exposes what the formula
+    can't: the linear-permutation scheme's deviation from ideal uniform
+    minhashing on the corpus's real similarity mass.
+
+    Determinism: buckets come from INTEGER arithmetic ((n_common*10) div
+    n_union — exact rational floor, no float boundary), and the analytic
+    curve is evaluated by repeated squaring (t=1-s*s; t16=(((t^2)^2)^2)^2)
+    so both engines do the identical IEEE multiply sequence — no libm pow
+    divergence. Scale shape: truth side IS the declared exact-audit cost
+    (the q_dedup_eval class — its sampled-stratum production mode applies
+    verbatim); sketch side reuses the banded candidate join
+    (_mh_band_candidates, never all-pairs); the report is <= 10 rows of
+    partial-agg counts."""
+    docs = table(spark, sf_dir, "documents")
+    sig = _mh_sig_table(docs).localCheckpoint()
+    cand = _mh_band_candidates(sig).withColumnsRenamed({"d1": "c1", "d2": "c2"})
+    shh = docs.select(
+        "doc_id", F.explode(_shingle_array()).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    pairs = _exact_jaccard_pairs(
+        shh.localCheckpoint(), threshold=0.0, with_union=True
+    )
+    bucketed = (
+        pairs.select(
+            F.expr("LEAST((n_common * 10) DIV n_union, 9)").alias("bucket"),
+            "d1",
+            "d2",
+        )
+        .join(
+            cand,
+            (F.col("d1") == F.col("c1")) & (F.col("d2") == F.col("c2")),
+            "left",
+        )
+        .select("bucket", F.col("c1").isNotNull().alias("is_cand"))
+    )
+    agg = bucketed.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).alias("n_cand"),
+    )
+    s = (2 * F.col("bucket") + 1) / 20.0
+    out = agg.withColumn("s", s).withColumn("t1", 1.0 - F.col("s") * F.col("s"))
+    for a, b in (("t2", "t1"), ("t4", "t2"), ("t8", "t4")):
+        out = out.withColumn(a, F.col(b) * F.col(b))
+    return out.select(
+        "bucket",
+        "n_pairs",
+        "n_cand",
+        F.round(F.col("n_cand") * 1.0 / F.col("n_pairs"), 6).alias("emp_rate"),
+        F.round(1.0 - F.col("t8") * F.col("t8"), 6).alias("analytic_rate"),
     )
 
 

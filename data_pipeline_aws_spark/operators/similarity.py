@@ -1715,3 +1715,145 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, rank int, neighbor_id long, relevance double, mmr_score double",
         )
     )
+
+
+MRL_DIMS = (8, 16, 32, 64)  # matryoshka prefix lengths; 64 = full dim
+
+
+@query(
+    "q_matryoshka_recall",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+dims AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS dim),
+scored AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.e[1:d.dim], c.e[1:d.dim]) /
+               (sqrt(list_dot_product(q.e[1:d.dim], q.e[1:d.dim])) *
+                sqrt(list_dot_product(c.e[1:d.dim], c.e[1:d.dim]))), 6) AS cos_sim
+  FROM n q, n c, dims d
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    AND list_dot_product(q.e[1:d.dim], q.e[1:d.dim]) > 0
+    AND list_dot_product(c.e[1:d.dim], c.e[1:d.dim]) > 0
+),
+topk AS (
+  SELECT dim, query_id, neighbor_id
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {TOP_K}
+),
+full_dim AS (
+  SELECT query_id, neighbor_id FROM topk WHERE dim = {MRL_DIMS[-1]}
+)
+SELECT CAST(t.dim AS INT)                        AS dim,
+       t.query_id                                AS query_id,
+       CAST(COUNT(f.neighbor_id) AS INT)         AS hits,
+       ROUND(COUNT(f.neighbor_id) / {TOP_K}.0, 6) AS recall_at_k
+FROM topk t
+LEFT JOIN full_dim f
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY t.dim, t.query_id
+""",
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) recall audit — the measurement behind
+    MRL-style truncatable embeddings (Kusupati et al. 2022): score the
+    query batch against the corpus using only the FIRST d components for
+    d in (8, 16, 32, 64), take exact top-5 at each prefix, and report per
+    (d, query) how many of the full-dimension top-5 the truncated metric
+    retains (hits, recall@5). This is the audit a 100 TB pipeline runs
+    before committing to shipping truncated vectors: it quantifies the
+    recall cost of a 2-8x index-size cut BEFORE rebuilding the index.
+
+    Scale shape: ONE corpus pass — every per-prefix norm is computed
+    map-side per corpus row (4 extra columns, no extra scan), the 10-row
+    query batch broadcasts, each pair emits its 4 rounded prefix cosines
+    through one `stack` (pairs never materialize per-dim scans), and the
+    per-(dim, query) top-5 rides the rank-window WindowGroupLimit heap, so
+    executors emit only local top-k candidates. The recall join is a
+    40-row broadcast self-join of the top-k relation — driver never sees
+    the corpus. Ranking uses ROUND(cos, 6) + neighbor-id tiebreak (the
+    q_sim_topk determinism contract), so both engines rank identically at
+    float ulp boundaries; zero-norm prefixes are excluded on both sides
+    before the division."""
+    n = _normed(spark, sf_dir)
+    full = MRL_DIMS[-1]
+
+    def pref(col: str, d: int) -> Column:
+        return F.slice(F.col(col), 1, d)
+
+    # per-row prefix norms, map-side (one scan; d=full reuses the stored nrm)
+    def with_pref_norms(df: DataFrame, vec: str, tag: str) -> DataFrame:
+        for d in MRL_DIMS[:-1]:
+            df = df.withColumn(
+                f"{tag}n{d}", F.sqrt(_dot(pref(vec, d), pref(vec, d)))
+            )
+        return df.withColumn(f"{tag}n{full}", F.col("nrm"))
+
+    q = with_pref_norms(
+        n.where(F.col("vec_id") < N_QUERIES), "e", "q"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        *[F.col(f"qn{d}") for d in MRL_DIMS],
+    )
+    c = with_pref_norms(n, "e", "c").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        *[F.col(f"cn{d}") for d in MRL_DIMS],
+    )
+    paired = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    for d in MRL_DIMS:
+        paired = paired.withColumn(
+            f"cos{d}",
+            F.when(
+                (F.col(f"qn{d}") > 0) & (F.col(f"cn{d}") > 0),
+                F.round(
+                    _dot(pref("qe", d), pref("ce", d))
+                    / (F.col(f"qn{d}") * F.col(f"cn{d}")),
+                    6,
+                ),
+            ),
+        )
+    stack = ", ".join(f"{d}, cos{d}" for d in MRL_DIMS)
+    scored = paired.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"stack({len(MRL_DIMS)}, {stack}) AS (dim, cos_sim)"),
+    ).where(F.col("cos_sim").isNotNull())
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    full_dim = topk.where(F.col("dim") == full).select(
+        F.col("query_id").alias("fq"),
+        F.col("neighbor_id").alias("full_neighbor"),
+    )
+    return (
+        topk.join(
+            F.broadcast(full_dim),
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("neighbor_id") == F.col("full_neighbor")),
+            "left",
+        )
+        .groupBy("dim", "query_id")
+        .agg(
+            F.count("full_neighbor").cast("int").alias("hits"),
+            F.round(F.count("full_neighbor") / float(TOP_K), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "query_id",
+            "hits",
+            "recall_at_k",
+        )
+    )

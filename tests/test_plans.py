@@ -1383,3 +1383,28 @@ def test_sim_ivfpq_arrow_stages_no_sort_merge(plans):
     assert final.count("MapInPandas") >= 3, final
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_matryoshka_single_corpus_pass_stack_and_heaps(plans):
+    """q_matryoshka_recall computes all four prefix cosines in ONE corpus
+    pass: per-prefix norms are map-side columns, the 10-row query batch
+    broadcasts into the nested-loop pair join, the per-dim expansion is a
+    generator (stack), the per-(dim, query) top-5 compiles to
+    WindowGroupLimit heaps, and the float corpus is never
+    sort-merge-joined."""
+    p = plans("q_matryoshka_recall")
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final, final
+    assert "Generate" in final, final  # the stack() per-dim fan-out
+    assert "WindowGroupLimit" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_lsh_tune_banded_candidates_no_cross_join(plans):
+    """q_lsh_tune's candidate side must stay the banded equi-join and the
+    truth side the shingle inverted-index equi-join — no cartesian or
+    nested-loop pair enumeration anywhere in the S-curve audit."""
+    p = plans("q_lsh_tune")
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final

@@ -3086,3 +3086,41 @@ def test_compaction_execute_layout_rewrites_only_planned_files(spark, sf_dir):
     rerun = all_queries()["q_compaction_execute"](spark, sf_dir).collect()[0]
     assert rerun == row
     assert base_digest() == before, "serving the compacted state mutated base files"
+
+
+def test_matryoshka_full_dim_recall_is_one_and_hits_bounded(spark, sf_dir):
+    """The full-dimension row is its own reference: recall@5 must be
+    exactly 1.0 at dim=64 for every query, and hits stays in [0, 5]
+    everywhere (the truncated metrics can only lose neighbors)."""
+    from data_pipeline_aws_spark import all_queries
+
+    rows = all_queries()["q_matryoshka_recall"](spark, sf_dir).collect()
+    assert rows
+    dims = {r.dim for r in rows}
+    assert dims == {8, 16, 32, 64}
+    for r in rows:
+        assert 0 <= r.hits <= 5
+        assert abs(r.recall_at_k - round(r.hits / 5.0, 6)) < 1e-12
+        if r.dim == 64:
+            assert r.hits == 5 and r.recall_at_k == 1.0
+
+
+def test_lsh_tune_bucket_invariants_and_knee(spark, sf_dir):
+    """S-curve report invariants: buckets are Jaccard deciles, candidate
+    counts never exceed pair counts, the emitted empirical rate is the
+    exact ratio of its own counts, the analytic curve is monotone in the
+    bucket, and every pair in the top decile (J >= 0.9 — where the 16x2
+    design's analytic miss probability is ~1e-12) band-collides."""
+    from data_pipeline_aws_spark import all_queries
+
+    rows = all_queries()["q_lsh_tune"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert 0 <= r.n_cand <= r.n_pairs
+        assert abs(r.emp_rate - round(r.n_cand / r.n_pairs, 6)) < 1e-9
+    top = [r for r in rows if r.bucket == 9]
+    assert top and all(r.emp_rate == 1.0 for r in top)
+    xs = sorted(rows, key=lambda r: r.bucket)
+    ar = [r.analytic_rate for r in xs]
+    assert ar == sorted(ar)
