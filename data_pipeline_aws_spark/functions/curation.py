@@ -181,18 +181,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-doc count aggregation on the (rare) hits. Gram
     construction is a per-doc window — narrow, partition-local."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("token")]
-    for i in range(1, _DECON_WIDTH):
-        parts += [F.lit(" "), F.lead("token", i).over(w)]
-    grams = (
-        tok.select("doc_id", F.concat(*parts).alias("gram"))
-        .where(F.col("gram").isNotNull())
-        .distinct()
-    )
+    grams = _decon_grams(d)
     is_hold = F.col("doc_id") % _HOLDOUT_MOD == 0
     hold = grams.where(is_hold).select("gram").distinct()
     hits = (
@@ -208,6 +197,139 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def _decon_grams(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 8-token-gram) rows — the one gram definition the
+    decontamination family shares. Per-doc window, narrow/partition-local."""
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")]
+    for i in range(1, _DECON_WIDTH):
+        parts += [F.lit(" "), F.lead("token", i).over(w)]
+    return (
+        tok.select("doc_id", F.concat(*parts).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
+
+
+_DECON_GRAM_CTES = f"""tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' '))                 AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w || ' ' || LEAD(token, 4) OVER w
+               || ' ' || LEAD(token, 5) OVER w || ' ' || LEAD(token, 6) OVER w
+               || ' ' || LEAD(token, 7) OVER w                          AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grd AS (SELECT DISTINCT doc_id, gram FROM gr WHERE gram IS NOT NULL)"""
+
+
+@query(
+    "q_contamination_report",
+    oracle=f"""
+WITH {_DECON_GRAM_CTES},
+hold AS (SELECT doc_id, gram FROM grd WHERE doc_id % {_HOLDOUT_MOD} = 0),
+train AS (SELECT doc_id, gram FROM grd WHERE doc_id % {_HOLDOUT_MOD} <> 0),
+hg AS (SELECT doc_id, COUNT(*) AS n_grams FROM hold GROUP BY doc_id),
+hits AS (
+  SELECT h.doc_id AS hold_doc, t.doc_id AS train_doc, h.gram
+  FROM hold h JOIN train t USING (gram)
+),
+cov AS (
+  SELECT hold_doc, COUNT(DISTINCT gram) AS n_covered FROM hits GROUP BY hold_doc
+),
+pair AS (
+  SELECT hold_doc, train_doc, COUNT(*) AS n_shared
+  FROM hits GROUP BY hold_doc, train_doc
+),
+top AS (
+  SELECT hold_doc, train_doc, n_shared,
+         ROW_NUMBER() OVER (PARTITION BY hold_doc
+                            ORDER BY n_shared DESC, train_doc) AS rn
+  FROM pair
+)
+SELECT d.doc_id,
+       CAST(COALESCE(hg.n_grams, 0) AS BIGINT)                  AS n_grams,
+       CAST(COALESCE(c.n_covered, 0) AS BIGINT)                 AS n_covered,
+       COALESCE(ROUND(c.n_covered * 1.0 / hg.n_grams, 6), 0.0)  AS coverage,
+       CAST(COALESCE(t.train_doc, -1) AS BIGINT)                AS top_train_doc,
+       CAST(COALESCE(t.n_shared, 0) AS BIGINT)                  AS top_shared
+FROM documents d
+LEFT JOIN hg  ON d.doc_id = hg.doc_id
+LEFT JOIN cov c ON d.doc_id = c.hold_doc
+LEFT JOIN top t ON d.doc_id = t.hold_doc AND t.rn = 1
+WHERE d.doc_id % {_HOLDOUT_MOD} = 0
+""",
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination audit — q_decontaminate's reverse direction,
+    and the number a benchmark-integrity review actually quotes: for each
+    HELD-OUT document, what fraction of its 8-token grams appears anywhere
+    in the training corpus (n_grams, n_covered, coverage), and which train
+    document shares the most grams with it (top_train_doc, top_shared —
+    the "go read this one" pointer). Flagging train docs says what to
+    drop; this report says which EVAL rows are no longer trustworthy and
+    how badly (the 'X% of benchmark is contaminated' table in model
+    cards).
+
+    Scale shape: the benchmark gram set is the small fixed side, so it is
+    explicitly F.broadcast into the training-corpus stream — the big side
+    never shuffles; every aggregation after the broadcast join runs on the
+    (rare) hit rows keyed by hold_doc, and the top-offender choice is a
+    per-hold-doc WindowGroupLimit rank with a (count desc, doc asc)
+    total order. Short eval docs (< 8 tokens, zero grams) stay in the
+    report with coverage 0, not silently dropped; NULL-free sentinels
+    (top_train_doc = -1) keep the row hashable across engines."""
+    d = table(spark, sf_dir, "documents")
+    grams = _decon_grams(d)
+    is_hold = F.col("doc_id") % _HOLDOUT_MOD == 0
+    hold_g = grams.where(is_hold).withColumnsRenamed({"doc_id": "hold_doc"})
+    train_g = grams.where(~is_hold).withColumnsRenamed({"doc_id": "train_doc"})
+    hits = train_g.join(F.broadcast(hold_g), "gram").localCheckpoint()
+    n_grams = hold_g.groupBy("hold_doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    cov = hits.groupBy("hold_doc").agg(
+        F.count_distinct("gram").alias("n_covered")
+    )
+    pair = hits.groupBy("hold_doc", "train_doc").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    w = Window.partitionBy("hold_doc").orderBy(
+        F.desc("n_shared"), F.asc("train_doc")
+    )
+    top = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("hold_doc", "train_doc", "n_shared")
+    )
+    base = d.where(is_hold).select("doc_id")
+    return (
+        base.join(n_grams, base.doc_id == n_grams.hold_doc, "left")
+        .drop("hold_doc")
+        .join(cov, base.doc_id == cov.hold_doc, "left")
+        .drop("hold_doc")
+        .join(top, base.doc_id == top.hold_doc, "left")
+        .drop("hold_doc")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.coalesce(
+                F.round(F.col("n_covered") * 1.0 / F.col("n_grams"), 6),
+                F.lit(0.0),
+            ).alias("coverage"),
+            F.coalesce("train_doc", F.lit(-1)).alias("top_train_doc"),
+            F.coalesce("n_shared", F.lit(0)).alias("top_shared"),
         )
     )
 

@@ -22,7 +22,7 @@ import os
 import time
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
@@ -335,6 +335,59 @@ def _stream_merge_cache_dir(sf_dir: str) -> str:
     return versioned_cache_dir("stream_merge", sf_dir, __file__)
 
 
+def stream_merge_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the streamed MERGE-on-read layout exists (base + per-epoch
+    DV/delta sidecars, landed through the real micro-batch drain) and
+    return its directory — the one landing definition q_stream_merge and
+    the snapshot readers (q_time_travel) share."""
+    import shutil
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+    from data_pipeline_aws_spark.operators.setops import (
+        merge_dv_base,
+        merge_dv_feed,
+    )
+
+    out = _stream_merge_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        stage = staging_dir(out)
+        try:
+            base = merge_dv_base(spark, sf_dir)
+            base.write.mode("overwrite").parquet(os.path.join(stage, "base"))
+            base_back = spark.read.parquet(os.path.join(stage, "base"))
+            feed = merge_dv_feed(base_back)
+            # the feed arrives as STREAM_MERGE_SLICES files — deterministic
+            # key slices, one file each, so the file source triggers one
+            # micro-batch per slice
+            for s in range(STREAM_MERGE_SLICES):
+                feed.where(
+                    F.pmod(F.col("o_orderkey"), STREAM_MERGE_SLICES) == s
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(stage, "feed_in", f"slice={s}")
+                )
+            stream = (
+                spark.readStream.schema("o_orderkey long, op string, new_cents long")
+                .option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "*.parquet")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(stage, "feed_in"))
+            )
+            with _stream_partitions(spark):
+                q = stream.writeStream.foreachBatch(merge_land_fn(stage)).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination(30)
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+    return out
+
+
 def merge_land_fn(stage: str):
     """foreachBatch body of the streaming MERGE-on-read: each micro-batch
     of the feed lands as (a) deletion-vector rows — the (file_id, pos)
@@ -392,51 +445,7 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no watermark/store), which is exactly why MERGE-on-read suits
     continuous ingestion. Warm runs read the landed layout (versioned
     cache, bench --cold measures the write-inclusive drain)."""
-    import shutil
-
-    from data_pipeline_aws_spark.caches import publish, staging_dir
-    from data_pipeline_aws_spark.operators.setops import (
-        merge_dv_base,
-        merge_dv_feed,
-    )
-
-    out = _stream_merge_cache_dir(sf_dir)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        stage = staging_dir(out)
-        try:
-            base = merge_dv_base(spark, sf_dir)
-            base.write.mode("overwrite").parquet(os.path.join(stage, "base"))
-            base_back = spark.read.parquet(os.path.join(stage, "base"))
-            feed = merge_dv_feed(base_back)
-            # the feed arrives as STREAM_MERGE_SLICES files — deterministic
-            # key slices, one file each, so the file source triggers one
-            # micro-batch per slice
-            for s in range(STREAM_MERGE_SLICES):
-                feed.where(
-                    F.pmod(F.col("o_orderkey"), STREAM_MERGE_SLICES) == s
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(stage, "feed_in", f"slice={s}")
-                )
-            stream = (
-                spark.readStream.schema("o_orderkey long, op string, new_cents long")
-                .option("recursiveFileLookup", "true")
-                .option("pathGlobFilter", "*.parquet")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(os.path.join(stage, "feed_in"))
-            )
-            with _stream_partitions(spark):
-                q = stream.writeStream.foreachBatch(merge_land_fn(stage)).start()
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                    q.awaitTermination(30)
-            with open(os.path.join(stage, "_SUCCESS"), "w"):
-                pass
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        publish(stage, out)
+    out = stream_merge_layout(spark, sf_dir)
 
     base = spark.read.parquet(os.path.join(out, "base"))
     dv = spark.read.parquet(os.path.join(out, "dv"))
@@ -485,6 +494,129 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_rows",
             "expected_cents",
         )
+    )
+
+
+def _time_travel_oracle() -> str:
+    from data_pipeline_aws_spark.operators.setops import MERGE_DV_CTES
+
+    s = STREAM_MERGE_SLICES
+    return f"""
+WITH {MERGE_DV_CTES},
+dvk AS (
+  SELECT b.file_id, b.pos, b.cents, f.o_orderkey % {s} AS epoch
+  FROM base b JOIN feed f ON b.o_orderkey = f.o_orderkey
+  WHERE f.op IN ('delete', 'update')
+),
+dl AS (
+  SELECT o_orderkey % {s} AS epoch, new_cents AS cents
+  FROM feed WHERE op IN ('update', 'insert')
+),
+spine AS (SELECT unnest(generate_series(0, {s - 1})) AS epoch),
+dstat AS (SELECT epoch, COUNT(*) AS n_dv, SUM(cents) AS c_dv FROM dvk GROUP BY epoch),
+lstat AS (SELECT epoch, COUNT(*) AS n_dl, SUM(cents) AS c_dl FROM dl GROUP BY epoch),
+bstat AS (SELECT COUNT(*) AS nb, SUM(cents) AS cb FROM base),
+cum AS (
+  SELECT sp.epoch,
+         SUM(COALESCE(d.n_dv, 0)) OVER w AS dv_cum,
+         SUM(COALESCE(d.c_dv, 0)) OVER w AS cdv_cum,
+         SUM(COALESCE(l.n_dl, 0)) OVER w AS dl_cum,
+         SUM(COALESCE(l.c_dl, 0)) OVER w AS cdl_cum
+  FROM spine sp
+  LEFT JOIN dstat d USING (epoch)
+  LEFT JOIN lstat l USING (epoch)
+  WINDOW w AS (ORDER BY sp.epoch ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(c.epoch AS INT)                         AS epoch,
+       CAST(c.dv_cum AS BIGINT)                     AS n_dv_cum,
+       CAST(c.dl_cum AS BIGINT)                     AS n_delta_cum,
+       CAST(b.nb - c.dv_cum + c.dl_cum AS BIGINT)   AS n_live,
+       CAST(b.cb - c.cdv_cum + c.cdl_cum AS BIGINT) AS total_cents
+FROM cum c, bstat b
+"""
+
+
+@query("q_time_travel", oracle=_time_travel_oracle())
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the streamed MERGE-on-read layout — the
+    AS OF read path a lakehouse table format serves: one row per commit
+    epoch with the table state AFTER applying epochs 0..E (cumulative DV
+    and delta counts, live row count, exact integer-cents total). The
+    audit an operator reads before a rollback or retention decision, and
+    the evolution curve (churn per commit) a table-health dashboard plots.
+
+    The snapshot stats are computed the way a real format computes them —
+    from MANIFEST-GRADE metadata, never by re-scanning the table per
+    epoch: one churn-sized probe resolves each DV address's cents (base
+    joined to the broadcast DV), per-epoch partial aggregates reduce to
+    STREAM_MERGE_SLICES rows, and a cumulative window over that bounded
+    spine derives every snapshot in one pass (n_live = n_base − dv_cum +
+    delta_cum; cents likewise). Per-snapshot cost is O(1) after O(churn)
+    prep — at 100 TB the table is never touched beyond the single base
+    aggregate.
+
+    Determinism note: the file-source trigger order is not contractually
+    the slice order, so epoch identity is canonicalized by CONTENT — each
+    landed epoch's slice id is recovered from its delta keys (pmod(key,
+    slices); slices are key-disjoint, so cumulative state per slice prefix
+    is well-defined regardless of arrival order). Epochs ride the
+    partition-discovered `epoch=` dir column; money stays integer cents."""
+    out = stream_merge_layout(spark, sf_dir)
+    s = STREAM_MERGE_SLICES
+    base = spark.read.parquet(os.path.join(out, "base"))
+    dv = spark.read.parquet(os.path.join(out, "dv"))
+    delta = spark.read.parquet(os.path.join(out, "delta"))
+
+    # content-derived epoch identity: the slice id of each landed epoch
+    emap = delta.groupBy("epoch").agg(
+        F.pmod(F.min("o_orderkey"), s).cast("int").alias("slice")
+    )
+    dv_s = dv.join(F.broadcast(emap), "epoch").select("file_id", "pos", "slice")
+    delta_s = delta.join(F.broadcast(emap), "epoch").select("cents", "slice")
+    # churn-sized probe: resolve DV addresses to their cents (base never
+    # shuffles — the DV side broadcasts)
+    dv_cents = base.join(F.broadcast(dv_s), ["file_id", "pos"]).select(
+        "slice", "cents"
+    )
+    dstat = dv_cents.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_dv"), F.sum("cents").alias("c_dv")
+    )
+    lstat = delta_s.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_dl"), F.sum("cents").alias("c_dl")
+    )
+    bstat = base.agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("cents").alias("cb")
+    )
+    spine = spark.range(s).select(F.col("id").cast("int").alias("epoch"))
+    joined = (
+        spine.join(dstat, spine.epoch == dstat.slice, "left")
+        .drop("slice")
+        .join(lstat, spine.epoch == lstat.slice, "left")
+        .drop("slice")
+    )
+    # cumulative window over the STREAM_MERGE_SLICES-row spine: bounded
+    # metadata relation, not data (the incremental-rollup spine pattern)
+    w = (
+        Window.orderBy("epoch").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # all four running sums in ONE projection → a single Window operator
+    cum = joined.select(
+        "epoch",
+        F.sum(F.coalesce("n_dv", F.lit(0))).over(w).alias("dv_cum"),
+        F.sum(F.coalesce("c_dv", F.lit(0))).over(w).alias("cdv_cum"),
+        F.sum(F.coalesce("n_dl", F.lit(0))).over(w).alias("dl_cum"),
+        F.sum(F.coalesce("c_dl", F.lit(0))).over(w).alias("cdl_cum"),
+    )
+    return cum.crossJoin(F.broadcast(bstat)).select(
+        "epoch",
+        F.col("dv_cum").cast("long").alias("n_dv_cum"),
+        F.col("dl_cum").cast("long").alias("n_delta_cum"),
+        (F.col("nb") - F.col("dv_cum") + F.col("dl_cum"))
+        .cast("long")
+        .alias("n_live"),
+        (F.col("cb") - F.col("cdv_cum") + F.col("cdl_cum"))
+        .cast("long")
+        .alias("total_cents"),
     )
 
 

@@ -1408,3 +1408,27 @@ def test_lsh_tune_banded_candidates_no_cross_join(plans):
     final = p.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_contamination_report_broadcasts_benchmark_grams(plans):
+    """q_contamination_report's benchmark gram set is the small fixed side
+    and must broadcast into the training-corpus stream — the big side
+    never shuffles into a sort-merge join and nothing goes cartesian."""
+    p = plans("q_contamination_report")
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final, final
+
+
+def test_time_travel_manifest_math_no_per_epoch_rescan(plans):
+    """q_time_travel derives every snapshot from manifest-grade partials:
+    the base table is probed once by a broadcast churn-sized DV join and
+    aggregated once; the cumulative state rides one window over the
+    bounded epoch spine. No per-epoch rescans means at most two base
+    scans and exactly one Window in the plan, and no cartesian product
+    (the 1-row base aggregate joins as a broadcast)."""
+    p = plans("q_time_travel")
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert final.count("Window") <= 2, final  # one window (+AQE echo)
+    assert "CartesianProduct" not in final, final

@@ -3124,3 +3124,46 @@ def test_lsh_tune_bucket_invariants_and_knee(spark, sf_dir):
     xs = sorted(rows, key=lambda r: r.bucket)
     ar = [r.analytic_rate for r in xs]
     assert ar == sorted(ar)
+
+
+def test_time_travel_final_epoch_equals_stream_merge_state(spark, sf_dir):
+    """Time-travel convergence: the last snapshot row (all epochs applied)
+    must equal the streamed MERGE's own read-path state in live-row count
+    and exact cents — AS OF <latest> IS the current table."""
+    from data_pipeline_aws_spark import all_queries
+
+    qs = all_queries()
+    tt = {r.epoch: r for r in qs["q_time_travel"](spark, sf_dir).collect()}
+    sm = qs["q_stream_merge"](spark, sf_dir).collect()[0]
+    assert set(tt) == {0, 1, 2}
+    last = tt[max(tt)]
+    assert last.n_live == sm.n_live
+    assert last.total_cents == sm.total_cents
+    assert last.n_dv_cum == sm.n_dv_marked
+    assert last.n_delta_cum == sm.n_delta_rows
+    # cumulative columns are monotone in the epoch
+    for a, b in ((tt[0], tt[1]), (tt[1], tt[2])):
+        assert a.n_dv_cum <= b.n_dv_cum and a.n_delta_cum <= b.n_delta_cum
+
+
+def test_contamination_report_consistent_with_decontaminate(spark, sf_dir):
+    """The eval-side report and the train-side flag describe the SAME gram
+    overlap: a covered holdout gram exists iff a contaminated train doc
+    exists, coverage is the exact ratio of its own counts, and the top
+    offender sentinel fires exactly on zero-coverage rows."""
+    from data_pipeline_aws_spark import all_queries
+
+    qs = all_queries()
+    rep = qs["q_contamination_report"](spark, sf_dir).collect()
+    dec = qs["q_decontaminate"](spark, sf_dir).collect()
+    assert rep
+    for r in rep:
+        assert 0 <= r.n_covered <= r.n_grams
+        want = round(r.n_covered / r.n_grams, 6) if r.n_grams else 0.0
+        assert abs(r.coverage - want) < 1e-9
+        assert (r.top_train_doc == -1) == (r.n_covered == 0)
+        if r.top_train_doc != -1:
+            assert r.top_shared > 0 and r.top_train_doc % 97 != 0
+    assert any(r.n_covered > 0 for r in rep) == any(
+        d.is_contaminated for d in dec
+    )
