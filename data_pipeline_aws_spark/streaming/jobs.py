@@ -620,6 +620,165 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_EXPIRE_RETAIN = 1  # snapshots kept replayable; older epochs fold into base
+
+
+def _snap_expire_oracle() -> str:
+    from data_pipeline_aws_spark.operators.setops import MERGE_DV_CTES
+
+    s, r = STREAM_MERGE_SLICES, STREAM_EXPIRE_RETAIN
+    return f"""
+WITH {MERGE_DV_CTES},
+dvk AS (
+  SELECT b.cents, f.o_orderkey % {s} AS epoch
+  FROM base b JOIN feed f ON b.o_orderkey = f.o_orderkey
+  WHERE f.op IN ('delete', 'update')
+),
+dl AS (
+  SELECT o_orderkey % {s} AS epoch, new_cents AS cents
+  FROM feed WHERE op IN ('update', 'insert')
+),
+bstat AS (SELECT COUNT(*) AS nb, SUM(cents) AS cb FROM base),
+xdv AS (SELECT COUNT(*) AS n, COALESCE(SUM(cents), 0) AS c FROM dvk WHERE epoch < {s - r}),
+rdv AS (SELECT COUNT(*) AS n, COALESCE(SUM(cents), 0) AS c FROM dvk WHERE epoch >= {s - r}),
+xdl AS (SELECT COUNT(*) AS n, COALESCE(SUM(cents), 0) AS c FROM dl WHERE epoch < {s - r}),
+rdl AS (SELECT COUNT(*) AS n, COALESCE(SUM(cents), 0) AS c FROM dl WHERE epoch >= {s - r})
+SELECT CAST({s} AS INT)                                  AS n_epochs_total,
+       CAST({s - r} AS INT)                              AS n_epochs_expired,
+       CAST({r} AS INT)                                  AS n_epochs_retained,
+       CAST(b.nb - xdv.n + xdl.n AS BIGINT)              AS n_base_after,
+       CAST(rdv.n AS BIGINT)                             AS n_dv_after,
+       CAST(rdl.n AS BIGINT)                             AS n_delta_after,
+       CAST(b.nb - xdv.n + xdl.n - rdv.n + rdl.n AS BIGINT) AS n_live,
+       CAST(b.cb - xdv.c + xdl.c - rdv.c + rdl.c AS BIGINT) AS total_cents
+FROM bstat b, xdv, rdv, xdl, rdl
+"""
+
+
+def _snap_expire_cache_dir(sf_dir: str) -> str:
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    return versioned_cache_dir("snap_expire", sf_dir, __file__)
+
+
+@query("q_snapshot_expire", oracle=_snap_expire_oracle())
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention executor — the EXPIRE step that completes the
+    table-service cycle (MERGE → DV stats → compaction plan/execute →
+    time travel → expire): epochs older than the retention horizon are
+    FOLDED into a new base snapshot (their DV'd rows dropped, their delta
+    rows admitted as base files) and their sidecar dirs are not carried
+    into the expired layout; the newest STREAM_EXPIRE_RETAIN epochs stay
+    replayable sidecars. This is how a real format bounds metadata and
+    storage growth: time travel below the horizon is traded away, the
+    CURRENT state must be bit-identical.
+
+    Address-stability proof built in: surviving base rows KEEP their
+    (file_id, pos); folded delta rows get fresh file_ids ABOVE the base
+    range, so retained DV rows — which by slice key-disjointness only
+    ever address original base rows — still resolve after the fold. The
+    report row's n_live/total_cents are computed by the ACTUAL post-fold
+    read path (folded base ANTI retained DV ∪ retained delta), while the
+    oracle derives them from pure slice arithmetic — the hash can only
+    match if the fold preserved every address and every cent.
+
+    Scale shape: the fold is one anti-join of base against the broadcast
+    expired-DV set plus an append of the expired delta rows (O(churn)
+    write amplification — base rows stream through untouched); the
+    retained sidecars are copied by reference (bounded churn rows);
+    report aggregates are 1-row partials crossJoined as broadcasts.
+    Epoch identity is content-canonicalized by slice key (the
+    q_time_travel convention)."""
+    import shutil
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+    from data_pipeline_aws_spark.operators.setops import MERGE_DV_FILES
+
+    s, r = STREAM_MERGE_SLICES, STREAM_EXPIRE_RETAIN
+    src = stream_merge_layout(spark, sf_dir)
+    out = _snap_expire_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        stage = staging_dir(out)
+        try:
+            base = spark.read.parquet(os.path.join(src, "base"))
+            dv = spark.read.parquet(os.path.join(src, "dv"))
+            delta = spark.read.parquet(os.path.join(src, "delta"))
+            emap = delta.groupBy("epoch").agg(
+                F.pmod(F.min("o_orderkey"), s).cast("int").alias("slice")
+            )
+            dv_s = dv.join(F.broadcast(emap), "epoch")
+            delta_s = delta.join(F.broadcast(emap), "epoch")
+            horizon = s - r
+            # fold: survivors keep their (file_id, pos); expired deltas
+            # become fresh base files ABOVE the original file range
+            survivors = base.join(
+                F.broadcast(
+                    dv_s.where(F.col("slice") < horizon).select("file_id", "pos")
+                ),
+                ["file_id", "pos"],
+                "left_anti",
+            )
+            wnew = Window.partitionBy("file_id").orderBy("o_orderkey")
+            folded_new = (
+                delta_s.where(F.col("slice") < horizon)
+                .select(
+                    "o_orderkey",
+                    "cents",
+                    (F.lit(MERGE_DV_FILES) + F.col("slice")).cast("int").alias(
+                        "file_id"
+                    ),
+                )
+                .withColumn("pos", F.row_number().over(wnew))
+            )
+            survivors.select("o_orderkey", "cents", "file_id", "pos").unionByName(
+                folded_new.select("o_orderkey", "cents", "file_id", "pos")
+            ).write.mode("overwrite").parquet(os.path.join(stage, "base"))
+            dv_s.where(F.col("slice") >= horizon).select(
+                "file_id", "pos", "epoch"
+            ).write.partitionBy("epoch").mode("overwrite").parquet(
+                os.path.join(stage, "dv")
+            )
+            delta_s.where(F.col("slice") >= horizon).select(
+                "o_orderkey", "cents", "epoch"
+            ).write.partitionBy("epoch").mode("overwrite").parquet(
+                os.path.join(stage, "delta")
+            )
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+
+    base2 = spark.read.parquet(os.path.join(out, "base"))
+    dv2 = spark.read.parquet(os.path.join(out, "dv"))
+    delta2 = spark.read.parquet(os.path.join(out, "delta"))
+    live = base2.join(
+        F.broadcast(dv2.select("file_id", "pos")), ["file_id", "pos"], "left_anti"
+    ).select("cents").unionByName(delta2.select("cents"))
+    b_stats = base2.agg(F.count(F.lit(1)).alias("n_base_after"))
+    dv_stats = dv2.agg(F.count(F.lit(1)).alias("n_dv_after"))
+    dl_stats = delta2.agg(F.count(F.lit(1)).alias("n_delta_after"))
+    l_stats = live.agg(
+        F.count(F.lit(1)).alias("n_live"), F.sum("cents").alias("total_cents")
+    )
+    return (
+        b_stats.crossJoin(F.broadcast(dv_stats))
+        .crossJoin(F.broadcast(dl_stats))
+        .crossJoin(F.broadcast(l_stats))
+        .select(
+            F.lit(s).cast("int").alias("n_epochs_total"),
+            F.lit(s - r).cast("int").alias("n_epochs_expired"),
+            F.lit(r).cast("int").alias("n_epochs_retained"),
+            "n_base_after",
+            "n_dv_after",
+            "n_delta_after",
+            "n_live",
+            "total_cents",
+        )
+    )
+
+
 @query(
     "q_stream_stream_join",
     oracle="""

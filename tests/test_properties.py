@@ -3167,3 +3167,50 @@ def test_contamination_report_consistent_with_decontaminate(spark, sf_dir):
     assert any(r.n_covered > 0 for r in rep) == any(
         d.is_contaminated for d in dec
     )
+
+
+def test_snapshot_expire_preserves_current_state_and_prunes_layout(
+    spark, sf_dir
+):
+    """EXPIRE must trade ONLY history: the post-fold read path equals the
+    streamed MERGE's current state (and time travel's final snapshot) in
+    rows and exact cents; the expired layout's sidecars carry exactly the
+    retained epoch dirs; folded delta rows landed as fresh base files
+    above the original file_id range (address stability for retained
+    DVs)."""
+    import os
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.setops import MERGE_DV_FILES
+    from data_pipeline_aws_spark.streaming.jobs import (
+        STREAM_EXPIRE_RETAIN,
+        STREAM_MERGE_SLICES,
+        _snap_expire_cache_dir,
+    )
+
+    qs = all_queries()
+    exp = qs["q_snapshot_expire"](spark, sf_dir).collect()[0]
+    sm = qs["q_stream_merge"](spark, sf_dir).collect()[0]
+    tt = max(
+        qs["q_time_travel"](spark, sf_dir).collect(), key=lambda r: r.epoch
+    )
+    assert exp.n_live == sm.n_live == tt.n_live
+    assert exp.total_cents == sm.total_cents == tt.total_cents
+    assert exp.n_epochs_retained == STREAM_EXPIRE_RETAIN
+    assert exp.n_epochs_total == STREAM_MERGE_SLICES
+    # layout: only the retained epoch dirs survive in each sidecar
+    out = _snap_expire_cache_dir(sf_dir)
+    for side in ("dv", "delta"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(out, side))
+            if d.startswith("epoch=")
+        ]
+        assert len(dirs) == STREAM_EXPIRE_RETAIN, (side, dirs)
+    # folded delta rows live in fresh base files above the original range
+    base2 = spark.read.parquet(os.path.join(out, "base"))
+    from pyspark.sql import functions as F
+
+    n_folded = base2.where(F.col("file_id") >= MERGE_DV_FILES).count()
+    n_expired_delta = sm.n_delta_rows - exp.n_delta_after
+    assert n_folded == n_expired_delta
