@@ -1990,7 +1990,10 @@ def q_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
         )
         .join(
-            cand,
+            # the candidate set is near-dup-pair-sized (banding exists to
+            # keep it tiny relative to ALL shared-shingle pairs): broadcast
+            # it so the big truth side never shuffles for this join
+            F.broadcast(cand),
             (F.col("d1") == F.col("c1")) & (F.col("d2") == F.col("c2")),
             "left",
         )
