@@ -1515,3 +1515,115 @@ def q_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("corruption", "outcome")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_CARD_SHORT_TOKENS = 20  # docs under this token count flag as "short"
+
+
+@query(
+    "q_dataset_card",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         list_contains(string_split(text, ' '), 'dup') AS dup_marked
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS INT)        AS n_langs,
+         CAST(COUNT(DISTINCT source) AS INT)      AS n_sources,
+         CAST(SUM(n_tokens) AS BIGINT)            AS total_tokens,
+         ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 6) AS avg_tokens,
+         CAST(MIN(n_tokens) AS INT)               AS min_tokens,
+         CAST(MAX(n_tokens) AS INT)               AS max_tokens,
+         CAST(SUM(n_chars) AS BIGINT)             AS total_chars,
+         ROUND(SUM(CASE WHEN n_tokens < {_CARD_SHORT_TOKENS} THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 6)               AS pct_short,
+         ROUND(SUM(CASE WHEN dup_marked THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 6)               AS pct_dup_marked
+  FROM t
+),
+toplang AS (
+  SELECT lang AS top_lang, ROUND(cnt * 1.0 / SUM(cnt) OVER (), 6) AS top_lang_share
+  FROM (SELECT lang, COUNT(*) AS cnt FROM t GROUP BY lang)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) = 1
+)
+SELECT s.*, l.top_lang, l.top_lang_share FROM stats s, toplang l
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card / datasheet row — the one-line corpus summary a data
+    release ships (Gebru et al.'s datasheets, the model-card data section):
+    volume (docs, tokens, chars), shape (token min/avg/max), composition
+    (distinct languages and sources, dominant language and its share),
+    and the two health flags every curation review reads first (share of
+    under-20-token fragments, share of near-dup-marked docs). One place
+    a reviewer looks before anything trains on the corpus.
+
+    Scale shape: every volume/shape/flag column reduces through
+    per-language MAP-SIDE partials (token counts are split-size
+    expressions, never materialized arrays beyond the row), so the only
+    exchanged relation is |langs| rows; the two consumers of that partial
+    relation (global stats, dominant-language rank under a (count desc,
+    lang) total order plus a global window for the share) each cost one
+    cheap projection pass — plan-pinned to at most two scans, with no
+    join, window, or shuffle ever touching corpus-sized data. All ratios
+    ROUND(.,6) on exact integer counts — cross-engine stable."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.array_contains(F.split("text", " "), "dup").alias("dup_marked"),
+    )
+    # ONE corpus scan: everything reduces through per-lang partials (a
+    # |langs|-row relation); the stats branch and the dominant-language
+    # branch both consume the same groupBy exchange, which Spark's
+    # ReuseExchange rule materializes once (the q_reuse_exchange pattern)
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_t"),
+        F.max("n_tokens").alias("max_t"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.when(F.col("n_tokens") < _CARD_SHORT_TOKENS, 1).otherwise(0)
+        ).alias("n_short"),
+        F.sum(F.when(F.col("dup_marked"), 1).otherwise(0)).alias("n_dup"),
+        F.collect_set("source").alias("srcs"),  # bounded: |sources| per lang
+    )
+    stats = g.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("srcs"))))
+        .cast("int")
+        .alias("n_sources"),
+        F.sum("sum_tokens").alias("total_tokens"),
+        F.round(F.sum("sum_tokens") * 1.0 / F.sum("cnt"), 6).alias("avg_tokens"),
+        F.min("min_t").cast("int").alias("min_tokens"),
+        F.max("max_t").cast("int").alias("max_tokens"),
+        F.sum("sum_chars").alias("total_chars"),
+        F.round(F.sum("n_short") * 1.0 / F.sum("cnt"), 6).alias("pct_short"),
+        F.round(F.sum("n_dup") * 1.0 / F.sum("cnt"), 6).alias("pct_dup_marked"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("lang"))
+    # the total rides a global window over the SAME |langs|-row relation
+    # (no third exchange consumer → the plan keeps one corpus scan)
+    toplang = (
+        g.select(
+            "lang",
+            "cnt",
+            F.sum("cnt").over(Window.partitionBy()).alias("all_cnt"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("cnt") * 1.0 / F.col("all_cnt"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )
+    return stats.crossJoin(F.broadcast(toplang))

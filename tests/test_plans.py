@@ -1432,3 +1432,14 @@ def test_time_travel_manifest_math_no_per_epoch_rescan(plans):
     assert "BroadcastHashJoin" in final, final
     assert final.count("Window") <= 2, final  # one window (+AQE echo)
     assert "CartesianProduct" not in final, final
+
+
+def test_dataset_card_partial_aggs_no_corpus_join(plans):
+    """q_dataset_card's corpus cost is projection + per-lang partial aggs:
+    at most two scans of the documents parquet, and no sort-merge join or
+    cartesian anywhere (the 1-row assembly joins are broadcasts)."""
+    p = plans("q_dataset_card")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") <= 2, final
+    assert "SortMergeJoin" not in final, final
+    assert "CartesianProduct" not in final, final
