@@ -2659,3 +2659,62 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j < JACCARD_THRESHOLD).alias("jaccard_missed"),
         )
     )
+
+
+@query(
+    "q_dup_source_matrix",
+    oracle=f"""
+WITH pairs AS ({_SHINGLE_SQL}),
+m AS (
+  SELECT LEAST(a.source, b.source)    AS src1,
+         GREATEST(a.source, b.source) AS src2
+  FROM pairs p
+  JOIN documents a ON p.d1 = a.doc_id
+  JOIN documents b ON p.d2 = b.doc_id
+)
+SELECT src1, src2,
+       CAST(COUNT(*) AS BIGINT)                            AS n_pairs,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6)    AS pct_of_pairs
+FROM m GROUP BY src1, src2
+""",
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the corpus-forensics table behind
+    'how much of source X is copied from source Y' (the CommonCrawl-vs-C4
+    overlap matrices in corpus audits): every verified near-dup pair
+    (J >= 0.5) attributed to its unordered (source, source) cell, with
+    each cell's share of all duplicate pairs. Off-diagonal mass means
+    cross-source contamination (mirrors, scrapes of scrapes); diagonal
+    mass means within-source redundancy — they demand different fixes,
+    which is why the matrix, not a scalar dup-rate, is the audit.
+
+    Scale shape: pairs come from the banded MinHash path with exact
+    verification (q_dedup_minhash's rails — never all-pairs; the oracle
+    is the exact inverted-index truth, the same recall-1-at-threshold
+    contract that key pins); source attribution is two joins against the
+    (doc_id, source) projection keyed on doc ids; the output matrix is
+    bounded by |sources|^2 rows, so the share's global window runs over
+    a metadata-sized relation."""
+    shh = shingle_fingerprints(spark, sf_dir)
+    pairs = _exact_jaccard_pairs(shh, _lsh_candidates(shh)).select("d1", "d2")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = (
+        pairs.join(
+            docs.withColumnsRenamed({"doc_id": "d1", "source": "s1"}), "d1"
+        )
+        .join(docs.withColumnsRenamed({"doc_id": "d2", "source": "s2"}), "d2")
+        .select(
+            F.least("s1", "s2").alias("src1"),
+            F.greatest("s1", "s2").alias("src2"),
+        )
+    )
+    counts = m.groupBy("src1", "src2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return counts.select(
+        "src1",
+        "src2",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(Window.partitionBy()),
+            6,
+        ).alias("pct_of_pairs"),
+    )

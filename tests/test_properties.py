@@ -3214,3 +3214,22 @@ def test_snapshot_expire_preserves_current_state_and_prunes_layout(
     n_folded = base2.where(F.col("file_id") >= MERGE_DV_FILES).count()
     n_expired_delta = sm.n_delta_rows - exp.n_delta_after
     assert n_folded == n_expired_delta
+
+
+def test_dup_source_matrix_canonical_cells_and_total_share(spark, sf_dir):
+    """Matrix invariants: cells are canonical (src1 <= src2, so each
+    unordered pair lands once), counts are positive, shares are each
+    cell's exact ratio and sum to 1 within rounding, and the total pair
+    count equals the verified near-dup pair count from the minhash rung."""
+    from data_pipeline_aws_spark import all_queries
+
+    qs = all_queries()
+    rows = qs["q_dup_source_matrix"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_pairs for r in rows)
+    for r in rows:
+        assert r.src1 <= r.src2
+        assert r.n_pairs > 0
+        assert abs(r.pct_of_pairs - round(r.n_pairs / total, 6)) < 1e-9
+    assert abs(sum(r.pct_of_pairs for r in rows) - 1.0) < 1e-4
+    assert total == qs["q_dedup_minhash"](spark, sf_dir).count()
