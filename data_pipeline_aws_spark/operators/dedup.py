@@ -2718,3 +2718,83 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_of_pairs"),
     )
+
+
+_SPLIT_CASE_SQL = """CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+              ELSE 'test' END"""
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+WITH pairs AS ({_SHINGLE_SQL}),
+assigned AS (
+  SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents
+),
+m AS (
+  SELECT LEAST(a.split, b.split)    AS split1,
+         GREATEST(a.split, b.split) AS split2
+  FROM pairs p
+  JOIN assigned a ON p.d1 = a.doc_id
+  JOIN assigned b ON p.d2 = b.doc_id
+)
+SELECT split1, split2,
+       CAST(COUNT(*) AS BIGINT)                         AS n_pairs,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS pct_of_pairs,
+       split1 <> split2                                 AS is_leak
+FROM m GROUP BY split1, split2
+""",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit — the hygiene check q_decontaminate
+    can't do: decontamination guards against an EXTERNAL benchmark, but a
+    near-duplicate pair STRADDLING the pipeline's own train/val/test
+    boundary leaks the eval answer into training even when every doc is
+    in-corpus. One row per unordered (split, split) cell of the verified
+    near-dup pairs (J >= 0.5), with the cell's share and an is_leak flag
+    on every cross-split cell — the number that decides whether the split
+    must be re-keyed by CLUSTER (near-dup groups assigned as units) rather
+    than by document.
+
+    Uses q_train_split's exact hash-split definition (same Knuth bucket —
+    the split audited here IS the split that key ships) and
+    q_dedup_minhash's banded-candidates + exact-verify rails (never
+    all-pairs; the oracle is the exact inverted-index truth under the
+    recall-1-at-threshold contract). The matrix is bounded at 6 cells, so
+    the share's global window runs over metadata-sized rows."""
+    from data_pipeline_aws_spark.functions.curation import _HASH_MULT
+
+    shh = shingle_fingerprints(spark, sf_dir)
+    pairs = _exact_jaccard_pairs(shh, _lsh_candidates(shh)).select("d1", "d2")
+    bucket = (F.col("doc_id") * _HASH_MULT) % 100
+    assigned = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    m = (
+        pairs.join(
+            assigned.withColumnsRenamed({"doc_id": "d1", "split": "sp1"}), "d1"
+        )
+        .join(assigned.withColumnsRenamed({"doc_id": "d2", "split": "sp2"}), "d2")
+        .select(
+            F.least("sp1", "sp2").alias("split1"),
+            F.greatest("sp1", "sp2").alias("split2"),
+        )
+    )
+    counts = m.groupBy("split1", "split2").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return counts.select(
+        "split1",
+        "split2",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(Window.partitionBy()),
+            6,
+        ).alias("pct_of_pairs"),
+        (F.col("split1") != F.col("split2")).alias("is_leak"),
+    )

@@ -3233,3 +3233,22 @@ def test_dup_source_matrix_canonical_cells_and_total_share(spark, sf_dir):
         assert abs(r.pct_of_pairs - round(r.n_pairs / total, 6)) < 1e-9
     assert abs(sum(r.pct_of_pairs for r in rows) - 1.0) < 1e-4
     assert total == qs["q_dedup_minhash"](spark, sf_dir).count()
+
+
+def test_split_leakage_cells_consistent_with_split_and_pairs(spark, sf_dir):
+    """Leakage-matrix invariants: cells are canonical and flag exactly the
+    cross-split ones, the totals tie back to the minhash pair count, and
+    the split labels are exactly q_train_split's vocabulary."""
+    from data_pipeline_aws_spark import all_queries
+
+    qs = all_queries()
+    rows = qs["q_split_leakage"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_pairs for r in rows)
+    assert total == qs["q_dedup_minhash"](spark, sf_dir).count()
+    labels = {"train", "val", "test"}
+    for r in rows:
+        assert r.split1 in labels and r.split2 in labels
+        assert r.split1 <= r.split2
+        assert r.is_leak == (r.split1 != r.split2)
+        assert abs(r.pct_of_pairs - round(r.n_pairs / total, 6)) < 1e-9
