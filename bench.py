@@ -75,6 +75,11 @@ SINK_CACHE_KEYS = [
     "q_stream_merge",  # landed DV/delta epoch layout (same rails, r8)
     # shared retrieval-rails cache (r8): first caller pays the corpus pass
     "q_retrieval_eval", "q_rerank_score",
+    # r9 table-service layouts: the compaction executor's rewritten set,
+    # and the snapshot readers over the stream_merge rails (whichever of
+    # the family runs first pays the landed-epoch drain — the payer-moves
+    # rule in BASELINE.md's cold-accounting row)
+    "q_compaction_execute", "q_time_travel", "q_snapshot_expire",
 ]
 # The part_lineitem fixture is SHARED: q_partitioned_sink owns the write,
 # but q_dpp and q_gdpr_delete read the same cache (ingest.py). In cold
