@@ -36,14 +36,39 @@ _HASH_MULT = 2654435761
 _STRATUM_MASK = (1 << 31) - 1
 
 
-def stratum_bucket(col: "F.Column") -> "F.Column":
-    """Spark side of the width-safe 0..99 stratum bucket."""
-    return (col.bitwiseAND(F.lit(_STRATUM_MASK)) * F.lit(_HASH_MULT)) % 100
+def stratum_bucket(col: "F.Column", mod: int = 100) -> "F.Column":
+    """Spark side of the width-safe 0..mod-1 stratum bucket.
+
+    EVERY multiplicative-hash predicate in the repo routes through this
+    helper (or its SQL twin) — one definition, so the Spark and oracle
+    sides can never drift and the int64-overflow divergence can never
+    reappear in a new key. The product (2^31-1) * _HASH_MULT ≈ 5.7e18
+    fits int64, so `mod` may be any positive int ≤ ~10^6 used here."""
+    return (col.bitwiseAND(F.lit(_STRATUM_MASK)) * F.lit(_HASH_MULT)) % mod
 
 
-def stratum_bucket_sql(expr: str) -> str:
+def stratum_bucket_sql(expr: str, mod: int = 100) -> str:
     """DuckDB twin of :func:`stratum_bucket` (identical bit semantics)."""
-    return f"((({expr}) & {_STRATUM_MASK}) * {_HASH_MULT}) % 100"
+    return f"((({expr}) & {_STRATUM_MASK}) * {_HASH_MULT}) % {mod}"
+
+
+def split_assign(col: "F.Column") -> "F.Column":
+    """THE shipped train/val/test split (90/5/5) on the width-safe bucket.
+    One definition repo-wide: `q_train_split` publishes it, `q_pipeline_e2e`
+    applies it, and `q_split_leakage` (operators/dedup.py) audits exactly
+    this expression — change it here and the audit keeps auditing the
+    shipped definition."""
+    b = stratum_bucket(col)
+    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+
+def split_assign_sql(expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`split_assign`."""
+    b = stratum_bucket_sql(expr)
+    return (
+        f"CASE WHEN {b} < 90 THEN 'train' "
+        f"WHEN {b} < 95 THEN 'val' ELSE 'test' END"
+    )
 
 
 _KEEP_PCT = {"en": 60, "de": 35, "fr": 35, "es": 35, "zh": 20}
@@ -63,7 +88,7 @@ SELECT lang,
        CAST(MAX(doc_id) AS BIGINT)   AS max_doc,
        CAST(SUM(n_chars) AS BIGINT)  AS kept_chars
 FROM documents
-WHERE (doc_id * {_HASH_MULT}) % 100 < ({_RATE_SQL})
+WHERE {stratum_bucket_sql("doc_id")} < ({_RATE_SQL})
 GROUP BY lang
 """,
 )
@@ -78,7 +103,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _KEEP_PCT.items()],
         F.lit(0),
     )
-    bucket = (F.col("doc_id") * _HASH_MULT) % 100
+    bucket = stratum_bucket(F.col("doc_id"))
     return (
         d.filter(bucket < rate)
         .groupBy("lang")
@@ -415,7 +440,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_mix_sources",
-    oracle="""
+    oracle=f"""
 WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 c AS (SELECT SUM(SQRT(n)) AS z, SUM(n) AS total FROM s),
 r AS (
@@ -427,7 +452,7 @@ r AS (
 ),
 k AS (
   SELECT d.source, r.n, r.rate,
-         CASE WHEN (d.doc_id * 2654435761) % 1000003 < rate * 1000003
+         CASE WHEN {stratum_bucket_sql("d.doc_id", 1000003)} < rate * 1000003
               THEN 1 ELSE 0 END AS kept
   FROM documents d JOIN r USING (source)
 )
@@ -466,7 +491,7 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate"),
     )
     kept = F.when(
-        (F.col("doc_id") * F.lit(_HASH_MULT)) % 1000003 < F.col("rate") * 1000003,
+        stratum_bucket(F.col("doc_id"), 1000003) < F.col("rate") * 1000003,
         1,
     ).otherwise(0)
     return (
@@ -566,12 +591,10 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_train_split",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
   SELECT lang,
-         CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
-              ELSE 'test' END AS split,
+         {split_assign_sql()} AS split,
          len(string_split(text, ' ')) AS n_tok
   FROM documents
 )
@@ -596,10 +619,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the report is one partial+final aggregate over the bounded
     3×|langs| grid with in-row token counts (no explode)."""
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _HASH_MULT) % 100
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
+    split = split_assign(F.col("doc_id"))
     return (
         d.select(
             "lang",
@@ -616,7 +636,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pipeline_e2e",
-    oracle="""
+    oracle=f"""
 WITH dedup AS (
   SELECT doc_id, lang, text FROM (
     SELECT doc_id, lang, text,
@@ -636,9 +656,7 @@ gated AS (
 ),
 assigned AS (
   SELECT lang, n_tok,
-         CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
-              ELSE 'test' END AS split
+         {split_assign_sql()} AS split
   FROM gated
 )
 SELECT split, lang,
@@ -680,8 +698,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_types") * 1.0 / F.col("n_tok") >= 0.3)
         & F.col("n_tok").between(10, 10000)
     )
-    bucket = (F.col("doc_id") * _HASH_MULT) % 100
-    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    split = split_assign(F.col("doc_id"))
     return (
         gated.select("lang", "n_tok", split.alias("split"))
         .groupBy("split", "lang")
@@ -694,11 +711,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample_weighted",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
   SELECT lang,
          len(string_split(text, ' ')) AS n_tok,
-         (doc_id * 2654435761) % 10000 AS bucket,
+         {stratum_bucket_sql("doc_id", 10000)} AS bucket,
          LEAST(9999, n_chars) AS threshold
   FROM documents
 )
@@ -724,7 +741,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map-side projection + one bounded per-lang report aggregate;
     the keep decision pushes into the scan like q_sample_stratified's."""
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _HASH_MULT) % 10000
+    bucket = stratum_bucket(F.col("doc_id"), 10000)
     threshold = F.least(F.lit(9999), F.col("n_chars"))
     kept = bucket < threshold
     n_tok = F.size(F.split("text", " "))
@@ -744,9 +761,9 @@ N_SHARDS = 8
     "q_shuffle_shard",
     oracle=f"""
 SELECT doc_id,
-       CAST((doc_id * 2654435761) % {N_SHARDS} AS INT) AS shard,
+       CAST({stratum_bucket_sql("doc_id", N_SHARDS)} AS INT) AS shard,
        CAST(ROW_NUMBER() OVER (
-              PARTITION BY (doc_id * 2654435761) % {N_SHARDS}
+              PARTITION BY {stratum_bucket_sql("doc_id", N_SHARDS)}
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
          AS pos
 FROM documents
@@ -769,7 +786,7 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run-stable. Writing the result as parquet partitioned by shard
     (q_partitioned_sink's machinery) completes the layout."""
     d = table(spark, sf_dir, "documents")
-    shard = ((F.col("doc_id") * F.lit(2654435761)) % N_SHARDS).cast("int")
+    shard = stratum_bucket(F.col("doc_id"), N_SHARDS).cast("int")
     w = Window.partitionBy("shard").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -889,14 +906,14 @@ def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample_coordinated",
-    oracle="""
+    oracle=f"""
 WITH so AS (
   SELECT o_orderkey, o_totalprice FROM orders
-  WHERE (o_orderkey * 2654435761) % 10 = 0
+  WHERE {stratum_bucket_sql("o_orderkey", 10)} = 0
 ),
 sl AS (
   SELECT l_orderkey, l_extendedprice FROM lineitem
-  WHERE (l_orderkey * 2654435761) % 10 = 0
+  WHERE {stratum_bucket_sql("l_orderkey", 10)} = 0
 ),
 oa AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -931,8 +948,8 @@ def q_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
     two pushable scans and nothing else. The hash is the same Knuth
     multiplicative scheme as q_train_split — re-run-stable, no rand().
     Both sums are DECIMAL-exact; rates are exact-integer ratios."""
-    sel_o = (F.col("o_orderkey") * F.lit(2654435761)) % 10 == 0
-    sel_l = (F.col("l_orderkey") * F.lit(2654435761)) % 10 == 0
+    sel_o = stratum_bucket(F.col("o_orderkey"), 10) == 0
+    sel_l = stratum_bucket(F.col("l_orderkey"), 10) == 0
     oa = (
         table(spark, sf_dir, "orders")
         .where(sel_o)
@@ -1114,7 +1131,7 @@ WITH ranked AS (
   SELECT source, lang, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * {_HASH_MULT}) % 1000000007, doc_id) AS rnk
+           ORDER BY {stratum_bucket_sql("doc_id", 1000000007)}, doc_id) AS rnk
   FROM documents
 )
 SELECT source, lang,
@@ -1146,7 +1163,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "n_chars"
     )
     w = Window.partitionBy("source").orderBy(
-        ((F.col("doc_id") * _HASH_MULT) % 1000000007).asc(), F.col("doc_id").asc()
+        stratum_bucket(F.col("doc_id"), 1000000007).asc(), F.col("doc_id").asc()
     )
     return (
         d.withColumn("rnk", F.row_number().over(w))

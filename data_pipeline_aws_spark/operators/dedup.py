@@ -2720,9 +2720,15 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CASE_SQL = """CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
-              ELSE 'test' END"""
+# The audited split IS the shipped split: both sides come from the single
+# definition in functions/curation.py (width-safe stratum bucket — see
+# stratum_bucket's contract there for why the key is masked to 31 bits).
+from data_pipeline_aws_spark.functions.curation import (  # noqa: E402
+    split_assign,
+    split_assign_sql,
+)
+
+_SPLIT_CASE_SQL = split_assign_sql("doc_id")
 
 
 @query(
@@ -2763,17 +2769,11 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; the oracle is the exact inverted-index truth under the
     recall-1-at-threshold contract). The matrix is bounded at 6 cells, so
     the share's global window runs over metadata-sized rows."""
-    from data_pipeline_aws_spark.functions.curation import _HASH_MULT
-
     shh = shingle_fingerprints(spark, sf_dir)
     pairs = _exact_jaccard_pairs(shh, _lsh_candidates(shh)).select("d1", "d2")
-    bucket = (F.col("doc_id") * _HASH_MULT) % 100
     assigned = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_assign(F.col("doc_id")).alias("split"),
     )
     m = (
         pairs.join(

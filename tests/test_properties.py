@@ -82,17 +82,26 @@ def test_chunking_covers_and_overlaps_exactly(spark, texts):
 
 
 @settings(max_examples=1, deadline=None)
-@given(st.lists(st.integers(0, 2**31), min_size=50, max_size=50, unique=True))
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=50, max_size=50, unique=True))
 def test_stratified_sample_is_deterministic_and_rate_bounded(spark, ids):
     """Hash-mod sampling must (a) pick exactly the rows whose bucket clears
     the rate — reproducible across runs by construction — and (b) agree with
-    plain Python arithmetic for any ids (no silent overflow in the JVM
-    expression)."""
+    plain Python arithmetic for any ids up to INT64 max (no silent overflow
+    in the JVM expression — the width-safe stratum_bucket definition all
+    sampling predicates now share)."""
+    from data_pipeline_aws_spark.functions.curation import (
+        _HASH_MULT,
+        _STRATUM_MASK,
+        stratum_bucket,
+    )
+
     rate = 37
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    bucket = (F.col("doc_id") * 2654435761) % 100
-    kept = {r.doc_id for r in df.filter(bucket < rate).collect()}
-    want = {i for i in ids if (i * 2654435761) % 100 < rate}
+    kept = {
+        r.doc_id
+        for r in df.filter(stratum_bucket(F.col("doc_id")) < rate).collect()
+    }
+    want = {i for i in ids if ((i & _STRATUM_MASK) * _HASH_MULT) % 100 < rate}
     assert kept == want
 
 
@@ -1040,13 +1049,17 @@ def test_retrieval_eval_sampled_is_exact_stratum_mean(spark):
     import math
 
     from data_pipeline_aws_spark import all_queries
-    from data_pipeline_aws_spark.functions.curation import _HASH_MULT
+    from data_pipeline_aws_spark.functions.curation import _HASH_MULT, _STRATUM_MASK
     from data_pipeline_aws_spark.functions.text import _RETR_QMULT, RETR_SAMPLE_PCT
 
     qs = all_queries()
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         per = qs["q_retrieval_eval"](spark, sf).collect()
-        keep = [r for r in per if (r.query_doc * _HASH_MULT) % 100 < RETR_SAMPLE_PCT]
+        keep = [
+            r
+            for r in per
+            if ((r.query_doc & _STRATUM_MASK) * _HASH_MULT) % 100 < RETR_SAMPLE_PCT
+        ]
         row = qs["q_retrieval_eval_sampled"](spark, sf).collect()[0]
         n_found = sum(1 for r in keep if r.found)
         sum_e6 = sum(round(r.rr_fused * 1e6) for r in keep)
