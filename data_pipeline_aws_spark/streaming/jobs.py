@@ -497,6 +497,26 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_slice_map(delta: DataFrame, dv_keys: DataFrame, s: int) -> DataFrame:
+    """Content-canonical epoch→slice map covering EVERY landed epoch.
+
+    Built from the UNION of each epoch's delta keys and its DV addresses
+    resolved to keys against base: an epoch whose micro-batch was
+    delete-only lands DV sidecar rows but NO delta rows, so a delta-only
+    map would silently drop its DV rows at the inner emap join — time
+    travel would overcount live rows and the expire fold would resurrect
+    deleted rows. Slices are key-disjoint, so pmod(any key, s) yields the
+    same slice id regardless of which side supplied the key — for epochs
+    that do have delta rows the union changes nothing (committed hashes
+    unchanged). The map is bounded at STREAM_MERGE_SLICES rows."""
+    keys = delta.select("epoch", "o_orderkey").unionByName(
+        dv_keys.select("epoch", "o_orderkey")
+    )
+    return keys.groupBy("epoch").agg(
+        F.pmod(F.min("o_orderkey"), s).cast("int").alias("slice")
+    )
+
+
 def _time_travel_oracle() -> str:
     from data_pipeline_aws_spark.operators.setops import MERGE_DV_CTES
 
@@ -567,17 +587,16 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = spark.read.parquet(os.path.join(out, "dv"))
     delta = spark.read.parquet(os.path.join(out, "delta"))
 
-    # content-derived epoch identity: the slice id of each landed epoch
-    emap = delta.groupBy("epoch").agg(
-        F.pmod(F.min("o_orderkey"), s).cast("int").alias("slice")
-    )
-    dv_s = dv.join(F.broadcast(emap), "epoch").select("file_id", "pos", "slice")
+    # churn-sized probe: resolve DV addresses to their keys + cents (base
+    # never shuffles — the DV side broadcasts); the SAME resolved relation
+    # feeds both the epoch→slice map (so delete-only epochs are covered —
+    # see _epoch_slice_map) and the per-slice DV stats: one base probe.
+    dv_res = base.join(
+        F.broadcast(dv.select("file_id", "pos", "epoch")), ["file_id", "pos"]
+    ).select("epoch", "o_orderkey", "cents")
+    emap = _epoch_slice_map(delta, dv_res, s)
+    dv_cents = dv_res.join(F.broadcast(emap), "epoch").select("slice", "cents")
     delta_s = delta.join(F.broadcast(emap), "epoch").select("cents", "slice")
-    # churn-sized probe: resolve DV addresses to their cents (base never
-    # shuffles — the DV side broadcasts)
-    dv_cents = base.join(F.broadcast(dv_s), ["file_id", "pos"]).select(
-        "slice", "cents"
-    )
     dstat = dv_cents.groupBy("slice").agg(
         F.count(F.lit(1)).alias("n_dv"), F.sum("cents").alias("c_dv")
     )
@@ -703,9 +722,13 @@ def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             base = spark.read.parquet(os.path.join(src, "base"))
             dv = spark.read.parquet(os.path.join(src, "dv"))
             delta = spark.read.parquet(os.path.join(src, "delta"))
-            emap = delta.groupBy("epoch").agg(
-                F.pmod(F.min("o_orderkey"), s).cast("int").alias("slice")
-            )
+            # DV addresses resolve to keys via one broadcast base probe so
+            # the slice map covers delete-only epochs (_epoch_slice_map)
+            dv_keys = base.join(
+                F.broadcast(dv.select("file_id", "pos", "epoch")),
+                ["file_id", "pos"],
+            ).select("epoch", "o_orderkey")
+            emap = _epoch_slice_map(delta, dv_keys, s)
             dv_s = dv.join(F.broadcast(emap), "epoch")
             delta_s = delta.join(F.broadcast(emap), "epoch")
             horizon = s - r

@@ -3159,6 +3159,44 @@ def test_time_travel_final_epoch_equals_stream_merge_state(spark, sf_dir):
         assert a.n_dv_cum <= b.n_dv_cum and a.n_delta_cum <= b.n_delta_cum
 
 
+def test_epoch_slice_map_covers_delete_only_epochs(spark):
+    """The epoch→slice map must cover an epoch whose micro-batch contained
+    ONLY deletes (DV sidecar rows, zero delta rows) — the silent-wrong-data
+    trap the round-9 advisor flagged: a delta-only map drops that epoch at
+    the inner dv⋈emap join, so time travel overcounts live rows and the
+    expire fold resurrects deleted rows. Also pins slice agreement: for an
+    epoch with both sides, the union yields the same slice as delta alone
+    (slices are key-disjoint)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark.streaming.jobs import _epoch_slice_map
+
+    s = 3
+    # epoch 7 is delete-only: its keys appear ONLY via resolved DV rows
+    delta = spark.createDataFrame(
+        [(5, 9), (5, 12), (6, 4)], "epoch int, o_orderkey long"
+    )
+    dv_keys = spark.createDataFrame(
+        [(5, 6), (7, 2), (7, 5)], "epoch int, o_orderkey long"
+    )
+    emap = {
+        r.epoch: r.slice
+        for r in _epoch_slice_map(delta, dv_keys, s).collect()
+    }
+    assert set(emap) == {5, 6, 7}, emap
+    assert emap[7] == 2  # min(2, 5) % 3 — recovered from DV rows alone
+    assert emap[6] == 1
+    # key-disjoint slices: delta-only derivation agrees where delta exists
+    delta_only = {
+        r.epoch: r.slice
+        for r in delta.groupBy("epoch")
+        .agg(F.pmod(F.min("o_orderkey"), s).cast("int").alias("slice"))
+        .collect()
+    }
+    for e, sl in delta_only.items():
+        assert emap[e] == sl, (e, sl, emap[e])
+
+
 def test_contamination_report_consistent_with_decontaminate(spark, sf_dir):
     """The eval-side report and the train-side flag describe the SAME gram
     overlap: a covered holdout gram exists iff a contaminated train doc
