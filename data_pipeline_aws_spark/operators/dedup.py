@@ -1908,8 +1908,27 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TUNE_ORACLE = f"""
-WITH {_shingle_ctes()},
+def _lsh_tune_sql(sampled: bool = False) -> str:
+    """S-curve calibration oracle, over the full corpus or (sampled=True)
+    over the EVAL_SAMPLE_PCT doc stratum with est_* extrapolations — the
+    same one-SQL-definition-two-modes shape as the dedup-eval trio."""
+    src = "sdocs" if sampled else "documents"
+    head = (
+        f"sdocs AS (SELECT * FROM documents"
+        f" WHERE {stratum_bucket_sql('doc_id')} < {EVAL_SAMPLE_PCT}),\n"
+        if sampled
+        else ""
+    )
+    est = (
+        f"""CAST({EVAL_SAMPLE_PCT} AS INT) AS sample_pct,
+       CAST(n_pairs * {_EVAL_PAIR_MULT} AS BIGINT) AS est_n_pairs,
+       CAST(n_cand * {_EVAL_PAIR_MULT} AS BIGINT) AS est_n_cand,
+       """
+        if sampled
+        else ""
+    )
+    return f"""
+WITH {head}{_shingle_ctes(src)},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -1922,7 +1941,7 @@ pj AS (
   JOIN cnt ca ON d1 = ca.doc_id
   JOIN cnt cb ON d2 = cb.doc_id
 ),
-{_mh_sig_ctes()},
+{_mh_sig_ctes(src)},
 cand AS (
   SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
   FROM bands x JOIN bands y
@@ -1946,40 +1965,21 @@ p2 AS (SELECT *, t1 * t1 AS t2 FROM p1),
 p4 AS (SELECT *, t2 * t2 AS t4 FROM p2),
 p8 AS (SELECT *, t4 * t4 AS t8 FROM p4)
 SELECT bucket, n_pairs, n_cand,
-       ROUND(n_cand * 1.0 / n_pairs, 6) AS emp_rate,
+       {est}ROUND(n_cand * 1.0 / n_pairs, 6) AS emp_rate,
        ROUND(1.0 - t8 * t8, 6) AS analytic_rate
 FROM p8
 """
 
 
-@query("q_lsh_tune", oracle=_LSH_TUNE_ORACLE)
-def q_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding S-curve calibration — the tuning table behind every
-    (bands, rows) choice (Leskovec-Rajaraman-Ullman ch. 3): bucket all
-    shared-shingle pairs by exact Jaccard decile and report, per bucket,
-    the EMPIRICAL band-collision rate of the production 16x2 MinHash
-    banding next to the ANALYTIC curve 1-(1-s^2)^16 at the bucket
-    midpoint. This is how an operator decides whether the deployed
-    banding's knee sits at the dedup threshold before re-signaturing a
-    100 TB corpus — and the empirical column exposes what the formula
-    can't: the linear-permutation scheme's deviation from ideal uniform
-    minhashing on the corpus's real similarity mass.
-
-    Determinism: buckets come from INTEGER arithmetic ((n_common*10) div
-    n_union — exact rational floor, no float boundary), and the analytic
-    curve is evaluated by repeated squaring (t=1-s*s; t16=(((t^2)^2)^2)^2)
-    so both engines do the identical IEEE multiply sequence — no libm pow
-    divergence. Scale shape: truth side IS the declared exact-audit cost
-    (the q_dedup_eval class — its sampled-stratum production mode applies
-    verbatim); sketch side reuses the banded candidate join
-    (_mh_band_candidates, never all-pairs); the report is <= 10 rows of
-    partial-agg counts."""
-    docs = table(spark, sf_dir, "documents")
+def _lsh_tune_report(docs: DataFrame, shh: DataFrame) -> DataFrame:
+    """Shared S-curve machinery: exact-Jaccard decile buckets of ALL
+    shared-shingle pairs (threshold 0 — the declared calibration cost)
+    LEFT-joined against the broadcast banded candidate set, with the
+    analytic 1-(1-s²)^16 curve by repeated squaring. Both tune modes run
+    exactly this plan; only the docs/shh relations differ (full corpus vs
+    pushed hash stratum)."""
     sig = _mh_sig_table(docs).localCheckpoint()
     cand = _mh_band_candidates(sig).withColumnsRenamed({"d1": "c1", "d2": "c2"})
-    shh = docs.select(
-        "doc_id", F.explode(_shingle_array()).alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
     pairs = _exact_jaccard_pairs(
         shh.localCheckpoint(), threshold=0.0, with_union=True
     )
@@ -2013,6 +2013,68 @@ def q_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cand",
         F.round(F.col("n_cand") * 1.0 / F.col("n_pairs"), 6).alias("emp_rate"),
         F.round(1.0 - F.col("t8") * F.col("t8"), 6).alias("analytic_rate"),
+    )
+
+
+@query("q_lsh_tune", oracle=_lsh_tune_sql())
+def q_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve calibration — the tuning table behind every
+    (bands, rows) choice (Leskovec-Rajaraman-Ullman ch. 3): bucket all
+    shared-shingle pairs by exact Jaccard decile and report, per bucket,
+    the EMPIRICAL band-collision rate of the production 16x2 MinHash
+    banding next to the ANALYTIC curve 1-(1-s^2)^16 at the bucket
+    midpoint. This is how an operator decides whether the deployed
+    banding's knee sits at the dedup threshold before re-signaturing a
+    100 TB corpus — and the empirical column exposes what the formula
+    can't: the linear-permutation scheme's deviation from ideal uniform
+    minhashing on the corpus's real similarity mass.
+
+    Determinism: buckets come from INTEGER arithmetic ((n_common*10) div
+    n_union — exact rational floor, no float boundary), and the analytic
+    curve is evaluated by repeated squaring (t=1-s*s; t16=(((t^2)^2)^2)^2)
+    so both engines do the identical IEEE multiply sequence — no libm pow
+    divergence. Scale shape: truth side IS the declared exact-audit cost
+    (the q_dedup_eval class; q_lsh_tune_sampled below is its runnable
+    production mode); sketch side reuses the banded candidate join
+    (_mh_band_candidates, never all-pairs); the report is <= 10 rows of
+    partial-agg counts. The shingle relation comes from the shared
+    shingle_fingerprints helper — the same truth-side definition the
+    whole dedup family audits against."""
+    docs = table(spark, sf_dir, "documents")
+    return _lsh_tune_report(docs, shingle_fingerprints(spark, sf_dir))
+
+
+@query("q_lsh_tune_sampled", oracle=_lsh_tune_sql(sampled=True))
+def q_lsh_tune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_lsh_tune's 100-TB mode, executable: calibrate the S-curve on the
+    deterministic EVAL_SAMPLE_PCT% doc stratum (the q_sample_stratified
+    width-safe hash predicate — pushed to both the truth-side and
+    sketch-side scans) and EXTRAPOLATE the per-decile pair counts to
+    full-corpus estimates (est_n_pairs/est_n_cand × 1/s², since a pair
+    survives iff both endpoints are sampled). emp_rate and analytic_rate
+    are emitted unextrapolated — band-collision probability depends only
+    on pair similarity, so the ratio transfers to the full corpus
+    unchanged; that transfer is property-tested per decile against the
+    full-truth table at two SFs (binomial envelope).
+
+    This turns the single most expensive key in the repo into a knob: the
+    exact threshold-0 Jaccard truth side — quadratic-ish in shared-shingle
+    pairs — runs over s² of the pair population (s=0.5 here; 0.01 in
+    production is the same one-constant change), while the banded
+    candidate set it grades shrinks by the same factor."""
+    stratum = stratum_bucket(F.col("doc_id")) < EVAL_SAMPLE_PCT
+    docs = table(spark, sf_dir, "documents").where(stratum)
+    shh = shingle_fingerprints(spark, sf_dir).where(stratum)
+    rep = _lsh_tune_report(docs, shh)
+    return rep.select(
+        "bucket",
+        "n_pairs",
+        "n_cand",
+        F.lit(EVAL_SAMPLE_PCT).cast("int").alias("sample_pct"),
+        (F.col("n_pairs") * _EVAL_PAIR_MULT).cast("long").alias("est_n_pairs"),
+        (F.col("n_cand") * _EVAL_PAIR_MULT).cast("long").alias("est_n_cand"),
+        "emp_rate",
+        "analytic_rate",
     )
 
 

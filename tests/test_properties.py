@@ -3139,6 +3139,46 @@ def test_lsh_tune_bucket_invariants_and_knee(spark, sf_dir):
     assert ar == sorted(ar)
 
 
+def test_lsh_tune_sampled_extrapolates_within_binomial_envelope(spark):
+    """The sampled S-curve's 100-TB claim, as data: at two SFs, every
+    sampled per-decile pair count must sit inside the binomial 3σ envelope
+    of its expectation under the full table (a pair survives the s=0.5 doc
+    stratum w.p. s²), est_* must be exactly count × 1/s², analytic_rate
+    must EQUAL the full table's per bucket (pure function of the decile),
+    and the empirical collision rate must transfer within 0.25 on deciles
+    with enough sampled mass to estimate it."""
+    import math
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.dedup import (
+        _EVAL_PAIR_MULT,
+        EVAL_SAMPLE_PCT,
+    )
+
+    s2 = (EVAL_SAMPLE_PCT / 100.0) ** 2
+    qs = all_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        full = {r.bucket: r for r in qs["q_lsh_tune"](spark, sf).collect()}
+        samp = {
+            r.bucket: r for r in qs["q_lsh_tune_sampled"](spark, sf).collect()
+        }
+        assert samp, sf
+        assert set(samp) <= set(full), (sf, set(samp), set(full))
+        for b, r in samp.items():
+            assert r.sample_pct == EVAL_SAMPLE_PCT
+            assert r.est_n_pairs == r.n_pairs * _EVAL_PAIR_MULT, (sf, b)
+            assert r.est_n_cand == r.n_cand * _EVAL_PAIR_MULT, (sf, b)
+            f = full[b]
+            assert r.analytic_rate == f.analytic_rate, (sf, b)
+            mean = f.n_pairs * s2
+            sigma = math.sqrt(max(f.n_pairs * s2 * (1 - s2), 0.0))
+            assert abs(r.n_pairs - mean) <= 3 * sigma + 1, (
+                sf, b, r.n_pairs, f.n_pairs,
+            )
+            if r.n_pairs >= 30:
+                assert abs(r.emp_rate - f.emp_rate) <= 0.25, (sf, b, r, f)
+
+
 def test_time_travel_final_epoch_equals_stream_merge_state(spark, sf_dir):
     """Time-travel convergence: the last snapshot row (all epochs applied)
     must equal the streamed MERGE's own read-path state in live-row count
