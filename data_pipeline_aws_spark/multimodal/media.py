@@ -809,6 +809,279 @@ def q_multimodal_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PNG_W = 16  # fixture raster width for the compressed-image (PNG) rung
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4) — exact integer arithmetic."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(raw: bytes, width: int = PNG_W, channels: int = 1) -> bytes:
+    """Genuine, pure-stdlib PNG encoder — the first COMPRESSED container
+    in the module (zlib deflate is stdlib; everything else here is a raw
+    container). 8-bit grayscale (color type 0) or truecolor RGB (type 2),
+    non-interlaced. Each scanline's filter type cycles 0..4 with the row
+    index, so a decoder of this fixture must implement ALL FIVE
+    reconstruction rules (None/Sub/Up/Average/Paeth) — a filter-0-only
+    shortcut decodes the second row wrong. Output opens in any viewer.
+    `raw` must tile whole rows of width*channels bytes."""
+    import struct
+    import zlib
+
+    bpp = channels
+    stride = width * bpp
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (grayscale) or 3 (RGB)")
+    if stride == 0 or len(raw) % stride:
+        raise ValueError(f"{len(raw)} bytes do not tile rows of {stride}")
+    h = len(raw) // stride
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 0 if channels == 1 else 2, 0, 0, 0)
+    prior = bytes(stride)
+    filtered = bytearray()
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        f = r % 5
+        filtered.append(f)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:
+                v = x - _paeth(a, b, c)
+            filtered.append(v & 0xFF)
+        prior = row
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Genuine PNG decode, pure stdlib: signature check, chunk walk with
+    CRC32 verification on EVERY chunk, IHDR field validation, IDAT
+    concatenation (multi-IDAT streams are legal and handled), zlib
+    inflate, then per-scanline filter reconstruction — None/Sub/Up/
+    Average/Paeth, exactly the PNG spec's integer rules. Returns
+    (width, height, channels, numpy uint8 array of w*h*channels bytes).
+
+    Refusals are the module-wide loud contract: Adam7 interlace, palette
+    (color type 3), alpha (4/6) and 16-bit depth raise NotImplementedError
+    at the documented PIL plug point; CRC mismatches, truncated chunks,
+    short inflate output, and unknown filter types raise ValueError —
+    never a silently short raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, ended = 8, None, False
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated {ctype!r} chunk: header promises {length} bytes"
+            )
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if interlace:
+                raise NotImplementedError(
+                    "Adam7 interlaced PNG requires PIL (plug point)"
+                )
+            if depth != 8 or color not in (0, 2):
+                raise NotImplementedError(
+                    "only 8-bit grayscale/truecolor PNG in pure stdlib; "
+                    "palette/alpha/16-bit require PIL (plug point)"
+                )
+            ihdr = (w, h, 1 if color == 0 else 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR/IEND chunk")
+    w, h, channels = ihdr
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"inflated stream is {len(raw)} bytes; {h} rows of "
+            f"1+{stride} expected"
+        )
+    out = np.empty((max(h, 1), stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:
+            recon = line
+        elif f == 2:
+            recon = (line + prior) & 0xFF
+        elif f == 1:
+            recon = line.copy()
+            for i in range(bpp, stride):
+                recon[i] = (recon[i] + recon[i - bpp]) & 0xFF
+        elif f == 3:
+            recon = line.copy()
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + (int(a) + int(prior[i])) // 2) & 0xFF
+        elif f == 4:
+            recon = line.copy()
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                recon[i] = (recon[i] + _paeth(a, int(prior[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = recon.astype(np.uint8)
+        prior = recon
+    return w, h, channels, out.reshape(-1)[: h * stride]
+
+
+@query(
+    "q_multimodal_png",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+d AS (
+  SELECT doc_id, hx,
+         (n // {PNG_W}) * {PNG_W} AS kept,
+         n // {PNG_W}             AS h
+  FROM b
+),
+px AS (
+  SELECT doc_id, h,
+         CAST(concat('0x', substr(hx, 2 * p.p + 1, 2)) AS INT) AS byte
+  FROM d, unnest(generate_series(0, kept - 1)) p(p)
+)
+SELECT doc_id,
+       {PNG_W}                   AS width,
+       CAST(h AS INT)            AS height,
+       CAST(byte // 32 AS INT)   AS bucket,
+       CAST(COUNT(*) AS BIGINT)  AS n_pixels
+FROM px
+GROUP BY doc_id, h, byte // 32
+""",
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED image decode over a real codec — retires the 'compressed
+    formats refuse' caveat for one genuinely compressed container: each
+    payload's whole-row prefix is encoded as a real non-interlaced 8-bit
+    grayscale PNG (stdlib zlib deflate; per-row filters cycling through
+    None/Sub/Up/Average/Paeth so every reconstruction rule executes) and
+    decoded back by an actual chunk-walking, CRC-checking, inflating,
+    filter-reconstructing parser (encode_png / decode_png), then
+    mapInPandas emits the 8-bin luminance histogram over the decoded
+    raster. PNG is pixel-lossless, so the DuckDB oracle replays the
+    histogram byte-exactly from hex(encode(text)) over the first
+    16*(n div 16) bytes — the hash can only match if inflate AND all five
+    filter reconstructions are exact. Palette/alpha/16-bit/interlaced
+    PNGs and JPEG/video stay behind the documented PIL/ffmpeg plug
+    points.
+
+    Scale shape: identical to the other multimodal rungs — Arrow-batched
+    mapInPandas, per-partition decode, zero driver involvement; payloads
+    ride Parquet BYTE_ARRAY columns and prune away from queries that
+    don't touch them."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    # Worker imports the codec from the package zip tune_session ships
+    # (the q_multimodal_decode pattern — one definition repo-wide).
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from data_pipeline_aws_spark.multimodal.media import (
+            PNG_W,
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in batches:
+            doc, wid, hei, bkt, cnt = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                kept = (len(b) // PNG_W) * PNG_W
+                if not kept:
+                    continue
+                w, h, _channels, pixels = decode_png(encode_png(b[:kept]))
+                hist = np.bincount(pixels >> 5, minlength=8)
+                for bk in range(8):
+                    if hist[bk]:
+                        doc.append(doc_id)
+                        wid.append(w)
+                        hei.append(h)
+                        bkt.append(bk)
+                        cnt.append(int(hist[bk]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "width": pd.Series(wid, dtype="int32"),
+                    "height": pd.Series(hei, dtype="int32"),
+                    "bucket": pd.Series(bkt, dtype="int32"),
+                    "n_pixels": pd.Series(cnt, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, bucket int, n_pixels long",
+    )
+
+
 def encode_y4m(samples: bytes, w: int = Y4M_W, h: int = Y4M_H) -> bytes:
     """Canonical YUV4MPEG2 (Y4M) container around raw monochrome frames —
     a REAL uncompressed video format (mpv/ffmpeg open it directly), pure

@@ -760,6 +760,60 @@ def test_multimodal_video_stats_replay_via_module_codec(spark, sf_dir, duck):
     assert want, "fixture produced no whole frames — test would be vacuous"
 
 
+def test_png_codec_round_trips_all_filters_and_refuses_loudly():
+    """The pure-stdlib PNG pair must round-trip grayscale AND truecolor
+    rasters whose row count exercises every filter type (the encoder
+    cycles 0..4 by row), verify chunk CRCs, and refuse interlace/palette/
+    alpha/16-bit at the documented PIL plug point — never decode a
+    corrupted or truncated stream silently."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (1, 3):
+        for n_rows in (0, 1, 2, 5, 7, 37):
+            raw = bytes((i * 37 + 11) % 256 for i in range(16 * ch * n_rows))
+            w, h, c, px = decode_png(encode_png(raw, 16, ch))
+            assert (w, h, c) == (16, n_rows, ch)
+            assert bytes(px) == raw, (ch, n_rows)
+    png = encode_png(bytes(range(160)))
+    assert png[:8] == PNG_SIG
+    # flipped byte inside a chunk → CRC mismatch, not silent garbage
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|inflate|Error"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(png[:30])
+
+    def hdr(color: int, interlace: int = 0, depth: int = 8) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", 16, 1, depth, color, 0, 0, interlace)
+        return (
+            PNG_SIG
+            + struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(hdr(0, interlace=1))
+    for color in (3, 4, 6):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_png(hdr(color))
+    with pytest.raises(NotImplementedError, match="16-bit|PIL"):
+        decode_png(hdr(0, depth=16))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
 def test_ppm_codec_round_trips_and_parses_real_grammar():
     """The P6 writer/parser pair must round-trip any whole-pixel payload,
     share the P5 rung's comment-tolerant header grammar, validate the
