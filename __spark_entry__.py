@@ -43,8 +43,34 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001."""
-    return _tuned(all_queries()[FLAGSHIP])(spark, _SMOKE_SF_DIR)
+    """Flagship smoke: the TPC-H-Q1-style pricing summary CHAINED with the
+    q_dataset_card corpus datasheet, so the smoke touches BOTH surfaces the
+    engine majors in (relational analytics + corpus curation) at sf0.001.
+    Both stages normalize to one stable (stage, key, metric, value) schema
+    and union — rows from each stage are present in the result."""
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    qs = all_queries()
+    q1 = qs[FLAGSHIP](spark, _SMOKE_SF_DIR).select(
+        F.lit("pricing_summary").alias("stage"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("key"),
+        F.lit("sum_qty").alias("metric"),
+        F.col("sum_qty").cast("double").alias("value"),
+    )
+    card = qs["q_dataset_card"](spark, _SMOKE_SF_DIR).select(
+        F.lit("dataset_card").alias("stage"),
+        F.lit("corpus").alias("key"),
+        F.explode(
+            F.create_map(
+                F.lit("n_docs"), F.col("n_docs").cast("double"),
+                F.lit("total_tokens"), F.col("total_tokens").cast("double"),
+                F.lit("n_langs"), F.col("n_langs").cast("double"),
+                F.lit("pct_dup_marked"), F.col("pct_dup_marked").cast("double"),
+            )
+        ).alias("metric", "value"),
+    ).select("stage", "key", "metric", "value")
+    return q1.unionByName(card)
 
 
 # The driver's correctness sweep grades the first ~50 keys of queries().

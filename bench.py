@@ -80,6 +80,7 @@ SINK_CACHE_KEYS = [
     # the family runs first pays the landed-epoch drain — the payer-moves
     # rule in BASELINE.md's cold-accounting row)
     "q_compaction_execute", "q_time_travel", "q_snapshot_expire",
+    "q_sim_ivfpq",  # persisted IVFADC code index + codebook/centroid npy (r10)
 ]
 # The part_lineitem fixture is SHARED: q_partitioned_sink owns the write,
 # but q_dpp and q_gdpr_delete read the same cache (ingest.py). In cold
@@ -202,6 +203,8 @@ def main() -> None:
     if cold:
         _clear_sink_caches(sf_dir)
 
+    # the per-query peak-execution-memory stamps read the status REST API
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -231,8 +234,43 @@ def main() -> None:
     # prior BENCH_FULL.json files exposes the mid-run co-tenant burst that
     # decays out of the start/end samples within ~1 min.
 
+    # Per-query peak EXECUTION memory (shuffle/sort/agg buffers — the
+    # spill-relevant number) from the status REST API: max over the run's
+    # stages of the stage's summed task peaks. Best-effort — UI disabled
+    # or a field rename records 0, never fails the bench.
+    peak_mem: dict[str, int] = {}
+
+    def _stages() -> list[dict]:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=COMPLETE"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.loads(r.read())
+
+    def _max_stage_id() -> int:
+        try:
+            return max((s["stageId"] for s in _stages()), default=-1)
+        except Exception:
+            return -1
+
+    def _peak_exec_mem(after_stage: int) -> int:
+        try:
+            return max(
+                (
+                    s.get("peakExecutionMemory", 0)
+                    for s in _stages()
+                    if s["stageId"] > after_stage
+                ),
+                default=0,
+            )
+        except Exception:
+            return 0
+
     def run_once(name: str, tag: str) -> float:
         nonlocal load_peak
+        before = _max_stage_id()
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -240,6 +278,7 @@ def main() -> None:
         if name not in timings or elapsed < timings[name]:
             timings[name] = elapsed
         samples[name] = samples.get(name, 0) + 1
+        peak_mem[name] = max(peak_mem.get(name, 0), _peak_exec_mem(before))
         load_peak = max(load_peak, _loadavg_1min())
         print(f"{tag} {name} {elapsed}", file=sys.stderr, flush=True)
         return elapsed
@@ -270,6 +309,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # max single-STAGE peak execution memory (bytes) observed across the
+        # query's passes — the spill-safety number SURVEY candidate (e)
+        # asked for; 0 = expression-only plan that never reserved execution
+        # memory (or status API unavailable)
+        "peak_exec_mem_bytes": peak_mem,
         "samples": samples,
         "single_sample_queries": single_sample,
         "sf": sf,

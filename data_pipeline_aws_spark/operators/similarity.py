@@ -15,6 +15,8 @@ tunable by signature width / multi-probe).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1304,18 +1306,90 @@ IVFPQ_LISTS = 16  # coarse-quantizer cells (first-16-vector stand-in centroids)
 IVFPQ_NPROBE = 4  # lists probed per query — 75% of the code index is skipped
 
 
+def _ivfpq_cache_dir(sf_dir: str) -> str:
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    return versioned_cache_dir("ivfpq_idx", sf_dir, __file__)
+
+
+def ivfpq_index(spark: SparkSession, sf_dir: str):
+    """The PERSISTED IVFADC index — the stored shape a real deployment
+    lands once and serves queries from (the q_dedup_minhash_incremental
+    versioned-cache pattern applied to ANN): the (vec_id, code_key,
+    list_id) relation as parquet plus the trained codebooks and coarse
+    centroids as bounded npy sidecars (8×16×8 + 16×64 floats — model
+    state, not data). The build pays the embedding-table passes ONCE
+    (codebook Lloyd rounds, coarse assignment, PQ encode); every warm
+    call reads the landed index and NEVER rescans the embedding table —
+    plan-pinned, and `bench.py --cold` clears the tag and bills the
+    build under the established warm/cold accounting rule.
+
+    Returns (index DataFrame, codebooks ndarray, centroids ndarray)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    out = _ivfpq_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from data_pipeline_aws_spark.caches import publish, staging_dir
+
+        stage = staging_dir(out)
+        try:
+            books = pq_codebooks(spark, sf_dir)
+            e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            cent_rows = (
+                e.filter(F.col("vec_id") < IVFPQ_LISTS).orderBy("vec_id").collect()
+            )
+            cents = np.stack(
+                [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+            )
+
+            def assign(batches):
+                for pdf in batches:
+                    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "list_id": d2.argmin(axis=1).astype("int32"),
+                        }
+                    )
+
+            lists = e.mapInPandas(assign, "vec_id long, list_id int")
+            (
+                pq_encode(spark, sf_dir, books=books)
+                .select("vec_id", "code_key")
+                .join(lists, "vec_id")
+            ).write.mode("overwrite").parquet(os.path.join(stage, "index"))
+            np.save(os.path.join(stage, "books.npy"), books)
+            np.save(os.path.join(stage, "cents.npy"), cents)
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+    books = np.load(os.path.join(out, "books.npy"))
+    cents = np.load(os.path.join(out, "cents.npy"))
+    return spark.read.parquet(os.path.join(out, "index")), books, cents
+
+
 def ivfpq_topk(spark: SparkSession, sf_dir: str):
     """IVFADC (FAISS IVF+PQ) — the composition of the repo's two ANN
     halves into the production index shape: a coarse quantizer routes
     every DB vector to one of 16 inverted lists (L2 argmin against the
     bounded centroid matrix — metric-consistent with the ADC stage,
-    unlike q_sim_ivf's cosine routing), the PQ code index stores
-    (list_id, vec_id, 4-byte code), and a query scans ONLY its nprobe=4
-    nearest lists' codes with ADC lookup tables before the exact re-rank
-    confirms the top-50 shortlist in float. At 100 TB the scan input is
-    nprobe/K of a 16-byte-per-row relation — the two pruning factors
-    (IVF routing × PQ compression) multiply, which is why this exact
-    shape is what FAISS/SCANN-class systems deploy.
+    unlike q_sim_ivf's cosine routing), the PERSISTED code index stores
+    (list_id, vec_id, 4-byte code) — see ivfpq_index — and a query scans
+    ONLY its nprobe=4 nearest lists' codes with ADC lookup tables before
+    the exact re-rank confirms the top-50 shortlist in float. At 100 TB
+    the scan input is nprobe/K of a 16-byte-per-row relation — the two
+    pruning factors (IVF routing × PQ compression) multiply, which is
+    why this exact shape is what FAISS/SCANN-class systems deploy. The
+    warm query path touches the embedding table exactly twice, both
+    bounded/pruned: the N_QUERIES query rows and the shortlist re-rank
+    gather (plan-pinned).
 
     Determinism contract (the pq_adc_shortlist rules): stable argsort on
     (dist, neighbor_id) inside every batch partial AND the global window,
@@ -1328,30 +1402,8 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str):
     import pandas as pd
 
     m_sub, d_sub = PQ_SUBSPACES, PQ_SUBDIM
-    books = pq_codebooks(spark, sf_dir)
+    index, books, cents = ivfpq_index(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = e.filter(F.col("vec_id") < IVFPQ_LISTS).orderBy("vec_id").collect()
-    cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
-
-    def assign(batches):
-        for pdf in batches:
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "list_id": d2.argmin(axis=1).astype("int32"),
-                }
-            )
-
-    lists = e.mapInPandas(assign, "vec_id long, list_id int")
-    # The stored IVFPQ index relation: 16 bytes of code + a list id per
-    # vector (built here per call; a real deployment lands it once).
-    index = (
-        pq_encode(spark, sf_dir, books=books)
-        .select("vec_id", "code_key")
-        .join(lists, "vec_id")
-    )
 
     q_rows = (
         e.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
@@ -1438,7 +1490,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str):
         ],
         "query_id long, list_id int",
     )
-    return top, lists, probed_df
+    return top, index.select("vec_id", "list_id"), probed_df
 
 
 @query(
@@ -1464,7 +1516,13 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed set, asserted in-engine by joining the result back to the
     stored list assignment against the bounded probed relation. The
     pipeline is deterministic end to end, so all three are hard
-    contracts, not statistics."""
+    contracts, not statistics.
+
+    The index is PERSISTED (ivfpq_index: versioned-cache parquet + npy
+    model sidecars) — warm calls serve queries from the landed relation
+    without rescanning the embedding table (plan-pinned; the audit's
+    exact-truth side scans by definition), and bench --cold bills the
+    build."""
     top, lists, probed_df = ivfpq_topk(spark, sf_dir)
     exact = exact_l2_topk(spark, sf_dir).select(
         F.col("query_id").alias("eqid"), F.col("neighbor_id").alias("nid")

@@ -88,7 +88,10 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
             "spark.python.worker.reuse",
             os.environ.get("SPARK_GRAFT_WORKER_REUSE", "true"),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (tests/parity don't need it); bench.py opts in
+        # via SPARK_GRAFT_UI=true to read per-stage peakExecutionMemory
+        # from the status REST API for its spill-safety stamps.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=200")

@@ -1372,15 +1372,19 @@ def test_bootstrap_ci_map_side_explode_no_window(plans):
     assert "windowspecdefinition" not in final, final
 
 
-def test_sim_ivfpq_arrow_stages_no_sort_merge(plans):
-    """q_sim_ivfpq's heavy stages are Arrow-vectorized MapInPandas passes
-    (list assignment, PQ encode, routed ADC scoring) and every join in
-    the audit (code⋈list index build, shortlist gather, verdict joins)
-    is a hash/broadcast join — no sort-merge join of the float corpus
-    anywhere."""
+def test_sim_ivfpq_served_from_persisted_index(plans):
+    """Warm q_sim_ivfpq serves from the LANDED IVFADC index (the r9
+    verdict's one stated-shape gap): the only Arrow stage on the query
+    path is the routed ADC scorer — the list-assignment and PQ-encode
+    passes live in the cache build, not here — the code index is scanned
+    from the versioned ivfpq_idx parquet, and every join (shortlist
+    gather, verdict joins) is hash/broadcast; the float corpus is never
+    sort-merge-joined. The embedding table appears only as the bounded
+    query rows, the re-rank gather, and the audit's exact-truth side."""
     p = plans("q_sim_ivfpq")
     final = p.split("== Initial Plan ==")[0]
-    assert final.count("MapInPandas") >= 3, final
+    assert final.count("MapInPandas") == 1, final
+    assert "dpas_ivfpq_idx_" in final, final
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
 
