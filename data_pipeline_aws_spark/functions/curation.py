@@ -308,23 +308,35 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     how badly (the 'X% of benchmark is contaminated' table in model
     cards).
 
-    Scale shape: the benchmark gram set is the small fixed side, so it is
-    explicitly F.broadcast into the training-corpus stream — the big side
-    never shuffles; every aggregation after the broadcast join runs on the
-    (rare) hit rows keyed by hold_doc, and the top-offender choice is a
-    per-hold-doc WindowGroupLimit rank with a (count desc, doc asc)
-    total order. Short eval docs (< 8 tokens, zero grams) stay in the
-    report with coverage 0, not silently dropped; NULL-free sentinels
-    (top_train_doc = -1) keep the row hashable across engines."""
+    Scale shape (revised per the round-9 advisory): unlike
+    q_decontaminate's bounded DISTINCT-gram set, this side carries
+    (hold_doc, gram) PAIRS — 1/_HOLDOUT_MOD of all gram occurrences, a
+    relation that grows linearly with the corpus — so it must NOT carry a
+    hard broadcast hint (a forced broadcast of a corpus-fraction is
+    exactly the executor-memory trap the hint was claimed to avoid). The
+    join instead runs on the 64-bit gram FINGERPRINT (xxhash64 — the
+    shingle_fingerprints trade: fixed-width shuffle currency however wide
+    the gram; the oracle joins raw gram strings, the same accepted
+    asymmetry q_dedup_onion documents), and AQE picks broadcast from
+    runtime stats whenever the holdout side IS small (it does at every
+    test SF — plan-pinned), falling back to a hash-partitioned join at
+    scale. Every aggregation after the join runs on the (rare) hit rows
+    keyed by hold_doc; the top-offender choice is a per-hold-doc rank
+    with a (count desc, doc asc) total order. Short eval docs (< 8
+    tokens, zero grams) stay in the report with coverage 0, not silently
+    dropped; NULL-free sentinels (top_train_doc = -1) keep the row
+    hashable across engines."""
     d = table(spark, sf_dir, "documents")
     grams = _decon_grams(d)
     is_hold = F.col("doc_id") % _HOLDOUT_MOD == 0
     hold_g = grams.where(is_hold).withColumnsRenamed({"doc_id": "hold_doc"})
     train_g = grams.where(~is_hold).withColumnsRenamed({"doc_id": "train_doc"})
-    hits = train_g.join(F.broadcast(hold_g), "gram").localCheckpoint()
+    hold_h = hold_g.select("hold_doc", F.xxhash64("gram").alias("h"))
+    train_h = train_g.select("train_doc", F.xxhash64("gram").alias("h"))
+    hits = train_h.join(hold_h, "h").localCheckpoint()
     n_grams = hold_g.groupBy("hold_doc").agg(F.count(F.lit(1)).alias("n_grams"))
     cov = hits.groupBy("hold_doc").agg(
-        F.count_distinct("gram").alias("n_covered")
+        F.count_distinct("h").alias("n_covered")
     )
     pair = hits.groupBy("hold_doc", "train_doc").agg(
         F.count(F.lit(1)).alias("n_shared")

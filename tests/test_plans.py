@@ -1414,13 +1414,19 @@ def test_lsh_tune_banded_candidates_no_cross_join(plans):
     assert "BroadcastNestedLoopJoin" not in final, final
 
 
-def test_contamination_report_broadcasts_benchmark_grams(plans):
-    """q_contamination_report's benchmark gram set is the small fixed side
-    and must broadcast into the training-corpus stream — the big side
-    never shuffles into a sort-merge join and nothing goes cartesian."""
+def test_contamination_report_aqe_broadcast_no_forced_hint(plans):
+    """q_contamination_report's holdout side grows with the corpus (it is
+    1/97 of gram OCCURRENCES, not a bounded benchmark), so the join must
+    carry no forced broadcast hint — AQE picks broadcast from runtime
+    stats at test scale (asserted: the hit join IS a broadcast join here)
+    and falls back to a hash-partitioned join at 100 TB. The join key is
+    the 64-bit gram fingerprint, and nothing goes cartesian."""
     p = plans("q_contamination_report")
     final = p.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
+    # the checkpointed hit relation carries the 8-byte fingerprint key,
+    # never the raw gram string (the join ran on h = xxhash64(gram))
+    assert "ExistingRDD[h#" in final, final
     assert "CartesianProduct" not in final, final
 
 
