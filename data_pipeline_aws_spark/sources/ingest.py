@@ -33,6 +33,9 @@ EVENTS_JSON_SCHEMA = T.StructType(
 )
 
 
+_CODE_VERSION_CACHE: str | None = None
+
+
 def _code_version() -> str:
     """Version token folded into every materialized-cache dir name: the hash
     of every module whose code shapes cache CONTENTS — this module's writers
@@ -40,21 +43,26 @@ def _code_version() -> str:
     settings active at write time). Any edit to any of them moves every
     cache key, so a _SUCCESS-marked artifact written by older code can never
     satisfy a newer read path (stale caches would otherwise mask write-path
-    bugs from the oracle sweep)."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    pkg = os.path.dirname(here)
-    h = hashlib.md5()
-    for path in (
-        __file__,
-        os.path.join(pkg, "tables.py"),
-        os.path.join(pkg, "session.py"),
-    ):
-        with open(path, "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:8]
+    bugs from the oracle sweep).
 
-
-_CODE_VERSION = _code_version()
+    Computed LAZILY, never at import time: executors import this module
+    from the addPyFile'd package ZIP (module-level mapInPandas fns like
+    warc_parse_batches are cloudpickled by reference), where open(__file__)
+    is impossible — and only the driver's cache-dir naming needs it."""
+    global _CODE_VERSION_CACHE
+    if _CODE_VERSION_CACHE is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        pkg = os.path.dirname(here)
+        h = hashlib.md5()
+        for path in (
+            __file__,
+            os.path.join(pkg, "tables.py"),
+            os.path.join(pkg, "session.py"),
+        ):
+            with open(path, "rb") as f:
+                h.update(f.read())
+        _CODE_VERSION_CACHE = h.hexdigest()[:8]
+    return _CODE_VERSION_CACHE
 
 
 def _evict_stale_caches(prefix: str) -> None:
@@ -70,7 +78,7 @@ def _evict_stale_caches(prefix: str) -> None:
         return
     base = os.path.basename(prefix)
     for name in names:
-        if name.startswith(base + "_") and name != f"{base}_{_CODE_VERSION}":
+        if name.startswith(base + "_") and name != f"{base}_{_code_version()}":
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
@@ -78,7 +86,7 @@ def _json_cache_dir(sf_dir: str) -> str:
     tag = sf_tag(sf_dir)
     prefix = os.path.join(tempfile.gettempdir(), f"dpas_json_events_{tag}")
     _evict_stale_caches(prefix)
-    return f"{prefix}_{_CODE_VERSION}"
+    return f"{prefix}_{_code_version()}"
 
 
 def events_as_json(spark: SparkSession, sf_dir: str) -> str:
@@ -148,7 +156,7 @@ def _cache_dir(kind: str, sf_dir: str) -> str:
     tag = sf_tag(sf_dir)
     prefix = os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{tag}")
     _evict_stale_caches(prefix)
-    return f"{prefix}_{_CODE_VERSION}"
+    return f"{prefix}_{_code_version()}"
 
 
 @query(
@@ -857,6 +865,180 @@ def q_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "q_gzip_ingest",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT)           AS text_md5_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def q_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed text ingest — the landing format of web-crawl dumps
+    (CommonCrawl WET/WARC shards, API export logs ship as `.jsonl.gz` /
+    `.tsv.gz`): documents round-trip through gzip-compressed TSV shards and
+    are re-parsed; the per-lang md5-prefix checksum over the decompressed
+    text must equal the parquet-derived oracle, proving inflate + parse
+    byte-lossless.
+
+    The scale property gzip forces is SPLITTABILITY: a `.gz` member is one
+    undecodable-in-the-middle stream, so Hadoop assigns ONE task per file
+    — at 100 TB the WRITER controls parallelism, not the reader. The
+    fixture therefore shards explicitly at write time (WARC_SHARDS files;
+    production targets ~100 MB-1 GB per shard), and the contract — pinned
+    by test_gzip_ingest_shards_are_real_gzip_members — is: never land a
+    single monolithic .gz. Decompression itself is
+    stream-inline in the record reader (zlib in the JVM scan, no extra
+    stage); everything downstream of the scan is identical to the
+    uncompressed q_text_ingest plan."""
+    out = _cache_dir("gz_documents", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "documents").repartition(WARC_SHARDS).select(
+            F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
+                "value"
+            )
+        ).write.mode("overwrite").option("compression", "gzip").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(F.split("value", "\t", 3).alias("parts")).select(
+        F.col("parts").getItem(1).alias("lang"),
+        F.col("parts").getItem(2).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.encode("text", "UTF-8")), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias("text_md5_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+WARC_SHARDS = 8
+
+
+def warc_parse_batches(batches):
+    """The WARC/1.0 grammar walk (module-level so tests pin the failure
+    contract on the SAME definition the query ships): version line, header
+    parse, Content-Length-framed payload slice; ValueError on any
+    malformed record. Yields (doc_id, lang, payload_len, payload_md5)
+    pandas batches; identity comes from WARC-Target-URI."""
+    import re
+
+    import pandas as pd
+
+    uri_re = re.compile(rb"^http://corpus\.invalid/([a-z]+)/(\d+)$")
+    for pdf in batches:
+        ids, langs, lens, md5s = [], [], [], []
+        for content in pdf["content"]:
+            buf = bytes(content)
+            pos = 0
+            while pos < len(buf):
+                while pos < len(buf) and buf[pos : pos + 1] in (b"\r", b"\n"):
+                    pos += 1
+                if pos >= len(buf):
+                    break
+                eol = buf.index(b"\r\n", pos)
+                if buf[pos:eol] != b"WARC/1.0":
+                    raise ValueError(
+                        f"expected WARC/1.0 version line at {pos}, "
+                        f"got {buf[pos:eol][:40]!r}"
+                    )
+                hdr_end = buf.index(b"\r\n\r\n", eol)
+                headers = {}
+                for line in buf[eol + 2 : hdr_end].split(b"\r\n"):
+                    k, _, v = line.partition(b": ")
+                    headers[k.decode("ascii").lower()] = v
+                if "content-length" not in headers:
+                    raise ValueError("WARC record without Content-Length")
+                n = int(headers["content-length"])
+                payload = buf[hdr_end + 4 : hdr_end + 4 + n]
+                if len(payload) != n:
+                    raise ValueError(
+                        f"truncated WARC payload: promised {n}, got {len(payload)}"
+                    )
+                m = uri_re.match(headers.get("warc-target-uri", b""))
+                if not m:
+                    raise ValueError(
+                        "unparseable WARC-Target-URI "
+                        f"{headers.get('warc-target-uri')!r}"
+                    )
+                langs.append(m.group(1).decode("ascii"))
+                ids.append(int(m.group(2)))
+                lens.append(n)
+                md5s.append(int(hashlib.md5(payload).hexdigest()[:8], 16))
+                pos = hdr_end + 4 + n
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "lang": pd.Series(langs, dtype="object"),
+                "payload_len": pd.Series(lens, dtype="int64"),
+                "payload_md5": pd.Series(md5s, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "q_warc_ingest",
+    oracle="""
+SELECT doc_id,
+       lang,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS payload_md5
+FROM documents
+""",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 (ISO 28500) container ingest — the actual on-disk format of
+    web-crawl corpora (CommonCrawl ships WARC; WET/WAT are WARC too): each
+    document becomes a real `conversion` record (version line, named
+    headers, Content-Length-framed payload, CRLF-CRLF trailer), records are
+    concatenated into shard files, and a genuine grammar parser walks them
+    back — version check, header parse, length-framed payload slice, loud
+    ValueError on any malformed record, never a silently short corpus.
+    Identity rides WARC-Target-URI (the only identity a crawl has); the
+    oracle replays (doc_id, lang, byte length, md5 prefix) relationally
+    from the parquet documents, so the hash can only match if the framing
+    and every payload byte survived.
+
+    Scale shape: the shard FILE is the unit of parallelism (binaryFile →
+    one task per shard; production sizes shards to ~1 GB at write time,
+    same contract as q_gzip_ingest — and .warc.gz's per-record gzip
+    members keep even the compressed form seekable at record granularity).
+    Parsing is one sequential pass per shard inside Arrow-batched
+    mapInPandas; no shuffle, no driver involvement; emitted rows carry
+    only id + checksum, never the payload."""
+    out = _cache_dir("warc_documents", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        rec = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: "),
+            F.concat(F.lit("<urn:dpas:doc:"), F.col("doc_id").cast("string")),
+            F.lit(">\r\nWARC-Target-URI: http://corpus.invalid/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+            F.octet_length(F.encode("text", "UTF-8")).cast("string"),
+            F.lit("\r\n\r\n"),
+            F.col("text"),
+            F.lit("\r\n\r"),  # text writer appends \n -> CRLF CRLF trailer
+        )
+        table(spark, sf_dir, "documents").repartition(WARC_SHARDS).select(
+            rec.alias("value")
+        ).write.mode("overwrite").text(out)
+
+    shards = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "part-*").load(out)
+    ).select("content")
+    return shards.mapInPandas(
+        warc_parse_batches,
+        "doc_id long, lang string, payload_len long, payload_md5 long",
     )
 
 
