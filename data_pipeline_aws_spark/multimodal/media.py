@@ -1557,6 +1557,185 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_wav_mulaw(codes: bytes, rate: int = WAV_RATE) -> bytes:
+    """G.711 µ-law WAV container (RIFF format tag 7) around raw µ-law code
+    bytes — the telephony COMPRESSION standard (logarithmic companding:
+    8-bit codes carry 14-bit dynamic range, the 2:1 rung below ADPCM/MP3).
+    Non-PCM WAV requires a `fact` chunk carrying the per-channel sample
+    count; it is written here and cross-validated by the decoder. The code
+    bytes are stored verbatim (µ-law's compressed form IS the byte stream),
+    so the container is byte-lossless for the codes while the decoded
+    waveform exercises a genuine lossy-codec expansion."""
+    import struct
+
+    n = len(codes)
+    return b"".join(
+        (
+            b"RIFF",
+            struct.pack("<I", 4 + (8 + 18) + (8 + 4) + (8 + n + (n & 1))),
+            b"WAVE",
+            b"fmt ",
+            # size=18, format=7 (mulaw), mono, rate, byte_rate=rate,
+            # block_align=1, bits=8, cbSize=0 (non-PCM fmt carries cbSize)
+            struct.pack("<IHHIIHHH", 18, 7, 1, rate, rate, 1, 8, 0),
+            b"fact",
+            struct.pack("<II", 4, n),
+            b"data",
+            struct.pack("<I", n),
+            codes,
+            b"\x00" * (n & 1),  # RIFF 2-byte chunk alignment
+        )
+    )
+
+
+def decode_wav_mulaw(payload: bytes):
+    """Genuine G.711 µ-law WAV decode, pure numpy: RIFF walk (magics, fmt
+    tag 7 with its 18-byte non-PCM layout, `fact` sample count
+    cross-checked against the data chunk — a mismatch is a LOUD error,
+    never a silently short waveform), then the CCITT expansion
+        u = ~code;  t = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7)
+        sample = 0x84 - t  if sign bit else  t - 0x84
+    vectorized over the whole code array. Returns int32 samples in
+    [-32124, 32124]. PCM payloads route to decode_wav_pcm8; ADPCM/MP3/AAC
+    refuse at the documented soundfile/torchaudio plug point."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = fact_n = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: header promises {size} bytes, "
+                f"payload carries {len(body)}"
+            )
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _rate, _byte_rate, _align, bits = fmt
+    if audio_format == 1:
+        raise ValueError("PCM container: decode via decode_wav_pcm8")
+    if (audio_format, n_channels, bits) != (7, 1, 8):
+        raise NotImplementedError(
+            "only G.711 mu-law mono is expanded in pure numpy; ADPCM/MP3/"
+            "AAC require soundfile/torchaudio (production plug point)"
+        )
+    if fact_n is None:
+        raise ValueError("non-PCM WAV without the mandatory fact chunk")
+    if fact_n != len(data):
+        raise ValueError(
+            f"fact chunk promises {fact_n} samples, data carries {len(data)}"
+        )
+    u = (~np.frombuffer(data, dtype=np.uint8)) & 0xFF
+    t = (((u.astype(np.int32) & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+@query(
+    "q_multimodal_mulaw",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+code AS (
+  SELECT doc_id,
+         xor(CAST(concat('0x', substr(hx, 2 * p.p + 1, 2)) AS INT), 255) AS u
+  FROM b, unnest(generate_series(0, n - 1)) p(p)
+),
+dec AS (
+  SELECT doc_id,
+         CASE WHEN (u & 128) != 0
+              THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16)))
+              ELSE (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16))) - 132
+         END AS sample
+  FROM code
+)
+SELECT doc_id,
+       CAST((sample + 32768) // 8192 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT)              AS n_samples,
+       CAST(SUM(sample) AS BIGINT)           AS amp_sum
+FROM dec
+GROUP BY doc_id, bucket
+""",
+)
+def q_multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode over a real codec — the audio twin of the
+    PNG rung: each payload's bytes are wrapped as a genuine G.711 µ-law
+    WAV (format tag 7 + mandatory fact chunk), decoded by an actual
+    RIFF-walking, fact-validating, CCITT-expanding parser
+    (encode_wav_mulaw / decode_wav_mulaw), then mapInPandas emits the
+    8-bin amplitude histogram with integer amplitude sums over the decoded
+    14-bit-dynamic-range waveform. µ-law stores its compressed form as the
+    code bytes themselves, so the DuckDB oracle replays the expansion
+    closed-form from hex(encode(text)) — the hash can only match if the
+    container walk AND the companding arithmetic are bit-exact. ADPCM and
+    perceptual codecs (MP3/AAC) stay behind the documented soundfile plug
+    point.
+
+    Scale shape: identical to the other multimodal rungs — Arrow-batched
+    mapInPandas, vectorized numpy expansion per batch, zero driver
+    involvement, payload columns prune away from non-audio queries."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    # Worker imports the codec from the package zip tune_session ships
+    # (the q_multimodal_png pattern — one definition repo-wide).
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from data_pipeline_aws_spark.multimodal.media import (
+            decode_wav_mulaw,
+            encode_wav_mulaw,
+        )
+
+        for pdf in batches:
+            doc, bkt, cnt, amp = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                samples = decode_wav_mulaw(encode_wav_mulaw(b))
+                buckets = (samples + 32768) // 8192
+                for bk in range(8):
+                    mask = buckets == bk
+                    n = int(mask.sum())
+                    if n:
+                        doc.append(doc_id)
+                        bkt.append(bk)
+                        cnt.append(n)
+                        amp.append(int(samples[mask].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "bucket": pd.Series(bkt, dtype="int32"),
+                    "n_samples": pd.Series(cnt, dtype="int64"),
+                    "amp_sum": pd.Series(amp, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract, "doc_id long, bucket int, n_samples long, amp_sum long"
+    )
+
+
 def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit perceptual-hash signature per document (doc_id, phash) — shared
     by q_multimodal_phash and the banding-completeness property test, so the

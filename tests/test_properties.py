@@ -3397,3 +3397,65 @@ def test_split_leakage_cells_consistent_with_split_and_pairs(spark, sf_dir):
         assert r.split1 <= r.split2
         assert r.is_leak == (r.split1 != r.split2)
         assert abs(r.pct_of_pairs - round(r.n_pairs / total, 6)) < 1e-9
+
+
+def test_mulaw_codec_expands_g711_reference_points_and_fails_loudly():
+    """The µ-law WAV pair must store code bytes verbatim (compressed form
+    IS the byte stream), expand to the published G.711 extrema (±32124,
+    the two zero codes 0x7F/0xFF), keep the 255-value decoded alphabet
+    (+0/-0 collapse — the companding law's own property), and fail loudly:
+    fact/data mismatch, missing fact, truncated chunks, PCM routing, and
+    the ADPCM/MP3 plug point each raise their documented error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import (
+        decode_wav_mulaw,
+        encode_wav_mulaw,
+    )
+
+    codes = bytes(range(256))
+    wav = encode_wav_mulaw(codes)
+    s = decode_wav_mulaw(wav)
+    assert (s[0xFF], s[0x7F], s[0x80], s[0x00]) == (0, 0, 32124, -32124)
+    assert len(set(s.tolist())) == 255  # +0 and -0 collapse, nothing else
+    assert s.min() == -32124 and s.max() == 32124
+    # code bytes ride the data chunk verbatim (byte-lossless compressed form)
+    assert codes in wav
+
+    # odd-length payload exercises RIFF 2-byte alignment
+    s2 = decode_wav_mulaw(encode_wav_mulaw(b"\x01\x02\x03"))
+    assert s2.shape == (3,)
+
+    # fact/data mismatch must be loud, never a silently short waveform
+    bad = wav.replace(
+        b"fact" + struct.pack("<II", 4, 256), b"fact" + struct.pack("<II", 4, 99)
+    )
+    with pytest.raises(ValueError, match="fact chunk promises"):
+        decode_wav_mulaw(bad)
+    # non-PCM WAV without fact is malformed per the WAV spec
+    no_fact = wav.replace(b"fact" + struct.pack("<II", 4, 256), b"")
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav_mulaw(no_fact)
+    # truncation contract shared with every other codec rung
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_mulaw(wav[:-7])
+    # PCM routes to its own decoder; perceptual codecs refuse at the plug
+    from data_pipeline_aws_spark.multimodal.media import encode_wav_pcm8
+
+    with pytest.raises(ValueError, match="decode_wav_pcm8"):
+        decode_wav_mulaw(encode_wav_pcm8(b"abc"))
+    adpcm = wav.replace(
+        struct.pack("<IHHIIHHH", 18, 7, 1, 8000, 8000, 1, 8, 0),
+        struct.pack("<IHHIIHHH", 18, 17, 1, 8000, 4000, 1, 4, 0),
+    )
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_wav_mulaw(adpcm)
+
+    # numpy expansion equals the scalar CCITT formula on every code
+    u = (~np.arange(256)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    ref = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    assert (s == ref).all()
