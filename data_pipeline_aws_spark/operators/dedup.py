@@ -2860,3 +2860,57 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_of_pairs"),
         (F.col("split1") != F.col("split2")).alias("is_leak"),
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+w AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY shingle)
+              THEN 1 ELSE 0 END AS novel
+  FROM shd
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)   AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(novel) * 1.0 / COUNT(*), 6) AS novelty
+FROM w
+GROUP BY doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization/duplication screen a
+    training-data release runs doc-by-doc (the per-document view of Lee et
+    al. 2022's dedup counting: what fraction of this doc's n-grams is
+    first INTRODUCED by it, under the corpus's canonical ingestion order):
+    a doc full of previously-seen shingles is boilerplate/near-dup tail;
+    novelty ~1 marks genuinely fresh text. Definition reuses the
+    single-definition shingle relation (shingle_fingerprints — the same
+    truth side as the whole dedup family; dedup.py:51) so a tokenization
+    change can never fork this audit from the dedup ladder.
+
+    Scale shape: one shuffle keyed on the 8-byte shingle fingerprint for
+    the first-occurrence window (min over the hash partition — no
+    collect, no join back: the window reuses the exchange), one shuffle
+    keyed on doc_id for the per-doc fold. Both are the dedup family's
+    standard partitioning; hot shingles (stopword trigrams) cost a fat
+    window partition but min() is a constant-state streaming aggregate,
+    so skew costs bandwidth, never memory. Oracle replays first-occurrence
+    on raw shingles — the fingerprint side matches only while xxhash64
+    stays collision-free (the documented D^2/2^65 fingerprint trade)."""
+    shh = shingle_fingerprints(spark, sf_dir)
+    novel = shh.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")), 1
+        )
+        .otherwise(0)
+        .alias("novel"),
+    )
+    return novel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+        F.round(F.sum("novel") / F.count(F.lit(1)), 6).alias("novelty"),
+    )

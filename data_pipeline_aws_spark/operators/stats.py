@@ -402,3 +402,69 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 2) / 100.0, 4).alias("ci_lo"),
         F.round(F.element_at("ms", _BOOT_B - 1) / 100.0, 4).alias("ci_hi"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+SELECT col_x, col_y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(x, y), 6) + 0 AS pearson_r
+FROM (
+  SELECT p.col_x, p.col_y,
+         CASE p.col_x WHEN 'l_quantity' THEN l_quantity
+                      WHEN 'l_extendedprice' THEN l_extendedprice
+                      WHEN 'l_discount' THEN l_discount END AS x,
+         CASE p.col_y WHEN 'l_extendedprice' THEN l_extendedprice
+                      WHEN 'l_discount' THEN l_discount
+                      WHEN 'l_tax' THEN l_tax END AS y
+  FROM lineitem,
+       (VALUES ('l_quantity','l_extendedprice'),
+               ('l_quantity','l_discount'),
+               ('l_quantity','l_tax'),
+               ('l_extendedprice','l_discount'),
+               ('l_extendedprice','l_tax'),
+               ('l_discount','l_tax')) p(col_x, col_y)
+)
+GROUP BY col_x, col_y
+""",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    measures — the feature-screening pass (multicollinearity check, data-
+    quality drift watch) a pipeline runs before regression/allocation
+    models. All C(4,2)=6 pairs ride ONE global aggregation: corr() is an
+    algebraic aggregate (sum, sum_sq, sum_xy partials), so every pair's
+    co-moments combine map-side and a single reduce emits the matrix —
+    the fact table is scanned exactly once with a 3-column ReadSchema
+    (l_tax rides the same scan), shuffling only 6 constant-size partial
+    states regardless of row count. The upper triangle is melted to
+    (col_x, col_y) rows via an in-row stack, not a per-pair re-scan.
+
+    Floats: corr's co-moment accumulation is summation-order-dependent in
+    the last bits, so both engines ROUND to 6 (the verify contract for
+    aggregated floats); `+ 0` normalizes IEEE -0.0 on anticorrelations."""
+    li = table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    aggs = []
+    pairs = []
+    for i, cx in enumerate(_CORR_COLS):
+        for cy in _CORR_COLS[i + 1 :]:
+            pairs.append((cx, cy))
+            aggs.append(F.corr(cx, cy).alias(f"r_{cx}_{cy}"))
+            aggs.append(F.count(F.lit(1)).alias(f"n_{cx}_{cy}"))
+    wide = li.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (col_x, col_y, n, r)".format(
+        n=len(pairs),
+        args=", ".join(
+            f"'{cx}', '{cy}', n_{cx}_{cy}, r_{cx}_{cy}" for cx, cy in pairs
+        ),
+    )
+    return wide.selectExpr(stack_expr).select(
+        "col_x",
+        "col_y",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round("r", 6) + F.lit(0)).alias("pearson_r"),
+    )

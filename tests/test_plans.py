@@ -1453,3 +1453,26 @@ def test_dataset_card_partial_aggs_no_corpus_join(plans):
     assert final.count("FileScan") <= 2, final
     assert "SortMergeJoin" not in final, final
     assert "CartesianProduct" not in final, final
+
+
+def test_corr_matrix_single_scan_no_join(plans):
+    """All six correlation pairs must ride ONE lineitem scan and one global
+    partial→final aggregation: no join anywhere, ReadSchema pruned to the
+    four measure columns."""
+    p = plans("q_corr_matrix")
+    assert "Join" not in p, p
+    final = p.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final
+    read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_quantity" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_ngram_novelty_window_reuses_exchange_no_join(plans):
+    """First-occurrence must be a min() window over the fingerprint
+    partition, never a self-join back onto the gram relation: no join in
+    the plan and exactly one corpus scan/explode."""
+    p = plans("q_ngram_novelty")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastHashJoin" not in p, p
+    final = p.split("Initial Plan")[0]
+    assert final.count("Generate explode") == 1, final
