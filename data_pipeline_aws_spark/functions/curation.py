@@ -1656,3 +1656,72 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.crossJoin(F.broadcast(toplang))
+
+
+_EPOCH_BUDGET_MULT = 3  # token budget = 3x the corpus (a data-constrained run)
+_EPOCH_CAP = 4  # ~4 epochs: the published diminishing-returns knee
+
+
+@query(
+    "q_epoch_plan",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(SQRT(n_tokens)) AS z,
+         CAST(SUM(n_tokens) AS BIGINT) AS total
+  FROM per
+)
+SELECT source,
+       n_tokens,
+       ROUND(SQRT(n_tokens) / z, 6)  AS share,
+       ROUND({_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z)
+             / n_tokens, 4)          AS epochs,
+       ROUND(GREATEST(0.0,
+             {_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z) / n_tokens
+             - {_EPOCH_CAP}), 4)     AS excess_epochs,
+       {_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z) / n_tokens
+         > {_EPOCH_CAP}              AS over_cap
+FROM per, tot
+""",
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training epoch plan — the budgeting table a run
+    plans against when the token budget exceeds the corpus (Muennighoff et
+    al. 2023: repeating data holds up to ~4 epochs, then returns diminish
+    rapidly): under a 3x-corpus token budget allocated by the same
+    temperature-√ mixture family q_mix_sources ships (share ∝ √tokens —
+    small high-quality sources get upweighted, which is exactly what
+    forces them into multi-epoch repetition), compute each source's
+    implied epoch count, flag sources pushed past the 4-epoch knee, and
+    quantify the excess — the signal to either widen that source or
+    re-temper the mix.
+
+    Scale shape: ONE corpus pass to the bounded per-source token table
+    (in-row size(split()) — no explode), then closed-form arithmetic on
+    dozens of rows. √ instead of a fractional power for the same
+    bit-stability reason as q_mix_sources; all emitted floats ROUND to
+    the repo contract."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("total"),
+    )
+    share = F.sqrt("n_tokens") / F.col("z")
+    epochs = F.lit(_EPOCH_BUDGET_MULT) * F.col("total") * share / F.col("n_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(epochs, 4).alias("epochs"),
+        F.round(F.greatest(F.lit(0.0), epochs - _EPOCH_CAP), 4).alias(
+            "excess_epochs"
+        ),
+        (epochs > _EPOCH_CAP).alias("over_cap"),
+    )

@@ -1259,3 +1259,83 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("sum_qty"),
         F.round(F.sum("c") / 100.0, 2).alias("revenue"),
     )
+
+
+_JSE_BUCKETS = 1024
+
+
+def _jse_oracle() -> str:
+    from data_pipeline_aws_spark.functions.curation import stratum_bucket_sql
+
+    b = stratum_bucket_sql("k", _JSE_BUCKETS)
+    return f"""
+WITH ec AS (SELECT user_id   AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+oc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+       FROM orders GROUP BY 1),
+eb AS (SELECT {b} AS b, CAST(SUM(c) AS BIGINT) AS n FROM ec GROUP BY 1),
+ob AS (SELECT {b} AS b, CAST(SUM(c) AS BIGINT) AS n FROM oc GROUP BY 1),
+est AS (SELECT CAST(SUM(eb.n * ob.n) AS BIGINT) AS est_rows
+        FROM eb JOIN ob USING (b)),
+ex AS (SELECT CAST(SUM(ec.c * oc.c) AS BIGINT) AS exact_rows
+       FROM ec JOIN oc USING (k))
+SELECT {_JSE_BUCKETS}  AS n_buckets,
+       est_rows,
+       exact_rows,
+       ROUND((est_rows - exact_rows) * 1.0 / exact_rows, 6) AS rel_error
+FROM est, ex
+"""
+
+
+@query("q_join_size_estimate", oracle=_jse_oracle())
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from hash-bucket histograms — the
+    planning primitive behind 'can we afford this join?': estimate
+    |events ⋈ orders ON user_id = o_custkey| (many-to-many on both sides)
+    WITHOUT running the row join, by folding each side's per-key counts
+    into B=1024 width-safe hash buckets and summing the per-bucket count
+    products — the classic histogram estimator (System R lineage; exact
+    when buckets isolate keys, upward-biased as keys collide, and the
+    bias itself measures key-space crowding). The exact size rides the
+    same per-key relations (a distinct-KEY-grain join, metadata-sized —
+    never the row join being estimated) so the emitted rel_error audits
+    the estimator.
+
+    Scale shape: one scan + one groupBy per side at key grain, then a
+    1024-row bounded join for the estimate — at 100 TB the estimator's
+    cost is the two key-grain aggregates; the quadratic row join never
+    happens. The bucket hash routes through stratum_bucket (the repo-wide
+    width-safe definition), so both engines bucket identically."""
+    from data_pipeline_aws_spark.functions.curation import stratum_bucket
+
+    ec = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    oc = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    eb = ec.groupBy(stratum_bucket(F.col("k"), _JSE_BUCKETS).alias("b")).agg(
+        F.sum("c").alias("n_e")
+    )
+    ob = oc.groupBy(stratum_bucket(F.col("k"), _JSE_BUCKETS).alias("b")).agg(
+        F.sum("c").alias("n_o")
+    )
+    est = eb.join(ob, "b").agg(
+        F.sum(F.col("n_e") * F.col("n_o")).cast("bigint").alias("est_rows")
+    )
+    exact = ec.alias("a").join(oc.alias("b"), "k").agg(
+        F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("exact_rows")
+    )
+    return est.crossJoin(exact).select(
+        F.lit(_JSE_BUCKETS).alias("n_buckets"),
+        "est_rows",
+        "exact_rows",
+        F.round(
+            (F.col("est_rows") - F.col("exact_rows")) * 1.0 / F.col("exact_rows"),
+            6,
+        ).alias("rel_error"),
+    )

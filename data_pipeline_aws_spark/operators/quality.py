@@ -1062,3 +1062,61 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("suppression_rate"),
         F.min("k").alias("min_k"),
     )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+WITH qi AS (
+  SELECT lang, {_QI_BUCKET_SQL} AS len_bucket,
+         CAST(COUNT(*) AS BIGINT)                 AS k,
+         CAST(COUNT(DISTINCT source) AS BIGINT)   AS l
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)  AS n_groups,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_groups,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN k ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(SUM(CASE WHEN l < {_LDIV_L} THEN k ELSE 0 END) * 1.0 / SUM(k), 6)
+         AS at_risk_rate,
+       CAST(MIN(l) AS BIGINT)    AS min_l
+FROM qi
+GROUP BY lang
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. '07) — the gate k-anonymity
+    misses: a group can be k-large yet reveal everyone's sensitive value if
+    all k rows SHARE it (homogeneity attack). Groups rows by the same
+    quasi-identifier ladder as q_k_anonymity (lang × 64-char length
+    bucket), counts DISTINCT sensitive values (source) per group, and
+    reports per lang how many groups fall below l=3 and how many rows an
+    l-diverse release must generalize. min_l is the worst-case group.
+
+    Scale shape: one corpus shuffle on the QI key with a distinct-count
+    (Spark plans count(distinct) as the standard two-phase expand —
+    map-side partials both phases), then the bounded per-lang grid. At
+    extreme sensitive-value cardinality the exact distinct swaps for
+    approx_count_distinct with a documented error bound (the q_hll_merge
+    machinery); exact is right at any realistic source-label count."""
+    d = table(spark, sf_dir, "documents")
+    qi = d.groupBy("lang", F.expr(_QI_BUCKET_SQL).alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("source").alias("l"),
+    )
+    low = F.col("l") < _LDIV_L
+    return qi.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).alias("n_low_diversity_groups"),
+        F.sum(F.when(low, F.col("k")).otherwise(0)).alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(low, F.col("k")).otherwise(0)) * 1.0 / F.sum("k"), 6
+        ).alias("at_risk_rate"),
+        F.min("l").alias("min_l"),
+    )

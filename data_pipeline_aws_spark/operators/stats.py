@@ -468,3 +468,78 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.round("r", 6) + F.lit(0)).alias("pearson_r"),
     )
+
+
+_ACF_LAGS = (1, 7, 30)
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT rev,
+         LAG(rev, 1)  OVER (ORDER BY d) AS l1,
+         LAG(rev, 7)  OVER (ORDER BY d) AS l7,
+         LAG(rev, 30) OVER (ORDER BY d) AS l30
+  FROM daily
+)
+SELECT lag, n_pairs, autocorr FROM (
+  SELECT 1 AS lag, CAST(COUNT(l1) AS BIGINT) AS n_pairs,
+         ROUND(CORR(rev, l1), 6) + 0 AS autocorr FROM lagged
+  UNION ALL
+  SELECT 7, CAST(COUNT(l7) AS BIGINT), ROUND(CORR(rev, l7), 6) + 0
+  FROM lagged
+  UNION ALL
+  SELECT 30, CAST(COUNT(l30) AS BIGINT), ROUND(CORR(rev, l30), 6) + 0
+  FROM lagged
+)
+""",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily revenue series (k = 1, 7, 30 —
+    day-over-day persistence, weekly seasonality, monthly cycle) — the
+    ACF screen that decides whether q_seasonal_index / q_forecast_revenue
+    have any signal to model, and the standard drift check on a metric's
+    temporal structure.
+
+    Scale shape: the fact table collapses to day grain FIRST (map-side
+    combinable DECIMAL sum, ~3 k rows/decade — the q_cusum_changepoint
+    contract), so the single-partition ordered window that builds the
+    lagged columns runs on bounded model state, never raw rows. All three
+    lags ride ONE window (three LAG offsets over the same sort), and the
+    three corr() aggregates fold in one pass over the lagged table.
+    Calendar gaps lag to the previous OBSERVED day on both engines
+    identically. corr is summation-order-dependent in the last bits →
+    ROUND(,6)+0 both sides (the repo's aggregated-float contract)."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev", *[F.lag("rev", k).over(w).alias(f"l{k}") for k in _ACF_LAGS]
+    )
+    aggs = []
+    for k in _ACF_LAGS:
+        aggs.append(F.count(f"l{k}").alias(f"n_{k}"))
+        aggs.append(F.corr("rev", f"l{k}").alias(f"r_{k}"))
+    wide = lagged.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (lag, n_pairs, r)".format(
+        n=len(_ACF_LAGS),
+        args=", ".join(f"{k}, n_{k}, r_{k}" for k in _ACF_LAGS),
+    )
+    return wide.selectExpr(stack_expr).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.round("r", 6) + F.lit(0)).alias("autocorr"),
+    )
