@@ -313,3 +313,101 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("allocated"),
     )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(
+           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+           o_orderpriority), 1, 10)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT 'orders'                            AS table_name,
+       CAST(COUNT(*) AS BIGINT)            AS n_rows,
+       CAST(SUM(h) AS BIGINT)              AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT)          AS checksum_xor
+FROM h
+UNION ALL
+SELECT 'customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(concat('0x', substr(md5(
+         c_custkey || '|' || c_mktsegment), 1, 10)) AS BIGINT)) AS BIGINT),
+       CAST(bit_xor(CAST(concat('0x', substr(md5(
+         c_custkey || '|' || c_mktsegment), 1, 10)) AS BIGINT)) AS BIGINT)
+FROM customer
+""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum — the integrity primitive behind
+    'did the migration/replication/compaction preserve the table?': each
+    row folds to a 40-bit md5 fingerprint of a canonical '|'-separated
+    rendering of its key columns, and the table folds to (n_rows, SUM,
+    XOR) of those fingerprints. SUM and XOR are both commutative and
+    associative, so the checksum is independent of row order, partition
+    layout, and file count — two replicas agree iff their multisets of
+    rendered rows agree (XOR catches even-multiplicity swaps that SUM
+    alone could alias, and vice versa). Cross-engine by construction:
+    md5 over an explicit string rendering, never an engine-private hash.
+
+    Scale shape: embarrassingly parallel — map-side fingerprint, partial
+    SUM/XOR/COUNT combine, one scalar row per table out; the cheapest
+    full-table read there is. 40-bit fingerprints keep the int64 SUM
+    exact to ~10^7 rows per table; beyond that a production deployment
+    sums per-partition partials modulo 2^64 (both engines' wrap rules
+    then apply identically by construction) — the XOR channel is
+    width-independent either way. Canonical rendering restricts to
+    integer/string columns here; floats would need an explicit decimal
+    rendering contract (documented, not needed for key-integrity
+    checks)."""
+    o = table(spark, sf_dir, "orders")
+    oh = o.select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        "o_orderstatus",
+                        "o_orderpriority",
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    c = table(spark, sf_dir, "customer")
+    ch = c.select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("c_custkey").cast("string"), "c_mktsegment"
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+
+    def fold(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum_sum"),
+            F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
+        ).select("table_name", "n_rows", "checksum_sum", "checksum_xor")
+
+    return fold(oh, "orders").unionByName(fold(ch, "customer"))
