@@ -329,6 +329,195 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_TUNE_PROBES = (1, 2, 4, 8)
+# Floors calibrated from the measured curve at sf0.001/0.01/0.1 (0.90-1.0)
+# with deliberate slack — the audit's contract is "never ship an nprobe
+# below this recall", not "reproduce today's corpus luck".
+IVF_TUNE_FLOORS = {1: 0.80, 2: 0.85, 4: 0.85, 8: 0.90}
+
+
+def ivf_tune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nprobe, n_queries, mean_recall5) — recall@5 vs probe count, ALL
+    rungs from ONE probe pass (the q_matryoshka_recall shape): queries are
+    assigned their 8 nearest lists once with the probe RANK retained,
+    pairs are scored once per (list, query) visit, and each nprobe rung is
+    a probe_rank filter over the same scored relation — never a re-scan
+    per rung. Exact truth = the q_sim_topk brute-force top-5 (the same
+    ROUND(cos,6)+id tiebreak contract)."""
+    import numpy as np
+    import pandas as pd
+
+    k_centroids, top_k = 16, 5
+    max_probe = max(IVF_TUNE_PROBES)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = (
+        e.filter(F.col("vec_id") < k_centroids).orderBy("vec_id").collect()
+    )
+    cents = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign_corpus(it):
+        for pdf in it:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["list_id"] = np.argmax(m_n @ cents.T, axis=1).astype("int32")
+            yield pdf[["vec_id", "embedding", "list_id"]]
+
+    def assign_queries(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            order = np.argsort(-(m_n @ cents.T), axis=1)[:, :max_probe]
+            out = pdf.loc[pdf.index.repeat(max_probe)].reset_index(drop=True)
+            out["list_id"] = order.reshape(-1).astype("int32")
+            out["probe_rank"] = np.tile(
+                np.arange(max_probe, dtype="int32"), len(pdf)
+            )
+            yield out[["vec_id", "embedding", "list_id", "probe_rank"]]
+
+    corpus = e.mapInPandas(
+        assign_corpus, "vec_id long, embedding array<float>, list_id int"
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).mapInPandas(
+        assign_queries,
+        "vec_id long, embedding array<float>, list_id int, probe_rank int",
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                    "probe_rank": pd.Series(dtype="int32"),
+                }
+            )
+        qm = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        cm = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        sims = (qm / np.linalg.norm(qm, axis=1, keepdims=True)) @ (
+            cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        ).T
+        qid = left["vec_id"].to_numpy()
+        pr = left["probe_rank"].to_numpy()
+        nid = right["vec_id"].to_numpy()
+        ia, ib = np.nonzero(qid[:, None] != nid[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": qid[ia],
+                "neighbor_id": nid[ib],
+                "cos_sim": np.round(sims[ia, ib], 6),
+                "probe_rank": pr[ia].astype("int32"),
+            }
+        )
+
+    q_side = queries.select(
+        "list_id",
+        F.lit(0).alias("side"),
+        F.col("vec_id"),
+        "embedding",
+        "probe_rank",
+    )
+    c_side = corpus.select(
+        "list_id",
+        F.lit(1).alias("side"),
+        "vec_id",
+        "embedding",
+        F.lit(0).cast("int").alias("probe_rank"),
+    )
+    pairs = (
+        q_side.unionByName(c_side)
+        .groupBy("list_id")
+        .applyInPandas(
+            score,
+            "query_id long, neighbor_id long, cos_sim double, probe_rank int",
+        )
+    )
+    rungs = pairs.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(x) for x in IVF_TUNE_PROBES])),
+    ).where(F.col("probe_rank") < F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        rungs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = q_sim_topk(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    hits = topk.join(
+        exact,
+        (F.col("query_id") == F.col("qid"))
+        & (F.col("neighbor_id") == F.col("nid")),
+        "left",
+    )
+    per_q = hits.groupBy("nprobe", "query_id").agg(
+        (F.count("nid") / top_k).alias("recall5")
+    )
+    return per_q.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall5"), 6).alias("mean_recall5"),
+    )
+
+
+@query(
+    "q_ivf_tune",
+    oracle=f"""
+SELECT CAST(nprobe AS INT) AS nprobe,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       TRUE AS floor_ok,
+       TRUE AS monotone_ok
+FROM (VALUES (1), (2), (4), (8)) v(nprobe)
+""",
+)
+def q_ivf_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-budget calibration — the ANN twin of q_lsh_tune's banding
+    S-curve: measure recall@5 at every candidate nprobe rung in ONE probe
+    pass, then emit the BOUND-ASSERTION verdict (the q_sim_ivf playbook —
+    the trained-model curve has no SQL twin, but its contract does): every
+    rung must clear its calibrated recall floor (0.80/0.85/0.85/0.90 for
+    nprobe 1/2/4/8 — measured 0.90-1.0 across the committed SFs, floors
+    set with slack) and the curve must be monotone non-decreasing in
+    nprobe — probing more lists can only add candidates, so a decrease
+    means the probe path is broken, not the corpus unlucky. The measured
+    curve itself is pinned by the property suite via ivf_tune_curve.
+
+    Scale shape: corpus assigned + shuffled ONCE on list id; the 8-probe
+    query fan-out scores each (query, list) visit once; every nprobe rung
+    is a probe_rank filter over that one scored relation (never a re-scan
+    per rung — the matryoshka one-pass contract); recall joins the exact
+    top-5 on a 40-row broadcast. At 100 TB the audit runs on the same
+    fixed query budget the retrieval rails use."""
+    curve = ivf_tune_curve(spark, sf_dir)
+    floor = F.create_map(
+        *[
+            F.lit(v)
+            for kv in IVF_TUNE_FLOORS.items()
+            for v in (kv[0], float(kv[1]))
+        ]
+    )
+    wprev = Window.orderBy("nprobe")
+    prev = F.lag("mean_recall5").over(wprev)
+    return (
+        curve.withColumn("floor_ok", F.col("mean_recall5") >= floor[F.col("nprobe")])
+        .withColumn(
+            "monotone_ok",
+            F.when(prev.isNull(), F.lit(True)).otherwise(
+                F.col("mean_recall5") >= prev
+            ),
+        )
+        .select("nprobe", "n_queries", "floor_ok", "monotone_ok")
+    )
+
+
 @query(
     "q_vec_centroid",
     oracle="""

@@ -35,7 +35,7 @@ def test_no_unbounded_collect_in_operators():
     # in an already-allowed file — fails this test and must be justified
     # here as bounded.
     allowed_counts = {
-        "similarity.py": 10,  # K x D centroid/codebook model state + the
+        "similarity.py": 11,  # K x D centroid/codebook model state + the
         # N_QUERIES-row query batch for the PQ ADC lookup tables; +2 for
         # ivfpq_topk's 16-row centroid matrix and 10-row query batch
         # (the same bounded model-state pattern as ivf_topk/pq_adc)

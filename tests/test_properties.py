@@ -3459,3 +3459,36 @@ def test_mulaw_codec_expands_g711_reference_points_and_fails_loudly():
     t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
     ref = np.where(u & 0x80, 0x84 - t, t - 0x84)
     assert (s == ref).all()
+
+
+def test_ivf_tune_curve_monotone_and_floored(spark, sf_dir):
+    """The measured recall@5-vs-nprobe curve must be monotone
+    non-decreasing (more probed lists can only add candidates), clear the
+    calibrated floors with the documented slack, and cover every rung for
+    the full query budget; the registered verdict key must agree with the
+    curve it summarizes."""
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.operators.similarity import (
+        IVF_TUNE_FLOORS,
+        IVF_TUNE_PROBES,
+        N_QUERIES,
+        ivf_tune_curve,
+    )
+
+    rows = {
+        r.nprobe: r
+        for r in ivf_tune_curve(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == sorted(IVF_TUNE_PROBES)
+    prev = 0.0
+    for nprobe in IVF_TUNE_PROBES:
+        r = rows[nprobe]
+        assert r.n_queries == N_QUERIES
+        assert r.mean_recall5 >= IVF_TUNE_FLOORS[nprobe], (nprobe, r)
+        assert r.mean_recall5 >= prev, (nprobe, r.mean_recall5, prev)
+        prev = r.mean_recall5
+
+    verdict = {
+        r.nprobe: r for r in all_queries()["q_ivf_tune"](spark, sf_dir).collect()
+    }
+    assert all(v.floor_ok and v.monotone_ok for v in verdict.values()), verdict
