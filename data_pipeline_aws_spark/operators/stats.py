@@ -543,3 +543,73 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         (F.round("r", 6) + F.lit(0)).alias("autocorr"),
     )
+
+
+# Two-sided alpha=0.05 and 80% power normal quantiles, fixed as literals on
+# both engines (no erfinv in either SQL dialect; these are THE published
+# constants every sample-size calculator hardcodes).
+_Z_ALPHA = 1.959964
+_Z_POWER = 0.841621
+_MDE_LADDER = (0.01, 0.02, 0.05, 0.10)
+
+
+@query(
+    "q_sample_size",
+    oracle=f"""
+WITH base AS (
+  SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0
+           / COUNT(*) AS p,
+         CAST(COUNT(*) AS BIGINT) AS n_current
+  FROM orders
+)
+SELECT mde_rel,
+       ROUND(p, 6) AS baseline_rate,
+       n_current,
+       CAST(CEIL(2 * POW({_Z_ALPHA} + {_Z_POWER}, 2) * p * (1 - p)
+                 / POW(p * mde_rel, 2)) AS BIGINT) AS n_per_arm,
+       CAST(CEIL(2 * POW({_Z_ALPHA} + {_Z_POWER}, 2) * p * (1 - p)
+                 / POW(p * mde_rel, 2)) AS BIGINT) * 2
+         <= n_current                              AS feasible_now
+FROM base, (VALUES (0.01), (0.02), (0.05), (0.10)) v(mde_rel)
+""",
+)
+def q_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planning — the power analysis q_abtest's
+    users run BEFORE the test: for a ladder of relative minimum detectable
+    effects (1/2/5/10%), the per-arm n required to detect that lift on the
+    measured baseline rate (share of 'F'-status orders) at two-sided
+    α=0.05 and 80% power — the standard two-proportion z-test formula
+    n = 2(z_α+z_β)²p(1−p)/(pδ)² with the published normal quantiles as
+    cross-engine literals (no erfinv in either SQL dialect). feasible_now
+    compares 2n against the rows actually available.
+
+    Scale shape: ONE aggregate collapses the fact table to (p, n) — a
+    single map-side-combinable pass — then the 4-row MDE ladder is
+    closed-form arithmetic on a broadcast scalar. ceil() on bit-identical
+    double products is engine-stable (same literals, same operation
+    order); the baseline rate is an exact BIGINT ratio."""
+    base = table(spark, sf_dir, "orders").agg(
+        (
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("p"),
+        F.count(F.lit(1)).alias("n_current"),
+    )
+    ladder = spark.createDataFrame(
+        [(m,) for m in _MDE_LADDER], "mde_rel double"
+    )
+    n_arm = F.ceil(
+        2
+        * F.pow(F.lit(_Z_ALPHA + _Z_POWER), 2)
+        * F.col("p")
+        * (1 - F.col("p"))
+        / F.pow(F.col("p") * F.col("mde_rel"), 2)
+    ).cast("bigint")
+    return ladder.crossJoin(F.broadcast(base)).select(
+        "mde_rel",
+        F.round("p", 6).alias("baseline_rate"),
+        F.col("n_current").cast("bigint").alias("n_current"),
+        n_arm.alias("n_per_arm"),
+        ((n_arm * 2) <= F.col("n_current")).alias("feasible_now"),
+    )

@@ -1245,3 +1245,151 @@ def q_range_sort_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_rows"),
         F.min(F.col("ok").cast("int")).cast("boolean").alias("ranges_disjoint"),
     )
+
+
+_RUNS_COLS = ("l_returnflag", "l_linestatus", "l_tax")
+_RUNS_BUCKETS = 32
+
+
+def _runs_oracle() -> str:
+    from data_pipeline_aws_spark.functions.curation import stratum_bucket_sql
+
+    bucket = stratum_bucket_sql("l_orderkey", _RUNS_BUCKETS)
+    return f"""
+WITH t AS (
+  SELECT l_returnflag, l_linestatus, l_tax, l_orderkey, l_linenumber,
+         l_partkey, l_suppkey,
+         {bucket} AS bkt
+  FROM lineitem
+),
+runs AS (
+  SELECT col, layout, CAST(1 + SUM(chg) AS BIGINT) AS n_runs
+  FROM (
+    SELECT bkt, col, layout,
+           CASE WHEN v IS DISTINCT FROM LAG(v) OVER
+                  (PARTITION BY bkt, col, layout ORDER BY o1, o2, o3, o4, o5, v)
+                THEN 1 ELSE 0 END AS chg
+    FROM (
+      SELECT bkt, u.col,
+             CASE u.col WHEN 'l_returnflag' THEN l_returnflag
+                        WHEN 'l_linestatus' THEN l_linestatus
+                        ELSE CAST(l_tax AS VARCHAR) END AS v,
+             lay.layout,
+             CASE WHEN lay.layout = 'natural' THEN NULL
+                  ELSE l_returnflag END AS o1,
+             l_orderkey AS o2, l_linenumber AS o3,
+             l_partkey AS o4, l_suppkey AS o5
+      FROM t,
+           (VALUES ('l_returnflag'), ('l_linestatus'), ('l_tax')) u(col),
+           (VALUES ('natural'), ('sorted')) lay(layout)
+    )
+  )
+  GROUP BY bkt, col, layout
+)
+SELECT col,
+       CAST(SUM(CASE WHEN layout = 'natural' THEN n_runs END) AS BIGINT)
+         AS runs_natural,
+       CAST(SUM(CASE WHEN layout = 'sorted' THEN n_runs END) AS BIGINT)
+         AS runs_sorted,
+       ROUND(SUM(CASE WHEN layout = 'sorted' THEN n_runs END) * 1.0
+             / SUM(CASE WHEN layout = 'natural' THEN n_runs END), 6)
+         AS run_ratio
+FROM runs
+GROUP BY col
+"""
+
+
+@query("q_layout_runs", oracle=_runs_oracle())
+def q_layout_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length layout audit — the measurement behind 'why sort before
+    landing': for each low-cardinality column, count the value RUNS a
+    columnar encoder would see per write bucket (bucket ≈ file: encoding
+    wins happen inside a row group, never across files) under the landed
+    order (orderkey, linenumber) vs a shipmode-clustered rewrite. The
+    run_ratio is directly the RLE/dictionary-run compression lever a
+    q_zorder-style rewrite buys — the number that justifies paying the
+    sort at write time.
+
+    Scale shape: both layouts and all three columns ride ONE scan: the
+    (column × layout) grid is an in-row fan-out (6 rows per input row via
+    a VALUES cross — map-side, no data re-scan), runs are per-bucket LAG
+    windows (32-way parallel, never a global order), and the final fold
+    is a 6-row grid. Cross-bucket boundary runs are uncounted on BOTH
+    engines identically (+1 per bucket convention) — the per-file model
+    is the honest one for encoders anyway. Bucket hash = the repo-wide
+    width-safe stratum_bucket."""
+    from data_pipeline_aws_spark.functions.curation import stratum_bucket
+
+    li = table(spark, sf_dir, "lineitem").select(
+        *_RUNS_COLS, "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    t = li.withColumn(
+        "bkt", stratum_bucket(F.col("l_orderkey"), _RUNS_BUCKETS)
+    )
+    # in-row (col, layout) fan-out: 6 variants per row, one scan
+    variants = []
+    for c in _RUNS_COLS:
+        for layout in ("natural", "sorted"):
+            variants.append(
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.lit(layout).alias("layout"),
+                    F.col(c).cast("string").alias("v"),
+                    (
+                        F.lit(None).cast("string")
+                        if layout == "natural"
+                        else F.col("l_returnflag").cast("string")
+                    ).alias("o1"),
+                )
+            )
+    fan = t.select(
+        "bkt",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.explode(F.array(*variants)).alias("u"),
+    ).select(
+        "bkt",
+        F.col("u.col").alias("col"),
+        F.col("u.layout").alias("layout"),
+        F.col("u.v").alias("v"),
+        F.col("u.o1").alias("o1"),
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_linenumber").alias("o3"),
+        F.col("l_partkey").alias("o4"),
+        F.col("l_suppkey").alias("o5"),
+    )
+    w = Window.partitionBy("bkt", "col", "layout").orderBy(
+        "o1", "o2", "o3", "o4", "o5", "v"
+    )
+    chg = fan.select(
+        "bkt",
+        "col",
+        "layout",
+        F.when(
+            ~F.col("v").eqNullSafe(F.lag("v").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    per_bucket = chg.groupBy("bkt", "col", "layout").agg(
+        (1 + F.sum("chg")).alias("n_runs")
+    )
+    return (
+        per_bucket.groupBy("col")
+        .agg(
+            F.sum(F.when(F.col("layout") == "natural", F.col("n_runs"))).alias(
+                "rn"
+            ),
+            F.sum(F.when(F.col("layout") == "sorted", F.col("n_runs"))).alias(
+                "rs"
+            ),
+        )
+        .select(
+            "col",
+            F.col("rn").cast("bigint").alias("runs_natural"),
+            F.col("rs").cast("bigint").alias("runs_sorted"),
+            F.round(F.col("rs") * 1.0 / F.col("rn"), 6).alias("run_ratio"),
+        )
+    )
