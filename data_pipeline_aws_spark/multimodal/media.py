@@ -1736,6 +1736,314 @@ def q_multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GIF_W = 16  # fixture raster width for the LZW-compressed (GIF) rung
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression of an index stream, pure stdlib: codes
+    packed LSB-first with the growing code width (min+1 … 12 bits), CLEAR
+    emitted first and again on dictionary overflow at 4096 (the spec's
+    reset protocol), END terminating the stream. Greedy longest-match via
+    a dict keyed on (prefix_code, next_byte) — O(n), no string concat."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += size
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh():
+        return {}, end + 1, min_code_size + 1
+
+    table, next_code, size = fresh()
+    emit(clear, size)
+    prev = -1
+    for b in indices:
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev, b)
+        if key in table:
+            prev = table[key]
+            continue
+        emit(prev, size)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << size) and size < 12:
+            size += 1
+        prev = b
+        if next_code > 4095:
+            emit(clear, size)
+            table, next_code, size = fresh()
+    if prev >= 0:
+        emit(prev, size)
+    emit(end, size)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of _lzw_encode_gif: LSB-first code reader with the growing
+    width, CLEAR/END handling, and the KwKwK (code == next_code) case.
+    Loud ValueError on out-of-range codes or a stream missing END."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    pos = 0  # bit cursor
+
+    def read(size: int) -> int:
+        nonlocal pos
+        if pos + size > len(data) * 8:
+            raise ValueError("LZW stream ended without END code")
+        code = 0
+        for i in range(size):
+            byte = data[(pos + i) >> 3]
+            code |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += size
+        return code
+
+    table: list[bytes] = []
+    size = min_code_size + 1
+    prev_seq = b""
+    while True:
+        code = read(size)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            size = min_code_size + 1
+            prev_seq = b""
+            continue
+        if code == end:
+            return bytes(out)
+        if not table:
+            raise ValueError("LZW data before any CLEAR code")
+        if code < len(table) and code != clear + 1:
+            seq = table[code]
+        elif code == len(table) and prev_seq:
+            seq = prev_seq + prev_seq[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"out-of-range LZW code {code}")
+        out.extend(seq)
+        if prev_seq:
+            table.append(prev_seq + seq[:1])
+            # decoder grows width one step EARLIER than the encoder's
+            # next assignment would overflow — the spec's mirrored rule
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        prev_seq = seq
+
+
+def encode_gif(pixels: bytes, width: int = GIF_W) -> bytes:
+    """Canonical GIF87a container around 8-bit grayscale pixels — a REAL
+    LZW-compressed image format (any browser/viewer opens it), pure
+    stdlib: logical screen descriptor, 256-entry grayscale global color
+    table (identity palette: index i → (i,i,i), so the index stream IS
+    the pixel bytes and the container is pixel-lossless), one image
+    descriptor, LZW min-code-size 8, data sub-blocks ≤255 bytes, trailer.
+    Whole-row prefix convention shared with encode_png."""
+    import struct
+
+    n = len(pixels)
+    h = n // width
+    kept = width * h
+    if not kept:
+        raise ValueError("payload shorter than one GIF row")
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_encode_gif(pixels[:kept])
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, h, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, h, 0)
+        + bytes([8])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes):
+    """Genuine GIF87a/89a parse: signature, logical screen descriptor,
+    global color table walk, block dispatch (extensions skipped by their
+    sub-block grammar — the 89a path), image descriptor, LZW inflate, and
+    palette mapping back to grayscale bytes. Returns (width, height,
+    numpy uint8 pixels). Refusals are the module contract: interlaced
+    images, local color tables, and non-grayscale palettes raise
+    NotImplementedError at the documented PIL plug point; truncated
+    blocks, bad signatures, and broken LZW streams raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 7)
+        palette = payload[pos : pos + 3 * n_colors]
+        if len(palette) < 3 * n_colors:
+            raise ValueError("truncated global color table")
+        pos += 3 * n_colors
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, iw, ih, ipacked = struct.unpack(
+            "<HHHHB", payload[pos + 1 : pos + 10]
+        )
+        if ipacked & 0x40:
+            raise NotImplementedError(
+                "interlaced GIF requires PIL (plug point)"
+            )
+        if ipacked & 0x80:
+            raise NotImplementedError(
+                "local color tables require PIL (plug point)"
+            )
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) < ln:
+                raise ValueError(
+                    f"truncated GIF sub-block: promises {ln} bytes"
+                )
+            lzw.extend(chunk)
+            pos += 1 + ln
+        indices = np.frombuffer(
+            _lzw_decode_gif(bytes(lzw), min_code), dtype=np.uint8
+        )
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"LZW stream decodes to {len(indices)} indices; "
+                f"{iw}*{ih} expected"
+            )
+        if palette is None:
+            raise ValueError("image without a color table")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if not (
+            (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()
+        ):
+            raise NotImplementedError(
+                "non-grayscale palettes require PIL (plug point)"
+            )
+        return iw, ih, pal[indices, 0]
+    raise ValueError("GIF stream ended without image data")
+
+
+@query(
+    "q_multimodal_gif",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+d AS (
+  SELECT doc_id, hx,
+         (n // {GIF_W}) * {GIF_W} AS kept,
+         n // {GIF_W}             AS h
+  FROM b
+),
+px AS (
+  SELECT doc_id, h,
+         CAST(concat('0x', substr(hx, 2 * p.p + 1, 2)) AS INT) AS byte
+  FROM d, unnest(generate_series(0, kept - 1)) p(p)
+)
+SELECT doc_id,
+       {GIF_W}                   AS width,
+       CAST(h AS INT)            AS height,
+       CAST(byte // 32 AS INT)   AS bucket,
+       CAST(COUNT(*) AS BIGINT)  AS n_pixels
+FROM px
+GROUP BY doc_id, h, byte // 32
+""",
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND compressed image codec — LZW, the other foundational lossless
+    family next to PNG's deflate: each payload's whole-row prefix becomes
+    a real GIF87a (identity grayscale palette, so the index stream is
+    pixel-lossless) and is decoded back by an actual parser — signature,
+    screen descriptor, color-table walk, sub-block reassembly, a genuine
+    growing-code-width LSB-first LZW decoder with CLEAR/END and the KwKwK
+    case, palette mapping — then mapInPandas emits the same 8-bin
+    luminance histogram as the PNG rung, replayed byte-exactly by the
+    oracle. The hash can only match if sub-block framing AND the LZW
+    state machine (width growth, dictionary resets past 4096) are exact.
+    Interlace/local-tables/color palettes refuse at the PIL plug point.
+
+    Scale shape: identical to every multimodal rung — Arrow-batched
+    mapInPandas, per-batch codec work, zero driver involvement."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from data_pipeline_aws_spark.multimodal.media import (
+            GIF_W,
+            decode_gif,
+            encode_gif,
+        )
+
+        for pdf in batches:
+            doc, wid, hei, bkt, cnt = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < GIF_W:
+                    continue
+                w, h, pixels = decode_gif(encode_gif(b))
+                hist = np.bincount(pixels >> 5, minlength=8)
+                for bk in range(8):
+                    if hist[bk]:
+                        doc.append(doc_id)
+                        wid.append(w)
+                        hei.append(h)
+                        bkt.append(bk)
+                        cnt.append(int(hist[bk]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc, dtype="int64"),
+                    "width": pd.Series(wid, dtype="int32"),
+                    "height": pd.Series(hei, dtype="int32"),
+                    "bucket": pd.Series(bkt, dtype="int32"),
+                    "n_pixels": pd.Series(cnt, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, bucket int, n_pixels long",
+    )
+
+
 def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit perceptual-hash signature per document (doc_id, phash) — shared
     by q_multimodal_phash and the banding-completeness property test, so the

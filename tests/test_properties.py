@@ -3492,3 +3492,57 @@ def test_ivf_tune_curve_monotone_and_floored(spark, sf_dir):
         r.nprobe: r for r in all_queries()["q_ivf_tune"](spark, sf_dir).collect()
     }
     assert all(v.floor_ok and v.monotone_ok for v in verdict.values()), verdict
+
+
+def test_gif_codec_lzw_reference_bytes_and_grammar():
+    """The GIF rung's LZW must match hand-computed reference bytes (CLEAR,
+    0, 1, 2, END at 9 bits, LSB-first = 00 01 04 10 10 10), round-trip
+    arbitrary and repetitive payloads across dictionary-width growth and
+    the 4096 reset, exercise the KwKwK case, and the container parser
+    must enforce the real grammar loudly."""
+    import random
+
+    import pytest
+
+    from data_pipeline_aws_spark.multimodal.media import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif,
+    )
+
+    assert _lzw_encode_gif(bytes([0, 1, 2])) == bytes.fromhex("000104101010")
+
+    rnd = random.Random(7)
+    for n in (1, 255, 256, 300, 5000, 20000):
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert _lzw_decode_gif(_lzw_encode_gif(data)) == data
+        rep = (b"abcabcab" * (n // 8 + 1))[:n]  # KwKwK-dense
+        assert _lzw_decode_gif(_lzw_encode_gif(rep)) == rep
+
+    payload = bytes(range(256)) * 3
+    w, h, px = decode_gif(encode_gif(payload))
+    assert (w, h) == (16, 48) and bytes(px) == payload
+
+    gif = encode_gif(payload)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG..." + gif[6:])
+    with pytest.raises(ValueError, match="sub-block|ended|truncated"):
+        decode_gif(gif[:-20])
+    # interlace flag set -> documented PIL plug point (descriptor sits
+    # right after the 13-byte header + 768-byte palette; searching for
+    # 0x2c would hit palette color 44)
+    idx = 13 + 768
+    assert gif[idx] == 0x2C
+    bad = bytearray(gif)
+    bad[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # 89a extension blocks are walked by their sub-block grammar
+    ext = gif[:13 + 768] + b"\x21\xfe\x05hello\x00" + gif[13 + 768:]
+    ext = b"GIF89a" + ext[6:]
+    w2, h2, px2 = decode_gif(ext)
+    assert bytes(px2) == payload
+    # LZW stream with no END code must be loud
+    with pytest.raises(ValueError, match="END"):
+        _lzw_decode_gif(_lzw_encode_gif(b"abc")[:-2])
