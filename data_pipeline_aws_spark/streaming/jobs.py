@@ -802,6 +802,167 @@ def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted orphan set for the vacuum fixture: (kind, relative path, bytes).
+# Sizes are literal so the oracle can pin them; names exercise the three
+# real orphan classes — a sidecar dir from an epoch the manifest never
+# committed, a writer temp file, and an in-flight job marker. All three are
+# INVISIBLE to Spark's data-file index (dot/underscore filtering), which is
+# exactly why vacuum must walk the filesystem, never the reader.
+VACUUM_ORPHANS = (
+    ("stale_epoch", "dv/epoch=99/part-orphan.bin", 96),
+    ("stale_epoch", "delta/epoch=99/part-orphan.bin", 96),
+    ("tmp_file", "delta/.tmp-writer-00042.bin", 64),
+    ("inflight_marker", "base/_started_1692000000", 0),
+)
+
+
+def _vacuum_cache_dir(sf_dir: str) -> str:
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    return versioned_cache_dir("vacuum_fixture", sf_dir, __file__)
+
+
+def vacuum_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A dedicated COPY of the MERGE-on-read layout for vacuum to mutate —
+    the shared stream_merge cache is read by q_time_travel/q_snapshot_expire
+    and must never see planted garbage or deletions."""
+    import shutil
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+
+    out = _vacuum_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        src = stream_merge_layout(spark, sf_dir)
+        stage = staging_dir(out)
+        try:
+            for sub in ("base", "dv", "delta"):
+                shutil.copytree(
+                    os.path.join(src, sub), os.path.join(stage, sub)
+                )
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+    return out
+
+
+def _merged_count(spark: SparkSession, layout: str) -> int:
+    """Row count of the canonical MERGE read path (base ANTI broadcast(DV)
+    ∪ delta) over a layout — the equality probe vacuum uses to prove it
+    deleted only garbage."""
+    base = spark.read.parquet(os.path.join(layout, "base"))
+    dv = spark.read.parquet(os.path.join(layout, "dv"))
+    delta = spark.read.parquet(os.path.join(layout, "delta"))
+    return (
+        base.join(
+            F.broadcast(dv.select("file_id", "pos")),
+            ["file_id", "pos"],
+            "left_anti",
+        )
+        .select("o_orderkey")
+        .unionByName(delta.select("o_orderkey"))
+        .count()
+    )
+
+
+@query(
+    "q_vacuum_orphans",
+    oracle="""
+SELECT * FROM (VALUES
+  ('inflight_marker', CAST(1 AS BIGINT), CAST(0 AS BIGINT),   TRUE, TRUE),
+  ('stale_epoch',     CAST(2 AS BIGINT), CAST(192 AS BIGINT), TRUE, TRUE),
+  ('tmp_file',        CAST(1 AS BIGINT), CAST(64 AS BIGINT),  TRUE, TRUE)
+) t(kind, n_files, total_bytes, deleted, read_path_intact)
+""",
+)
+def q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the orphan-file reclamation that completes the table
+    service (MERGE → DV stats → compact plan/execute → time travel →
+    expire → vacuum): walk the layout's FILESYSTEM (not the data reader —
+    Spark's file index hides dot/underscore files, and writer temps and
+    in-flight markers are exactly what leaks), classify every file
+    against the manifest's live set (base parquet, committed epoch
+    sidecars 0..S-1, the _SUCCESS sentinel), DELETE the orphans, and
+    prove the read path untouched: the canonical merged read over the
+    vacuumed copy must count identically to the pristine shared layout.
+    Three real orphan classes are planted fresh each call (uncommitted
+    epoch-99 sidecars, a .tmp writer leftover, an in-flight marker) with
+    literal sizes, so the oracle pins the full (kind, n_files, bytes,
+    deleted, intact) report.
+
+    Scale shape: the walk is manifest/metadata work — at object-store
+    scale it parallelizes by prefix LIST (and real table formats diff
+    against the manifest instead of walking blind); the orphan path set
+    is churn-bounded, deletes batch, and NO data file is ever read —
+    the only data-path touch is the two count probes, each one scan."""
+    layout = vacuum_fixture(spark, sf_dir)
+    for _kind, rel, size in VACUUM_ORPHANS:
+        p = os.path.join(layout, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(b"\x00" * size)
+
+    s = STREAM_MERGE_SLICES
+    live_epochs = {f"epoch={i}" for i in range(s)}
+    found: dict[str, list[tuple[str, int]]] = {}
+    for root, _dirs, files in os.walk(layout):
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, layout)
+            parts = rel.split(os.sep)
+            size = os.path.getsize(full)
+            if name == "_SUCCESS" or name.endswith(".crc"):
+                # the Hadoop local-FS writer's checksum sidecars are LIVE
+                # companions of their data files, not orphans (first-run
+                # lesson: sweeping them is silent corruption of the
+                # layout's integrity metadata)
+                continue
+            if parts[0] == "base" and name.endswith(".parquet"):
+                continue
+            if (
+                parts[0] in ("dv", "delta")
+                and len(parts) == 3
+                and parts[1] in live_epochs
+                and name.endswith(".parquet")
+            ):
+                continue
+            if name.startswith("_started"):
+                kind = "inflight_marker"
+            elif name.startswith(".tmp"):
+                kind = "tmp_file"
+            elif (
+                parts[0] in ("dv", "delta")
+                and len(parts) == 3
+                and parts[1].startswith("epoch=")
+            ):
+                kind = "stale_epoch"
+            else:
+                kind = "unknown"
+            found.setdefault(kind, []).append((full, size))
+
+    for paths in found.values():
+        for full, _sz in paths:
+            os.remove(full)
+            parent = os.path.dirname(full)
+            if not os.listdir(parent):
+                os.rmdir(parent)
+
+    intact = _merged_count(spark, layout) == _merged_count(
+        spark, stream_merge_layout(spark, sf_dir)
+    )
+    rows = [
+        (kind, len(paths), sum(sz for _p, sz in paths), True, intact)
+        for kind, paths in sorted(found.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "kind string, n_files long, total_bytes long, deleted boolean, "
+        "read_path_intact boolean",
+    )
+
+
 @query(
     "q_stream_stream_join",
     oracle="""

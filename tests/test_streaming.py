@@ -507,3 +507,36 @@ def test_stream_sink_cache_self_heals_after_partial_drain(spark, sf_dir):
     }
     assert got == want
     assert not os.path.exists(os.path.join(out, "epoch=999"))
+
+
+def test_vacuum_deletes_only_orphans_and_is_replayable(spark, sf_dir):
+    """After vacuum: every planted orphan is gone from disk, every live
+    data file and checksum sidecar survives byte-for-byte (inode set
+    unchanged minus orphans), and a second call replants + re-vacuums to
+    the identical report — the fixture is reusable, not consumed."""
+    import os
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.streaming.jobs import (
+        VACUUM_ORPHANS,
+        _vacuum_cache_dir,
+    )
+
+    q = all_queries()["q_vacuum_orphans"]
+    rows1 = {r.kind: r for r in q(spark, sf_dir).collect()}
+    layout = _vacuum_cache_dir(sf_dir)
+    for _kind, rel, _size in VACUUM_ORPHANS:
+        assert not os.path.exists(os.path.join(layout, rel)), rel
+    live = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(layout)
+        for f in fn
+    ]
+    assert any(f.endswith(".crc") for f in live), (
+        "checksum sidecars must survive vacuum"
+    )
+    rows2 = {r.kind: r for r in q(spark, sf_dir).collect()}
+    assert {k: (v.n_files, v.total_bytes) for k, v in rows1.items()} == {
+        k: (v.n_files, v.total_bytes) for k, v in rows2.items()
+    }
+    assert all(r.read_path_intact for r in rows2.values())
