@@ -1262,40 +1262,45 @@ WITH t AS (
          {bucket} AS bkt
   FROM lineitem
 ),
-runs AS (
-  SELECT col, layout, CAST(1 + SUM(chg) AS BIGINT) AS n_runs
-  FROM (
-    SELECT bkt, col, layout,
-           CASE WHEN v IS DISTINCT FROM LAG(v) OVER
-                  (PARTITION BY bkt, col, layout ORDER BY o1, o2, o3, o4, o5, v)
-                THEN 1 ELSE 0 END AS chg
-    FROM (
-      SELECT bkt, u.col,
-             CASE u.col WHEN 'l_returnflag' THEN l_returnflag
-                        WHEN 'l_linestatus' THEN l_linestatus
-                        ELSE CAST(l_tax AS VARCHAR) END AS v,
-             lay.layout,
-             CASE WHEN lay.layout = 'natural' THEN NULL
-                  ELSE l_returnflag END AS o1,
-             l_orderkey AS o2, l_linenumber AS o3,
-             l_partkey AS o4, l_suppkey AS o5
-      FROM t,
-           (VALUES ('l_returnflag'), ('l_linestatus'), ('l_tax')) u(col),
-           (VALUES ('natural'), ('sorted')) lay(layout)
-    )
-  )
-  GROUP BY bkt, col, layout
+fan AS (
+  SELECT bkt, lay.layout,
+         CASE WHEN lay.layout = 'sorted' THEN l_returnflag END AS o1,
+         l_orderkey AS o2, l_linenumber AS o3,
+         l_partkey AS o4, l_suppkey AS o5,
+         l_returnflag AS v1, l_linestatus AS v2,
+         CAST(l_tax AS VARCHAR) AS v3
+  FROM t, (VALUES ('natural'), ('sorted')) lay(layout)
+),
+lagged AS (
+  SELECT layout,
+         CASE WHEN v1 IS DISTINCT FROM LAG(v1) OVER w THEN 1 ELSE 0 END AS c1,
+         CASE WHEN v2 IS DISTINCT FROM LAG(v2) OVER w THEN 1 ELSE 0 END AS c2,
+         CASE WHEN v3 IS DISTINCT FROM LAG(v3) OVER w THEN 1 ELSE 0 END AS c3
+  FROM fan
+  WINDOW w AS (PARTITION BY bkt, layout ORDER BY o1, o2, o3, o4, o5, v1, v2, v3)
+),
+per AS (
+  SELECT layout,
+         CAST(SUM(c1) AS BIGINT) AS r1,
+         CAST(SUM(c2) AS BIGINT) AS r2,
+         CAST(SUM(c3) AS BIGINT) AS r3
+  FROM lagged GROUP BY layout
 )
-SELECT col,
-       CAST(SUM(CASE WHEN layout = 'natural' THEN n_runs END) AS BIGINT)
-         AS runs_natural,
-       CAST(SUM(CASE WHEN layout = 'sorted' THEN n_runs END) AS BIGINT)
-         AS runs_sorted,
-       ROUND(SUM(CASE WHEN layout = 'sorted' THEN n_runs END) * 1.0
-             / SUM(CASE WHEN layout = 'natural' THEN n_runs END), 6)
-         AS run_ratio
-FROM runs
-GROUP BY col
+SELECT col, runs_natural, runs_sorted,
+       ROUND(runs_sorted * 1.0 / runs_natural, 6) AS run_ratio
+FROM (
+  SELECT 'l_returnflag' AS col,
+         (SELECT r1 FROM per WHERE layout = 'natural') AS runs_natural,
+         (SELECT r1 FROM per WHERE layout = 'sorted')  AS runs_sorted
+  UNION ALL
+  SELECT 'l_linestatus',
+         (SELECT r2 FROM per WHERE layout = 'natural'),
+         (SELECT r2 FROM per WHERE layout = 'sorted')
+  UNION ALL
+  SELECT 'l_tax',
+         (SELECT r3 FROM per WHERE layout = 'natural'),
+         (SELECT r3 FROM per WHERE layout = 'sorted')
+)
 """
 
 
@@ -1305,18 +1310,24 @@ def q_layout_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing': for each low-cardinality column, count the value RUNS a
     columnar encoder would see per write bucket (bucket ≈ file: encoding
     wins happen inside a row group, never across files) under the landed
-    order (orderkey, linenumber) vs a shipmode-clustered rewrite. The
-    run_ratio is directly the RLE/dictionary-run compression lever a
-    q_zorder-style rewrite buys — the number that justifies paying the
-    sort at write time.
+    order (the unique (orderkey, linenumber, partkey, suppkey) composite
+    — (orderkey, linenumber) alone is NOT unique in the fixture, and a
+    run count over a non-total order is engine-nondeterministic; the
+    audited value triple is the final tiebreak so any residual
+    duplicate-key tie orders identically by construction) vs a
+    returnflag-clustered rewrite. The run_ratio is directly the
+    RLE/dictionary-run compression lever a q_zorder-style rewrite buys —
+    the number that justifies paying the sort at write time.
 
     Scale shape: both layouts and all three columns ride ONE scan: the
-    (column × layout) grid is an in-row fan-out (6 rows per input row via
-    a VALUES cross — map-side, no data re-scan), runs are per-bucket LAG
-    windows (32-way parallel, never a global order), and the final fold
-    is a 6-row grid. Cross-bucket boundary runs are uncounted on BOTH
-    engines identically (+1 per bucket convention) — the per-file model
-    is the honest one for encoders anyway. Bucket hash = the repo-wide
+    layout grid is a 2-way in-row fan-out (map-side), and ONE struct-LAG
+    per (bucket, layout) window yields all three change flags — 2 rows
+    per input through the shuffle instead of the naive 6 (measured ~2×
+    on the whole key), 32-way parallel, never a global order. Runs then
+    fold with plain SUMs (the first row of each bucket counts as its
+    opening run via the null-lag flag). Cross-bucket boundary runs are
+    uncounted on BOTH engines identically — the per-file model is the
+    honest one for encoders anyway. Bucket hash = the repo-wide
     width-safe stratum_bucket."""
     from data_pipeline_aws_spark.functions.curation import stratum_bucket
 
@@ -1326,70 +1337,63 @@ def q_layout_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = li.withColumn(
         "bkt", stratum_bucket(F.col("l_orderkey"), _RUNS_BUCKETS)
     )
-    # in-row (col, layout) fan-out: 6 variants per row, one scan
-    variants = []
-    for c in _RUNS_COLS:
-        for layout in ("natural", "sorted"):
-            variants.append(
-                F.struct(
-                    F.lit(c).alias("col"),
-                    F.lit(layout).alias("layout"),
-                    F.col(c).cast("string").alias("v"),
-                    (
-                        F.lit(None).cast("string")
-                        if layout == "natural"
-                        else F.col("l_returnflag").cast("string")
-                    ).alias("o1"),
-                )
-            )
+    layouts = F.array(
+        F.struct(
+            F.lit("natural").alias("layout"),
+            F.lit(None).cast("string").alias("o1"),
+        ),
+        F.struct(
+            F.lit("sorted").alias("layout"),
+            F.col("l_returnflag").cast("string").alias("o1"),
+        ),
+    )
     fan = t.select(
         "bkt",
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        F.explode(F.array(*variants)).alias("u"),
-    ).select(
-        "bkt",
-        F.col("u.col").alias("col"),
-        F.col("u.layout").alias("layout"),
-        F.col("u.v").alias("v"),
-        F.col("u.o1").alias("o1"),
+        F.explode(layouts).alias("u"),
         F.col("l_orderkey").alias("o2"),
         F.col("l_linenumber").alias("o3"),
         F.col("l_partkey").alias("o4"),
         F.col("l_suppkey").alias("o5"),
-    )
-    w = Window.partitionBy("bkt", "col", "layout").orderBy(
-        "o1", "o2", "o3", "o4", "o5", "v"
-    )
-    chg = fan.select(
+        F.col("l_returnflag").cast("string").alias("v1"),
+        F.col("l_linestatus").cast("string").alias("v2"),
+        F.col("l_tax").cast("string").alias("v3"),
+    ).select(
         "bkt",
-        "col",
+        F.col("u.layout").alias("layout"),
+        F.col("u.o1").alias("o1"),
+        "o2", "o3", "o4", "o5", "v1", "v2", "v3",
+    )
+    w = Window.partitionBy("bkt", "layout").orderBy(
+        "o1", "o2", "o3", "o4", "o5", "v1", "v2", "v3"
+    )
+    prev = F.lag(F.struct("v1", "v2", "v3")).over(w)
+    chg = fan.select(
         "layout",
-        F.when(
-            ~F.col("v").eqNullSafe(F.lag("v").over(w)), 1
-        )
-        .otherwise(0)
-        .alias("chg"),
+        *[
+            (~F.col(f"v{i}").eqNullSafe(prev[f"v{i}"]))
+            .cast("int")
+            .alias(f"c{i}")
+            for i in (1, 2, 3)
+        ],
     )
-    per_bucket = chg.groupBy("bkt", "col", "layout").agg(
-        (1 + F.sum("chg")).alias("n_runs")
+    per = chg.groupBy("layout").agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"r{i}") for i in (1, 2, 3)]
     )
-    return (
-        per_bucket.groupBy("col")
-        .agg(
-            F.sum(F.when(F.col("layout") == "natural", F.col("n_runs"))).alias(
-                "rn"
-            ),
-            F.sum(F.when(F.col("layout") == "sorted", F.col("n_runs"))).alias(
-                "rs"
-            ),
-        )
-        .select(
-            "col",
-            F.col("rn").cast("bigint").alias("runs_natural"),
-            F.col("rs").cast("bigint").alias("runs_sorted"),
-            F.round(F.col("rs") * 1.0 / F.col("rn"), 6).alias("run_ratio"),
-        )
+    nat = per.where(F.col("layout") == "natural").select(
+        F.col("r1").alias("n1"), F.col("r2").alias("n2"), F.col("r3").alias("n3")
     )
+    srt = per.where(F.col("layout") == "sorted").select("r1", "r2", "r3")
+    wide = nat.crossJoin(F.broadcast(srt))
+    stack = (
+        "stack(3, 'l_returnflag', n1, r1, 'l_linestatus', n2, r2, "
+        "'l_tax', n3, r3) as (col, runs_natural, runs_sorted)"
+    )
+    return wide.selectExpr(stack).select(
+        "col",
+        "runs_natural",
+        "runs_sorted",
+        F.round(F.col("runs_sorted") * 1.0 / F.col("runs_natural"), 6).alias(
+            "run_ratio"
+        ),
+    )
+
