@@ -247,3 +247,147 @@ def arrow_l2_norms(batches):
             ],
             names=["vec_id", "dim", "l2_norm"],
         )
+
+
+@lru_cache(maxsize=None)
+def _order_value_bucket_arrow():
+    from pyspark.sql.functions import udf
+
+    def fn(totalprice: float) -> str:
+        # scalar Python, but Arrow-serialized: the batch transfer is
+        # columnar even though the function body sees one value at a time
+        if totalprice < 50_000:
+            return "small"
+        if totalprice < 200_000:
+            return "mid"
+        return "large"
+
+    return udf(fn, "string", useArrow=True)
+
+
+@query(
+    "q_arrow_udf",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'large' END            AS value_bucket,
+       CAST(COUNT(*) AS BIGINT)         AS n_orders,
+       ROUND(SUM(o_totalprice), 2)      AS revenue
+FROM orders
+GROUP BY 1
+""",
+)
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4's `udf(useArrow=True)`)
+    — the remaining rung of the Python-UDF ladder between row-pickled
+    UDFs (never used here) and vectorized pandas_udf: the function body
+    is scalar Python, but batches cross the JVM↔Python boundary as Arrow
+    record batches, which removes the pickle tax while keeping the
+    write-a-plain-function ergonomics. The oracle replays the bucketing
+    relationally, so the hash proves the UDF path byte-faithful.
+
+    Scale note: this surface exists for logic too branchy to vectorize
+    cleanly; anything expressible as column math belongs in built-ins or
+    pandas_udf (both demonstrated by sibling keys). The post-UDF
+    aggregate is the usual map-side-combinable groupBy."""
+    o = table(spark, sf_dir, "orders")
+    bucket = _order_value_bucket_arrow()(F.col("o_totalprice"))
+    return (
+        o.select(bucket.alias("value_bucket"), "o_totalprice")
+        .groupBy("value_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_cogrouped_map",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 4)     AS event_value
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS order_value
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(e.user_id, o.user_id)   AS user_id,
+       COALESCE(n_events, 0)            AS n_events,
+       COALESCE(event_value, 0.0)       AS event_value,
+       COALESCE(n_orders, 0)            AS n_orders,
+       COALESCE(order_value, 0.0)       AS order_value
+FROM e FULL OUTER JOIN o USING (user_id)
+""",
+)
+def q_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (`groupBy(...).cogroup(...)`) — the API for
+    per-key FULL-OUTER custom logic over two relations at once: events
+    and orders cogroup on user key, and one pandas function sees BOTH
+    sides' rows for a key in the same call (either side possibly empty —
+    the full-outer semantics a join-then-groupBy can only emulate with
+    null gymnastics). Here it emits the per-user activity/spend profile;
+    the real use is logic SQL can't express per key — sequence alignment,
+    per-user model scoring — so the profile keeps the oracle exact while
+    the plumbing (cogroup shuffle, Arrow batch per key group, empty-side
+    handling) is the production shape.
+
+    Scale shape: ONE co-partitioned shuffle on the key for both inputs
+    (each side aggregated to key grain map-side first, so the Python
+    stage sees bounded per-key frames, never raw fan-in); output is
+    key-grain. Rounding inside the pandas body matches the oracle's."""
+    import pandas as pd  # noqa: F811 - worker-side import parity
+
+    e = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("event_value"),
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("order_value"),
+        )
+    )
+
+    def profile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = (
+            left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([uid], dtype="int64"),
+                "n_events": pd.Series(
+                    [int(left["n_events"].sum()) if len(left) else 0],
+                    dtype="int64",
+                ),
+                "event_value": pd.Series(
+                    [float(left["event_value"].sum()) if len(left) else 0.0],
+                    dtype="float64",
+                ),
+                "n_orders": pd.Series(
+                    [int(right["n_orders"].sum()) if len(right) else 0],
+                    dtype="int64",
+                ),
+                "order_value": pd.Series(
+                    [float(right["order_value"].sum()) if len(right) else 0.0],
+                    dtype="float64",
+                ),
+            }
+        )
+
+    return e.groupBy("user_id").cogroup(o.groupBy("user_id")).applyInPandas(
+        profile,
+        "user_id long, n_events long, event_value double, "
+        "n_orders long, order_value double",
+    )
