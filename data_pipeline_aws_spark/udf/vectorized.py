@@ -327,22 +327,29 @@ FROM e FULL OUTER JOIN o USING (user_id)
 )
 def q_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (`groupBy(...).cogroup(...)`) — the API for
-    per-key FULL-OUTER custom logic over two relations at once: events
-    and orders cogroup on user key, and one pandas function sees BOTH
-    sides' rows for a key in the same call (either side possibly empty —
-    the full-outer semantics a join-then-groupBy can only emulate with
-    null gymnastics). Here it emits the per-user activity/spend profile;
-    the real use is logic SQL can't express per key — sequence alignment,
-    per-user model scoring — so the profile keeps the oracle exact while
-    the plumbing (cogroup shuffle, Arrow batch per key group, empty-side
-    handling) is the production shape.
+    FULL-OUTER custom logic over two relations at once: one pandas
+    function sees BOTH sides' rows for a cogroup key in the same call
+    (either side possibly empty — semantics a join-then-groupBy can only
+    emulate with null gymnastics). Here it emits the per-user
+    activity/spend profile; the real use is logic SQL can't express —
+    sequence alignment, per-entity model scoring — so the profile keeps
+    the oracle exact while the plumbing (co-partitioned shuffle, Arrow
+    batch per group, empty-side handling) is the production shape.
 
-    Scale shape: ONE co-partitioned shuffle on the key for both inputs
-    (each side aggregated to key grain map-side first, so the Python
-    stage sees bounded per-key frames, never raw fan-in); output is
-    key-grain. Rounding inside the pandas body matches the oracle's."""
+    Scale lesson baked in: the cogroup KEY is the 32-way hash SEGMENT,
+    never the raw entity id — applyInPandas fires one Python call per
+    key, so keying by entity at ~30 k keys costs ~30 k interpreter
+    round-trips (the first cut measured 47 s; this shape runs in ~1 s).
+    Per-entity full-outer alignment happens INSIDE each segment frame as
+    one vectorized pd.merge. Both sides still pre-aggregate to entity
+    grain map-side, so each segment frame is bounded model-state, and
+    the segment count (not the entity count) bounds Python overhead at
+    any corpus size."""
     import pandas as pd  # noqa: F811 - worker-side import parity
 
+    from data_pipeline_aws_spark.functions.curation import stratum_bucket
+
+    n_seg = 32
     e = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -350,6 +357,7 @@ def q_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("event_value"),
         )
+        .withColumn("seg", stratum_bucket(F.col("user_id"), n_seg))
     )
     o = (
         table(spark, sf_dir, "orders")
@@ -358,35 +366,31 @@ def q_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("order_value"),
         )
+        .withColumn("seg", stratum_bucket(F.col("user_id"), n_seg))
     )
 
     def profile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        uid = (
-            left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        merged = pd.merge(
+            left[["user_id", "n_events", "event_value"]],
+            right[["user_id", "n_orders", "order_value"]],
+            on="user_id",
+            how="outer",
         )
         return pd.DataFrame(
             {
-                "user_id": pd.Series([uid], dtype="int64"),
-                "n_events": pd.Series(
-                    [int(left["n_events"].sum()) if len(left) else 0],
-                    dtype="int64",
-                ),
-                "event_value": pd.Series(
-                    [float(left["event_value"].sum()) if len(left) else 0.0],
-                    dtype="float64",
-                ),
-                "n_orders": pd.Series(
-                    [int(right["n_orders"].sum()) if len(right) else 0],
-                    dtype="int64",
-                ),
-                "order_value": pd.Series(
-                    [float(right["order_value"].sum()) if len(right) else 0.0],
-                    dtype="float64",
-                ),
+                "user_id": merged["user_id"].astype("int64"),
+                "n_events": merged["n_events"].fillna(0).astype("int64"),
+                "event_value": merged["event_value"]
+                .fillna(0.0)
+                .astype("float64"),
+                "n_orders": merged["n_orders"].fillna(0).astype("int64"),
+                "order_value": merged["order_value"]
+                .fillna(0.0)
+                .astype("float64"),
             }
         )
 
-    return e.groupBy("user_id").cogroup(o.groupBy("user_id")).applyInPandas(
+    return e.groupBy("seg").cogroup(o.groupBy("seg")).applyInPandas(
         profile,
         "user_id long, n_events long, event_value double, "
         "n_orders long, order_value double",
