@@ -1890,6 +1890,8 @@ def decode_gif(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF container")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette = None
@@ -1905,12 +1907,18 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF trailer before any image data")
         if block == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF sub-block stream")
+                if payload[pos] == 0:
+                    break
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, iw, ih, ipacked = struct.unpack(
             "<HHHHB", payload[pos + 1 : pos + 10]
         )
@@ -1923,10 +1931,16 @@ def decode_gif(payload: bytes):
                 "local color tables require PIL (plug point)"
             )
         pos += 10
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-block stream")
         min_code = payload[pos]
         pos += 1
         lzw = bytearray()
-        while payload[pos] != 0:
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF sub-block stream")
+            if payload[pos] == 0:
+                break
             ln = payload[pos]
             chunk = payload[pos + 1 : pos + 1 + ln]
             if len(chunk) < ln:

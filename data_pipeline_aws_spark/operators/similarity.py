@@ -358,6 +358,8 @@ def ivf_tune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign_corpus(it):
         for pdf in it:
+            if pdf.empty:
+                continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
             pdf = pdf.copy()

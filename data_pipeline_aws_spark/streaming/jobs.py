@@ -822,6 +822,39 @@ def _vacuum_cache_dir(sf_dir: str) -> str:
     return versioned_cache_dir("vacuum_fixture", sf_dir, __file__)
 
 
+@contextmanager
+def _vacuum_lock(layout: str):
+    """Serialize plant+walk+delete across sessions sharing the cached
+    vacuum fixture (round-10 ADVICE): two concurrent q_vacuum_orphans
+    calls racing the same layout could hit FileNotFoundError mid-walk or
+    double-count each other's plants. O_EXCL spin lock, caches.py style;
+    a lock older than 120 s is treated as a crashed holder and taken over."""
+    lock = f"{layout.rstrip(os.sep)}.vacuum.lock"
+    deadline = time.monotonic() + 120.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except OSError:
+            try:
+                if time.time() - os.path.getmtime(lock) > 120.0:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue  # holder just released; retry immediately
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"vacuum lock held too long: {lock}")
+            time.sleep(0.1)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def vacuum_fixture(spark: SparkSession, sf_dir: str) -> str:
     """A dedicated COPY of the MERGE-on-read layout for vacuum to mutate —
     the shared stream_merge cache is read by q_time_travel/q_snapshot_expire
@@ -898,6 +931,11 @@ def q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is churn-bounded, deletes batch, and NO data file is ever read —
     the only data-path touch is the two count probes, each one scan."""
     layout = vacuum_fixture(spark, sf_dir)
+    with _vacuum_lock(layout):
+        return _vacuum_run(spark, sf_dir, layout)
+
+
+def _vacuum_run(spark: SparkSession, sf_dir: str, layout: str) -> DataFrame:
     for _kind, rel, size in VACUUM_ORPHANS:
         p = os.path.join(layout, rel)
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -912,7 +950,10 @@ def q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             full = os.path.join(root, name)
             rel = os.path.relpath(full, layout)
             parts = rel.split(os.sep)
-            size = os.path.getsize(full)
+            try:
+                size = os.path.getsize(full)
+            except FileNotFoundError:
+                continue  # vanished between walk and stat; not ours to count
             if name == "_SUCCESS" or name.endswith(".crc"):
                 # the Hadoop local-FS writer's checksum sidecars are LIVE
                 # companions of their data files, not orphans (first-run
@@ -944,10 +985,13 @@ def q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for paths in found.values():
         for full, _sz in paths:
-            os.remove(full)
-            parent = os.path.dirname(full)
-            if not os.listdir(parent):
-                os.rmdir(parent)
+            try:
+                os.remove(full)
+                parent = os.path.dirname(full)
+                if not os.listdir(parent):
+                    os.rmdir(parent)
+            except FileNotFoundError:
+                pass  # racing vacuum already reclaimed it
 
     intact = _merged_count(spark, layout) == _merged_count(
         spark, stream_merge_layout(spark, sf_dir)

@@ -3546,3 +3546,12 @@ def test_gif_codec_lzw_reference_bytes_and_grammar():
     # LZW stream with no END code must be loud
     with pytest.raises(ValueError, match="END"):
         _lzw_decode_gif(_lzw_encode_gif(b"abc")[:-2])
+    # truncation at EVERY prefix length raises the documented ValueError
+    # (round-10 ADVICE: the sub-block walks must bounds-check, not
+    # IndexError, when a stream ends mid-block) — NotImplementedError
+    # never fires because no refusal flag is set in this fixture
+    # (stop before the data terminator: decode_gif returns at the first
+    # complete image, so only the trailer-less suffix cuts would succeed)
+    for cut in range(7, len(ext) - 1):
+        with pytest.raises(ValueError):
+            decode_gif(ext[:cut])
