@@ -236,6 +236,90 @@ def q_fhir_bundle_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fhir_renest",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         o_orderkey                                   AS orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)    AS cents
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey,
+         list(struct_pack(orderkey := orderkey, cents := cents)
+              ORDER BY orderkey)                      AS orders,
+         COUNT(*)                                     AS n_orders
+  FROM o GROUP BY o_custkey
+)
+SELECT c_custkey                                      AS custkey,
+       CAST(n_orders AS BIGINT)                       AS n_orders,
+       to_json(struct_pack(
+         id      := c_custkey,
+         name    := c_name,
+         profile := struct_pack(segment := c_mktsegment,
+                                nation  := CAST(c_nationkey AS INT)),
+         orders  := orders))                          AS doc
+FROM agg JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q_fhir_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENEST — the inverse ETL verb of q_fhir_relationalize and the FHIR
+    write path the reference's S3-writing Glue job implies (domain:
+    `/root/reference/Hoth/FHIR/`; the job is declared at
+    `Hoth/FHIR/cloudformations/lambda-stack.yml:11-21`): rebuild the
+    Bundle-shaped nested document from the relational star. Child rows
+    collapse into a lineage-ORDERED array (`sort_array(collect_list(
+    struct(...)))` — deterministic array order is what makes the written
+    document reproducible run-over-run), root + struct branches assemble
+    with `F.struct`, and the document serializes with `to_json`. Money
+    rides integer cents (the repo-wide rule) because JSON double
+    rendering differs across engines ('1e30' vs '1.0E30') while integer
+    rendering is byte-identical — the oracle rebuilds the same document
+    with DuckDB `list(struct_pack(...) ORDER BY ...)` + `to_json` and the
+    hash compare proves the two engines emit the same canonical bytes.
+    The round-trip law (relationalize ∘ renest = identity) is pinned by
+    the property suite.
+
+    Scale shape: ONE shuffle — the groupBy(custkey) that gathers each
+    parent's children (bounded TPC-H group sizes; a pathological
+    million-child parent would need the q_domain_cap treatment first) —
+    then a broadcast-or-shuffle FK join to the parent table and a
+    map-side struct/serialize pipeline, all codegen'd, no UDF. At 100 TB
+    the written bundles partition by parent-key range exactly like any
+    partitioned sink; nothing here is driver-side."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    nested = (
+        o.select(
+            "o_custkey",
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.expr(
+                    "cast(round(o_totalprice * 100) as bigint)"
+                ).alias("cents"),
+            ).alias("entry"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("entry")).alias("orders"))
+    )
+    return nested.join(c, nested.o_custkey == c.c_custkey).select(
+        F.col("c_custkey").alias("custkey"),
+        F.size("orders").cast("long").alias("n_orders"),
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").alias("id"),
+                F.col("c_name").alias("name"),
+                F.struct(
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").cast("int").alias("nation"),
+                ).alias("profile"),
+                F.col("orders"),
+            )
+        ).alias("doc"),
+    )
+
+
+@query(
     "q_fhir_choice",
     oracle="""
 SELECT

@@ -1042,6 +1042,172 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warcgz_record(doc_id: int, lang: str, text: str) -> bytes:
+    """One WARC/1.0 conversion record, byte-identical framing to the
+    q_warc_ingest writer (version line, named headers, Content-Length
+    payload, CRLF-CRLF trailer)."""
+    payload = text.encode("utf-8")
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:dpas:doc:{doc_id}>\r\n"
+        f"WARC-Target-URI: http://corpus.invalid/{lang}/{doc_id}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii")
+    return head + payload + b"\r\n\r\n"
+
+
+def warcgz_write_partition(out_dir: str):
+    """Writer-sharded .warc.gz sink: each partition lands ONE shard file in
+    which EVERY record is its own gzip member (RFC 1952 member
+    concatenation — the CommonCrawl seekable form: a reader holding a
+    (offset, length) index inflates one record without touching the rest
+    of the shard). Written to a temp name then renamed, so a retried task
+    republishes the same shard instead of appending duplicates."""
+
+    def write(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+        n_rec = n_bytes = 0
+        with open(tmp, "wb") as fh:
+            for pdf in batches:
+                for doc_id, lang, text in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["text"]
+                ):
+                    member = gzip.compress(
+                        _warcgz_record(int(doc_id), str(lang), str(text))
+                    )
+                    fh.write(member)
+                    n_rec += 1
+                    n_bytes += len(member)
+        os.replace(tmp, os.path.join(out_dir, f"member-{pid:05d}.warc.gz"))
+        yield pd.DataFrame(
+            {
+                "n_records": pd.Series([n_rec], dtype="int64"),
+                "n_bytes": pd.Series([n_bytes], dtype="int64"),
+            }
+        )
+
+    return write
+
+
+def warcgz_parse_batches(batches):
+    """Per-record-gzip WARC reader: walk each shard's gzip MEMBER chain
+    with zlib.decompressobj (unused_data marks the member boundary — the
+    seekability contract), require every member to inflate independently,
+    then hand the concatenated records to the SAME WARC/1.0 grammar walk
+    q_warc_ingest ships. A member count that disagrees with the parsed
+    record count is a framing corruption and raises loudly."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        for content in pdf["content"]:
+            buf = bytes(content)
+            members = []
+            pos = 0
+            while pos < len(buf):
+                d = zlib.decompressobj(wbits=31)
+                members.append(d.decompress(buf[pos:]))
+                if not d.eof:
+                    raise ValueError(
+                        f"truncated gzip member at offset {pos}"
+                    )
+                consumed = len(buf) - pos - len(d.unused_data)
+                if consumed <= 0:
+                    raise ValueError(f"empty gzip member at offset {pos}")
+                pos += consumed
+            records = b"".join(members)
+            out = list(
+                warc_parse_batches(
+                    iter([pd.DataFrame({"content": [records]})])
+                )
+            )[0]
+            if len(out) != len(members):
+                raise ValueError(
+                    f"{len(members)} gzip members but {len(out)} WARC "
+                    f"records — per-record framing violated"
+                )
+            yield out
+
+
+@query(
+    "q_warcgz_ingest",
+    oracle="""
+SELECT doc_id,
+       lang,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS payload_md5
+FROM documents
+""",
+)
+def q_warcgz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seekable `.warc.gz` ingest — the form CommonCrawl actually ships:
+    every WARC record is compressed as its OWN gzip member and the
+    members are concatenated per shard, so a byte-range index makes each
+    record independently fetchable/inflatable (record-granular seeks over
+    HTTP range requests at crawl scale) while `zcat` still sees one valid
+    stream. The writer is executor-side and writer-sharded (one shard per
+    partition, temp-name + rename so task retries republish instead of
+    duplicating — the q_gzip_ingest parallelism-is-a-write-time-contract
+    rule); the reader walks the member chain with decompressobj/
+    unused_data, demands every member inflate independently, cross-checks
+    member count against parsed record count, and reuses the byte-exact
+    WARC/1.0 grammar walk. Same (doc_id, lang, len, md5) oracle as
+    q_warc_ingest: the hash matches only if per-member framing AND every
+    payload byte survived the gzip round-trip.
+
+    Scale shape: shard files are the parallelism unit (binaryFile → one
+    task per shard); inflation + parse is one sequential pass per shard
+    inside Arrow-batched mapInPandas; no shuffle, no driver data path;
+    rows carry id + checksum, never payloads."""
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+
+    out = _cache_dir("warcgz_documents", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        stage = staging_dir(out)
+        os.makedirs(stage, exist_ok=True)
+        try:
+            counts = (
+                table(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "text")
+                .repartition(WARC_SHARDS)
+                .mapInPandas(
+                    warcgz_write_partition(stage),
+                    "n_records long, n_bytes long",
+                )
+                .collect()  # bounded: WARC_SHARDS one-row receipts
+            )
+            if sum(r.n_records for r in counts) == 0:
+                raise ValueError("warcgz writer produced no records")
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "member-*.warc.gz")
+        .load(out)
+    ).select("content")
+    return shards.mapInPandas(
+        warcgz_parse_batches,
+        "doc_id long, lang string, payload_len long, payload_md5 long",
+    )
+
+
 N_BINARY_FILES = 100
 
 

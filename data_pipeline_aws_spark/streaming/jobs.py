@@ -1060,6 +1060,132 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_left",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+WHERE p.event_type = 'purchase'
+""",
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the half of the join story
+    people actually get wrong: a purchase with no same-user click in the
+    preceding 30 minutes must STILL emit, null-padded, but only once the
+    watermark proves no matching click can ever arrive (earlier emission
+    would be wrong — the match might be in flight; never emitting loses
+    the row). Inner matches emit eagerly; unmatched left rows sit in the
+    join state until the combined watermark passes their interval bound
+    and are flushed by Spark's no-data micro-batches.
+
+    The bounded drain needs one extra arrival batch to make that flush
+    observable: watermarks only advance with observed event time, so rows
+    near the stream's end would otherwise be withheld forever. The
+    fixture therefore lands as two mtime-ordered files — the real events,
+    then a pair of far-future sentinel rows (negative ids, disjoint
+    users) whose only job is to push BOTH sides' watermarks past every
+    real row's expiry; the sentinel's own null-padded emission is
+    filtered from the sink by id sign. The drained result must equal the
+    batch LEFT JOIN with the same interval predicate (the oracle); the
+    exactly-once expiry emission is pinned by the failure-injection test.
+
+    Scale shape: state is O(events inside the 30-min + lateness horizon)
+    per side — identical to the inner form; the left rows add only an
+    unmatched flag per buffered row. The sentinel trick is test rigging;
+    production streams advance watermarks continuously."""
+    import shutil
+    import tempfile
+
+    arrival = tempfile.mkdtemp(prefix="dpas_stream_left_")
+    try:
+        ev = _ensure_event_time(
+            table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "ts"
+            )
+        )
+        # TWO sentinel batches: b1 advances both watermarks past every real
+        # row's expiry, and b2 is the data-carrying batch in which that
+        # advanced watermark actually evicts — outer-join state eviction
+        # uses the watermark committed at the PREVIOUS batch end (the same
+        # two-phase contract q_stream_late_data documents), so the last
+        # unmatched purchases flush during b2, not b1.
+        def _sentinels(pid: int, cid: int, ts: str) -> DataFrame:
+            return spark.createDataFrame(
+                [(pid, pid, "purchase"), (cid, cid, "click")],
+                "event_id long, user_id long, event_type string",
+            ).select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.lit(ts).cast("timestamp").alias("ts"),
+            )
+
+        ev.coalesce(1).write.parquet(os.path.join(arrival, "b0"))
+        _sentinels(-1, -2, "2024-03-01 00:00:00").coalesce(1).write.parquet(
+            os.path.join(arrival, "b1")
+        )
+        _sentinels(-3, -4, "2024-04-01 00:00:00").coalesce(1).write.parquet(
+            os.path.join(arrival, "b2")
+        )
+        base = time.time()
+        for i, b in enumerate(("b0", "b1", "b2")):
+            d = os.path.join(arrival, b)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
+        schema = spark.read.parquet(os.path.join(arrival, "b0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrival + "/*")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+            ),
+            "leftOuter",
+        ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+        # The sentinel's own null-padded row is dropped AFTER the drain:
+        # a `purchase_id >= 0` filter in the streaming plan gets pushed
+        # below the EventTimeWatermark node, the purchase-side watermark
+        # never observes the sentinel, and the last real unmatched
+        # purchases are withheld forever (found the hard way — one
+        # missing row at sf0.01).
+        res = _run_to_completion(joined, "append").where(
+            F.col("purchase_id") >= 0
+        )
+        # arrival dir is scratch — materialize before removing it
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)
+
+
+@query(
     "q_stream_state",
     oracle="""
 SELECT user_id,

@@ -40,9 +40,12 @@ def test_no_unbounded_collect_in_operators():
         # ivfpq_topk's 16-row centroid matrix and 10-row query batch
         # (the same bounded model-state pattern as ivf_topk/pq_adc)
         "inspect.py": 1,  # plan-string helper (driver-side by design)
-        "jobs.py": 2,  # 1-row stream sentinel + bounded drain (the stream-
-        # sink aggregate went lazy when its landed layout became a cache)
-        "ingest.py": 2,  # gdpr partition probe + binary-fixture id listing (N<16)
+        "jobs.py": 3,  # 1-row stream sentinel + bounded drains for
+        # late-data and left-outer-join arrival-dir fixtures (materialized
+        # join-grain results so the scratch dirs can be removed; the
+        # stream-sink aggregate went lazy when its layout became a cache)
+        "ingest.py": 3,  # gdpr partition probe + binary-fixture id listing
+        # (N<16) + warcgz writer receipts (WARC_SHARDS one-row frames)
         "text.py": 2,  # bounded vocab table + BPE 1-row argmax merge rule/round
         "dedup.py": 2,  # 64x64 hyperplane matrices: embed_near_dup_pairs'
         # murmur3 planes + q_embed_lsh_eval's md5-parity planes (both

@@ -3555,3 +3555,53 @@ def test_gif_codec_lzw_reference_bytes_and_grammar():
     for cut in range(7, len(ext) - 1):
         with pytest.raises(ValueError):
             decode_gif(ext[:cut])
+
+
+def test_fhir_renest_roundtrip_identity(spark, sf_dir):
+    """The round-trip law for the FHIR write path: relationalize ∘ renest
+    is the identity on the relational star. Parse q_fhir_renest's emitted
+    documents with the explicit nested schema and double-flatten them back
+    to (custkey, orderkey, cents) child rows plus root fields; the result
+    must equal the direct flat join — nothing lost, nothing reordered,
+    nothing duplicated by the nest→serialize→parse→flatten cycle."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark.operators.nested import q_fhir_renest
+    from data_pipeline_aws_spark.tables import table
+
+    docs = q_fhir_renest(spark, sf_dir)
+    schema = (
+        "struct<id:bigint,name:string,"
+        "profile:struct<segment:string,nation:int>,"
+        "orders:array<struct<orderkey:bigint,cents:bigint>>>"
+    )
+    back = (
+        docs.select(F.from_json("doc", schema).alias("r"))
+        .select(
+            F.col("r.id").alias("custkey"),
+            F.col("r.name").alias("name"),
+            F.col("r.profile.segment").alias("segment"),
+            F.col("r.profile.nation").alias("nation"),
+            F.explode("r.orders").alias("o"),
+        )
+        .select("custkey", "name", "segment", "nation",
+                F.col("o.orderkey").alias("orderkey"),
+                F.col("o.cents").alias("cents"))
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    flat = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    assert back.exceptAll(flat).count() == 0
+    assert flat.exceptAll(back).count() == 0
+    # n_orders column agrees with the parsed array length for every doc
+    bad = docs.filter(
+        F.size(F.from_json("doc", schema)["orders"]) != F.col("n_orders")
+    ).count()
+    assert bad == 0

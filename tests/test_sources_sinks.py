@@ -288,3 +288,78 @@ def test_warc_payload_framing_survives_embedded_crlf(spark, sf_dir):
     out = list(warc_parse_batches(iter([pd.DataFrame({"content": [rec * 3]})])))[0]
     assert len(out) == 3
     assert set(out["payload_md5"]) == {int(_h.md5(evil).hexdigest()[:8], 16)}
+
+
+def test_warcgz_shards_are_per_record_gzip_members(spark, sf_dir):
+    """The .warc.gz fixture must hold ONE gzip member PER RECORD (the
+    CommonCrawl seekable form): several shard files (writer-sharded
+    parallelism), each starting with gzip magic, member count per shard
+    equal to its record count, and any single member must inflate
+    standalone into exactly one complete WARC/1.0 record — the
+    record-granular random-access property the operator claims."""
+    import glob
+    import os
+    import zlib
+
+    from data_pipeline_aws_spark import all_queries
+    from data_pipeline_aws_spark.sources.ingest import _cache_dir
+
+    n_rows = all_queries()["q_warcgz_ingest"](spark, sf_dir).count()
+    shards = sorted(
+        glob.glob(
+            os.path.join(_cache_dir("warcgz_documents", sf_dir), "member-*.warc.gz")
+        )
+    )
+    assert len(shards) > 1, "single monolithic shard defeats read parallelism"
+    total_members = 0
+    for shard in shards:
+        buf = open(shard, "rb").read()
+        assert buf[:2] == b"\x1f\x8b"
+        pos = 0
+        first_member = None
+        while pos < len(buf):
+            d = zlib.decompressobj(wbits=31)
+            rec = d.decompress(buf[pos:])
+            assert d.eof, "member did not terminate inside the shard"
+            if first_member is None:
+                first_member = rec
+            total_members += 1
+            pos = len(buf) - len(d.unused_data)
+        # one member == one complete record: version line up front, the
+        # CRLF-CRLF trailer at the end, exactly one version line inside
+        assert first_member.startswith(b"WARC/1.0\r\n")
+        assert first_member.endswith(b"\r\n\r\n")
+        assert first_member.count(b"WARC/1.0\r\n") == 1
+    assert total_members == n_rows
+
+
+def test_warcgz_parser_rejects_broken_member_framing(spark):
+    """Framing violations fail LOUDLY: a truncated member raises, and a
+    shard whose single gzip member holds TWO records (valid WARC, broken
+    per-record contract) raises the member/record-count mismatch."""
+    import gzip
+
+    import pandas as pd
+    import pytest
+
+    from data_pipeline_aws_spark.sources.ingest import (
+        _warcgz_record,
+        warcgz_parse_batches,
+    )
+
+    one = gzip.compress(_warcgz_record(1, "en", "hello"))
+    two_in_one = gzip.compress(
+        _warcgz_record(2, "de", "aa") + _warcgz_record(3, "fr", "bb")
+    )
+
+    def run(payload):
+        return list(
+            warcgz_parse_batches(iter([pd.DataFrame({"content": [payload]})]))
+        )
+
+    out = run(one)[0]
+    assert list(out["doc_id"]) == [1] and list(out["payload_len"]) == [5]
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        run(one[:-4])
+    with pytest.raises(ValueError, match="per-record framing violated"):
+        run(two_in_one)

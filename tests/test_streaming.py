@@ -540,3 +540,94 @@ def test_vacuum_deletes_only_orphans_and_is_replayable(spark, sf_dir):
         k: (v.n_files, v.total_bytes) for k, v in rows2.items()
     }
     assert all(r.read_path_intact for r in rows2.values())
+
+
+def test_left_outer_interval_join_expiry_emits_exactly_once(spark, arrival_dir):
+    """Failure-injection for q_stream_stream_left's core guarantee: a
+    null-padded left row emits EXACTLY ONCE, and only after the watermark
+    proves no match can arrive. Arrival order is adversarial:
+
+    - b0: purchase P1 (will match late), purchase P2 (never matches)
+    - b1: P1's click — arriving a BATCH LATER but inside the interval and
+      before the watermark passes, so P1 must emit as a MATCH, never as a
+      premature null row
+    - b2, b3: far-future watermark pushers on both sides — P2's null row
+      must appear once (not zero times, not once per subsequent batch)
+    """
+    import time as _time
+    from datetime import datetime
+
+    def _write_typed(name, rows, ts_shift):
+        data = [
+            (e, u, t, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"))
+            for e, u, t, ts in rows
+        ]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        df.coalesce(1).write.parquet(os.path.join(arrival_dir, name))
+        d = os.path.join(arrival_dir, name)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (ts_shift, ts_shift))
+
+    base = _time.time()
+    _write_typed(
+        "b0",
+        [
+            (1, 10, "purchase", "2024-01-01 10:00:00"),
+            (2, 20, "purchase", "2024-01-01 10:05:00"),
+        ],
+        base,
+    )
+    _write_typed("b1", [(3, 10, "click", "2024-01-01 09:45:00")], base + 10)
+    _write_typed(
+        "b2",
+        [(-1, -1, "purchase", "2024-03-01 00:00:00"),
+         (-2, -2, "click", "2024-03-01 00:00:00")],
+        base + 20,
+    )
+    _write_typed(
+        "b3",
+        [(-3, -3, "purchase", "2024-04-01 00:00:00"),
+         (-4, -4, "click", "2024-04-01 00:00:00")],
+        base + 30,
+    )
+
+    schema = spark.read.parquet(os.path.join(arrival_dir, "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrival_dir + "/*")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    out = _drain(joined, "append", "left_outer_expiry").where(
+        F.col("purchase_id") >= 0
+    )
+    rows = sorted((r.purchase_id, r.click_id) for r in out.collect())
+    # P1 matched its late-arriving click exactly once — no premature null
+    # twin alongside the match; P2 expired into exactly one null row.
+    assert rows == [(1, 3), (2, None)], rows
