@@ -1110,7 +1110,7 @@ PQ_SUBDIM = 8  # 64 dims / 8 subspaces
 PQ_CODEBOOK = 16  # 4-bit codes per subspace
 
 
-def pq_encode(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
+def pq_encode(spark: SparkSession, sf_dir: str, books=None, frame=None) -> DataFrame:
     """Product quantization (FAISS PQ8x4 shape): split each 64-d embedding
     into 8 subvectors of 8 dims, train a 16-centroid codebook per subspace
     (2 Lloyd iterations, deterministic init from the first 16 vectors), and
@@ -1139,7 +1139,11 @@ def pq_encode(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
     m_sub, d_sub, k_cb = PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK
     if books is None:
         books = pq_codebooks(spark, sf_dir)
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        frame
+        if frame is not None
+        else table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
 
     def make_encode(bk):
         weights = np.power(16, np.arange(m_sub), dtype=np.int64)
@@ -1171,18 +1175,27 @@ def pq_encode(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
     )
 
 
-def pq_codebooks(spark: SparkSession, sf_dir: str):
+def pq_codebooks(spark: SparkSession, sf_dir: str, frame=None):
     """Train the 8×16×8 PQ codebooks (2 Lloyd rounds per subspace,
     deterministic init, 6-dp-rounded Voronoi boundaries) and return them
     as a numpy array — the bounded model state shared by pq_encode and
     the ADC scorer. Deliberately NOT memoized (the kmeans_fit rationale:
-    a cross-call cache would let bench's min-of-2 skip training)."""
+    a cross-call cache would let bench's min-of-2 skip training).
+
+    `frame` restricts training to a (vec_id, embedding) subset — the
+    incremental index trains on the HISTORY epoch only, with init taken
+    as the frame's first 16 rows by vec_id (the default corpus path keeps
+    its original `vec_id < 16` init byte-for-byte)."""
     import numpy as np
     import pandas as pd
 
     m_sub, d_sub, k_cb = PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init_rows = e.filter(F.col("vec_id") < k_cb).orderBy("vec_id").collect()
+    if frame is not None:
+        e = frame
+        init_rows = e.orderBy("vec_id").limit(16).collect()  # k_cb == 16
+    else:
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        init_rows = e.filter(F.col("vec_id") < k_cb).orderBy("vec_id").collect()
     init = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init_rows])
     # codebooks[s] : (k_cb, d_sub)
     books = np.stack(
@@ -1589,11 +1602,23 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str):
 
     Returns (final top-5 DataFrame, probed-lists DataFrame) — the second
     relation lets the caller assert the pruning contract in-engine."""
+    index, books, cents = ivfpq_index(spark, sf_dir)
+    return _ivfadc_search(spark, sf_dir, index, books, cents)
+
+
+def _ivfadc_search(
+    spark: SparkSession, sf_dir: str, index, books, cents, nprobe=IVFPQ_NPROBE
+):
+    """The ADC scan + exact re-rank core shared by the wholesale and the
+    incremental IVFADC indexes: route queries to nprobe lists against the
+    given centroids, ADC-score ONLY those lists' codes with the given
+    codebooks' lookup tables, exact-L2 re-rank the 50-deep shortlist.
+    Everything model-shaped rides the closure (bounded); the index
+    relation is scanned once."""
     import numpy as np
     import pandas as pd
 
     m_sub, d_sub = PQ_SUBSPACES, PQ_SUBDIM
-    index, books, cents = ivfpq_index(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     q_rows = (
@@ -1602,7 +1627,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str):
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
     qd2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    probed = np.argsort(qd2, axis=1, kind="stable")[:, :IVFPQ_NPROBE]
+    probed = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     qsub = qm.reshape(len(qm), m_sub, d_sub)
     tables = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
 
@@ -1677,7 +1702,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str):
         [
             (int(qids[qi]), int(probed[qi, j]))
             for qi in range(len(qids))
-            for j in range(IVFPQ_NPROBE)
+            for j in range(nprobe)
         ],
         "query_id long, list_id int",
     )
@@ -1715,6 +1740,16 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-truth side scans by definition), and bench --cold bills the
     build."""
     top, lists, probed_df = ivfpq_topk(spark, sf_dir)
+    return _ivfpq_verdict(spark, sf_dir, top, lists, probed_df)
+
+
+def _ivfpq_verdict(
+    spark: SparkSession, sf_dir: str, top, lists, probed_df
+) -> DataFrame:
+    """Per-query (n_results, recall_ok, pruning_ok) verdict shared by the
+    wholesale and incremental IVFADC audits — recall vs the exact
+    brute-force L2 top-5, pruning asserted by joining results back to the
+    stored list assignment against the bounded probed relation."""
     exact = exact_l2_topk(spark, sf_dir).select(
         F.col("query_id").alias("eqid"), F.col("neighbor_id").alias("nid")
     )
@@ -1748,6 +1783,237 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_results",
         "recall_ok",
         (F.col("n_in_probed") == F.col("n_results")).alias("pruning_ok"),
+    )
+
+
+_IVFPQ_INC_MOD = 3  # history = vec_id % 3 != 2; the arriving batch = vec_id % 3 == 2
+
+
+def _ivfpq_inc_dir(sf_dir: str, tag: str) -> str:
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    return versioned_cache_dir(f"ivfpq_inc_{tag}", sf_dir, __file__)
+
+
+def _inc_encode_frame(spark: SparkSession, sf_dir: str, frame, books, cents):
+    """(vec_id, code_key, list_id) for the given frame against a FROZEN
+    model: coarse L2 routing to the given centroids + PQ codes from the
+    given codebooks — no training, no other rows touched."""
+    import numpy as np
+    import pandas as pd
+
+    def make_assign(ct):
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = ((m[:, None, :] - ct[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "list_id": d2.argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        return assign
+
+    lists = frame.mapInPandas(make_assign(cents.copy()), "vec_id long, list_id int")
+    return (
+        pq_encode(spark, sf_dir, books=books, frame=frame)
+        .select("vec_id", "code_key")
+        .join(lists, "vec_id")
+    )
+
+
+def ivfpq_inc_index(spark: SparkSession, sf_dir: str):
+    """Incremental IVFADC maintenance — the batch-append path the
+    persisted index needs so an arriving epoch never triggers a wholesale
+    rebuild (the ANN twin of q_dedup_minhash_incremental's epoch
+    refresh). v1 trains centroids + codebooks on the HISTORY slice only
+    (vec_id % 3 != 2) and lands its codes; v2 FREEZES that model, encodes
+    ONLY the arriving batch (vec_id % 3 == 2), and publishes the merged
+    index as an epoch-partitioned layout in which the epoch=1 files are
+    HARDLINKS of v1's parquet — history codes are never recomputed, never
+    re-read, never even re-copied (byte-level appendix proof: same
+    inodes; pinned by the property suite). Real systems do exactly this
+    (FAISS add_with_ids against a trained index; Milvus/Vespa segment
+    appends) because codebook retraining at 100 TB is a corpus-scale
+    pass while an append is O(batch).
+
+    Returns (merged index DataFrame with its epoch column, books, cents)."""
+    import shutil
+
+    import numpy as np
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+
+    last = _IVFPQ_INC_MOD - 1
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v1 = _ivfpq_inc_dir(sf_dir, "v1")
+    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
+        stage = staging_dir(v1)
+        try:
+            hist = e.where(F.col("vec_id") % _IVFPQ_INC_MOD != last)
+            books = pq_codebooks(spark, sf_dir, frame=hist)
+            cent_rows = hist.orderBy("vec_id").limit(16).collect()  # IVFPQ_LISTS
+            cents = np.stack(
+                [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+            )
+            _inc_encode_frame(spark, sf_dir, hist, books, cents).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, "index"))
+            np.save(os.path.join(stage, "books.npy"), books)
+            np.save(os.path.join(stage, "cents.npy"), cents)
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, v1)
+    v2 = _ivfpq_inc_dir(sf_dir, "v2")
+    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
+        books = np.load(os.path.join(v1, "books.npy"))
+        cents = np.load(os.path.join(v1, "cents.npy"))
+        stage = staging_dir(v2)
+        try:
+            ep1 = os.path.join(stage, "index", "epoch=1")
+            os.makedirs(ep1)
+            for name in os.listdir(os.path.join(v1, "index")):
+                src = os.path.join(v1, "index", name)
+                try:
+                    os.link(src, os.path.join(ep1, name))
+                except OSError:  # cross-device fallback keeps the contract
+                    shutil.copy2(src, os.path.join(ep1, name))
+            batch = e.where(F.col("vec_id") % _IVFPQ_INC_MOD == last)
+            _inc_encode_frame(spark, sf_dir, batch, books, cents).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, "index", "epoch=2"))
+            np.save(os.path.join(stage, "books.npy"), books)
+            np.save(os.path.join(stage, "cents.npy"), cents)
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, v2)
+    books = np.load(os.path.join(v2, "books.npy"))
+    cents = np.load(os.path.join(v2, "cents.npy"))
+    return spark.read.parquet(os.path.join(v2, "index")), books, cents
+
+
+@query(
+    "q_sim_ivfpq_incremental",
+    oracle=f"""
+SELECT vec_id               AS query_id,
+       CAST(5 AS BIGINT)    AS n_results,
+       TRUE                 AS pruning_ok,
+       TRUE                 AS append_ok,
+       TRUE                 AS rebuild_identical
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+)
+def q_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVFADC audit (round-10 verdict order #6):
+    search runs against the MERGED epoch-partitioned index — history
+    codes landed by v1, the arriving batch appended by v2 under the
+    FROZEN v1 codebooks/centroids (see ivfpq_inc_index) — through the
+    same ADC + exact-re-rank core as q_sim_ivfpq. The contract is the
+    DEFINITION of correct incremental maintenance, not a model-quality
+    statistic (recall vs exact truth measures the codebooks, which
+    q_sim_ivfpq/q_ivf_tune already grade): per query a full top-5 whose
+    neighbors all sit in probed lists (pruning_ok), plus two index-level
+    verdicts broadcast onto every row — append_ok (exactly two epochs
+    whose row counts equal the corpus' history/batch slice counts — an
+    append path that drops or duplicates a slice fails) and
+    rebuild_identical (the merged relation is row-for-row IDENTICAL —
+    vec_id, list_id, code_key, via full-outer mismatch count — to a
+    wholesale re-encode of the whole corpus under the same frozen model:
+    append-build ≡ batch-build, the audit's declared one-pass truth
+    cost). The file-level half of that identity (epoch-1 parquet is the
+    SAME inodes as v1's — history never recomputed, never even copied)
+    is pinned by the property suite.
+
+    Scale shape: the v2 refresh touches O(batch) embedding rows + O(1)
+    model bytes; the warm query path scans the landed 16-byte-per-row
+    code relation pruned to nprobe lists, then the bounded shortlist
+    gather — identical plan family to q_sim_ivfpq."""
+    index, books, cents = ivfpq_inc_index(spark, sf_dir)
+    top, lists, probed = _ivfadc_search(
+        spark, sf_dir, index.select("vec_id", "code_key", "list_id"), books, cents
+    )
+    probed_r = probed.select(
+        F.col("query_id").alias("pqid"), F.col("list_id").alias("plist")
+    )
+    lmap = lists.select(
+        F.col("vec_id").alias("lvid"), F.col("list_id").alias("llist")
+    )
+    in_probed = top.join(lmap, top.neighbor_id == F.col("lvid")).join(
+        F.broadcast(probed_r),
+        (top.query_id == F.col("pqid")) & (F.col("llist") == F.col("plist")),
+        "left_semi",
+    )
+    pruned_counts = in_probed.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_in_probed")
+    )
+    verdict = (
+        top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(F.broadcast(pruned_counts), "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            (F.col("n_in_probed") == F.col("n_results")).alias("pruning_ok"),
+        )
+    )
+    rebuild = _inc_encode_frame(
+        spark,
+        sf_dir,
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        books,
+        cents,
+    ).select(
+        F.col("vec_id").alias("rvid"),
+        F.col("code_key").alias("rcode"),
+        F.col("list_id").alias("rlist"),
+    )
+    mismatches = (
+        index.select("vec_id", "code_key", "list_id")
+        .join(rebuild, F.col("vec_id") == F.col("rvid"), "full")
+        .where(
+            F.col("vec_id").isNull()
+            | F.col("rvid").isNull()
+            | (F.col("code_key") != F.col("rcode"))
+            | (F.col("list_id") != F.col("rlist"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select((F.col("n_bad") == 0).alias("rebuild_identical"))
+    )
+    last = _IVFPQ_INC_MOD - 1
+    slice_counts = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vec_id") % _IVFPQ_INC_MOD == last, 1).otherwise(0)
+            ).alias("n_batch_corpus"),
+            F.count(F.lit(1)).alias("n_corpus"),
+        )
+    )
+    idx_counts = index.agg(
+        F.sum(F.when(F.col("epoch") == 2, 1).otherwise(0)).alias("n_batch_idx"),
+        F.count(F.lit(1)).alias("n_idx"),
+        F.count_distinct("epoch").alias("n_epochs"),
+    )
+    append_ok = slice_counts.crossJoin(idx_counts).select(
+        (
+            (F.col("n_batch_idx") == F.col("n_batch_corpus"))
+            & (F.col("n_idx") == F.col("n_corpus"))
+            & (F.col("n_epochs") == 2)
+        ).alias("append_ok")
+    )
+    return verdict.crossJoin(F.broadcast(append_ok)).crossJoin(
+        F.broadcast(mismatches)
     )
 
 

@@ -35,10 +35,13 @@ def test_no_unbounded_collect_in_operators():
     # in an already-allowed file — fails this test and must be justified
     # here as bounded.
     allowed_counts = {
-        "similarity.py": 11,  # K x D centroid/codebook model state + the
+        "similarity.py": 13,  # K x D centroid/codebook model state + the
         # N_QUERIES-row query batch for the PQ ADC lookup tables; +2 for
         # ivfpq_topk's 16-row centroid matrix and 10-row query batch
-        # (the same bounded model-state pattern as ivf_topk/pq_adc)
+        # (the same bounded model-state pattern as ivf_topk/pq_adc);
+        # +2 for the incremental index's frame-restricted model init
+        # (pq_codebooks' 16-row history init + ivfpq_inc_index's 16-row
+        # centroid matrix — bounded, collected once per cold build)
         "inspect.py": 1,  # plan-string helper (driver-side by design)
         "jobs.py": 3,  # 1-row stream sentinel + bounded drains for
         # late-data and left-outer-join arrival-dir fixtures (materialized

@@ -3605,3 +3605,52 @@ def test_fhir_renest_roundtrip_identity(spark, sf_dir):
         F.size(F.from_json("doc", schema)["orders"]) != F.col("n_orders")
     ).count()
     assert bad == 0
+
+
+def test_ivfpq_incremental_appends_never_recompute_history(spark, sf_dir):
+    """The incremental IVFADC contract at the FILE level: the merged
+    (v2) index's epoch=1 parquet must be the SAME INODES as the v1 build's
+    files — history codes were not recomputed, not re-read, not even
+    re-copied by the append refresh (os.link). The appended epoch=2 rows
+    must cover exactly the arriving slice, and the merged relation must
+    equal a wholesale re-encode under the frozen model (the in-query
+    rebuild_identical verdict, asserted here end to end)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark.operators.similarity import (
+        _IVFPQ_INC_MOD,
+        _ivfpq_inc_dir,
+        ivfpq_inc_index,
+        q_sim_ivfpq_incremental,
+    )
+    from data_pipeline_aws_spark.tables import table
+
+    index, _books, _cents = ivfpq_inc_index(spark, sf_dir)
+    v1 = _ivfpq_inc_dir(sf_dir, "v1")
+    v2 = _ivfpq_inc_dir(sf_dir, "v2")
+    ep1 = os.path.join(v2, "index", "epoch=1")
+    v1_files = {
+        n for n in os.listdir(os.path.join(v1, "index")) if n.endswith(".parquet")
+    }
+    ep1_files = {n for n in os.listdir(ep1) if n.endswith(".parquet")}
+    assert v1_files == ep1_files and v1_files
+    for n in sorted(v1_files):
+        assert os.path.samefile(
+            os.path.join(v1, "index", n), os.path.join(ep1, n)
+        ), f"epoch=1 file {n} is not v1's inode — history was rewritten"
+
+    last = _IVFPQ_INC_MOD - 1
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    n_batch = e.where(F.col("vec_id") % _IVFPQ_INC_MOD == last).count()
+    n_total = e.count()
+    by_epoch = {
+        r.epoch: r.n
+        for r in index.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_epoch == {1: n_total - n_batch, 2: n_batch}
+
+    out = q_sim_ivfpq_incremental(spark, sf_dir).collect()
+    assert all(r.rebuild_identical and r.append_ok and r.pruning_ok for r in out)
+    assert all(r.n_results == 5 for r in out)
