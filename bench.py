@@ -203,6 +203,15 @@ def main() -> None:
     if cold:
         _clear_sink_caches(sf_dir)
 
+    # Host-SPEED drift guard (round-10 lesson: the closing host slowed ~3×
+    # MID-RUN — calib 0.0153→0.0465 — costing seven spurious >1.3×
+    # round-over-round rows and a remeasure). The anchor is sampled at
+    # start AND end; a ratio beyond 1.5× in either direction stamps
+    # host_drifted=true so cross-round medians exclude the artifact, and
+    # SPARK_GRAFT_BENCH_REQUIRE_STABLE=1 makes the run refuse (exit 3)
+    # so the closing protocol re-records instead of shipping footnotes.
+    calib_start = _cpu_calibration()
+
     # the per-query peak-execution-memory stamps read the status REST API
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("bench")
@@ -304,6 +313,21 @@ def main() -> None:
     if single_sample:
         print(f"WARNING: single-sample timings for {single_sample}", file=sys.stderr)
     load_end = _loadavg_1min()
+    calib_end = _cpu_calibration()
+    calib_drift = round(
+        max(calib_end, calib_start) / max(min(calib_end, calib_start), 1e-9), 3
+    )
+    host_drifted = calib_drift > 1.5
+    if host_drifted:
+        print(
+            f"WARNING: host speed drifted {calib_drift}x mid-run "
+            f"(calib {calib_start} -> {calib_end}); artifact stamped "
+            f"host_drifted=true — exclude from round-over-round medians",
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_STABLE") == "1":
+            print("refusing to record a drifted closing artifact", file=sys.stderr)
+            sys.exit(3)
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -327,7 +351,10 @@ def main() -> None:
         # artifacts at this fixed workload instead).
         "loadavg_1min": {"start": load_start, "peak": load_peak, "end": load_end},
         "host_contended": load_start > max_load or load_end > max_load,
-        "calib_sec": _cpu_calibration(),
+        "calib_sec": calib_end,
+        "calib_sec_start": calib_start,
+        "calib_drift": calib_drift,
+        "host_drifted": host_drifted,
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
         "sink_cache_keys": [n for n in SINK_CACHE_KEYS if n in timings],
     }

@@ -238,7 +238,7 @@ base AS (
 ranked AS (
   SELECT *,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                            ORDER BY remainder DESC, l_linenumber) AS rr
+                            ORDER BY remainder DESC, l_linenumber, q) AS rr
   FROM base
 )
 SELECT l_orderkey, l_linenumber,
@@ -258,7 +258,8 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer arithmetic: header totals become exact cents,
     base shares are integer floor-division, and the leftover
     total − Σ base cents go one each to the lines with the largest
-    integer remainders (linenumber tiebreak). No float enters any
+    integer remainders (linenumber, then quantity tiebreak — total as a
+    multiset). No float enters any
     decision, so both engines allocate identically and conservation is
     exact by construction (property-tested). One join + per-order windows
     — all partitioned on the order key, one shuffle at 100 TB."""
@@ -282,6 +283,7 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "total_cents",
+        "q",
         # `div` is exact LONG integer division — floor(a/b) on doubles
         # would silently mis-floor once the numerator passes 2^53
         F.expr("(total_cents * q) div qsum").alias("base_cents"),
@@ -290,13 +292,19 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "total_cents",
+        "q",
         "base_cents",
         "remainder",
         F.sum("base_cents").over(wo).alias("base_sum"),
     )
     rr = F.row_number().over(
         Window.partitionBy("l_orderkey").orderBy(
-            F.desc("remainder"), F.asc("l_linenumber")
+            # q completes the tie-break: the fixture's l_linenumber is NOT
+            # unique per order, and at sf1.0 a (remainder, linenumber) tie
+            # between lines with DIFFERENT q flips which line gets the
+            # penny between engines (found by the full-registry sf1.0
+            # sweep; equal-q ties are output-invariant either way)
+            F.desc("remainder"), F.asc("l_linenumber"), F.asc("q")
         )
     )
     return base.withColumn("rr", rr).select(

@@ -1476,3 +1476,48 @@ def test_ngram_novelty_window_reuses_exchange_no_join(plans):
     assert "BroadcastHashJoin" not in p, p
     final = p.split("Initial Plan")[0]
     assert final.count("Generate explode") == 1, final
+
+
+def test_fhir_renest_single_shuffle_then_mapside_serialize(plans):
+    """Renest is ONE shuffle (the child-gather groupBy) plus the parent FK
+    join; struct assembly + to_json stay map-side — no window, no extra
+    exchange after the join, no UDF."""
+    p = plans("q_fhir_renest")
+    # Spark 4 renders to_json as its evaluator invoke in the final plan
+    assert "StructsToJsonEvaluator" in p or "to_json" in p, p
+    assert "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_warcgz_reader_is_one_binary_scan_no_shuffle(plans):
+    """The .warc.gz read path is binaryFile scan → mapInPandas parse:
+    zero exchanges, zero joins — shard files are the parallelism unit."""
+    p = plans("q_warcgz_ingest")
+    final = p.split("Initial Plan")[0]
+    assert "Exchange" not in final, final
+    assert "Join" not in final, final
+    assert "MapInPandas" in p, p
+
+
+def test_mix_budgeted_bounded_domain_table_no_data_join(plans):
+    """All mixture math happens on the bounded per-domain table: the only
+    corpus-scale work is the first groupBy(lang) aggregate; everything
+    after rides broadcast 1-row aggregates (never a shuffle join of
+    data-scale relations)."""
+    p = plans("q_mix_budgeted")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    final = p.split("Initial Plan")[0]
+    # exactly one corpus scan feeds the domain table; the budget/cap math
+    # re-reads only the bounded aggregate
+    assert final.count("Scan parquet") <= 2, final
+
+
+def test_sim_ivfpq_incremental_warm_search_reads_landed_index(plans):
+    """The warm incremental search scans the LANDED epoch-partitioned code
+    relation (parquet scan of the cache, not a re-encode): the plan must
+    contain the index scan and the only Python stages are the bounded ADC
+    scorer plus the declared rebuild-truth re-encode — never a codebook
+    TRAINING pass (no groupBy on (sub, cluster, dim) partials)."""
+    p = plans("q_sim_ivfpq_incremental")
+    assert "ivfpq_inc_v2" in p, p  # served from the published v2 layout
+    assert "cluster" not in p, p  # no Lloyd partial-aggregation stage
