@@ -22,6 +22,19 @@ for chroma/compressed video, soundfile for compressed audio) refuse
 loudly with explicit NotImplementedError markers, exactly where a
 production build would plug in.
 
+PERMANENT BOUNDARY (by design, not a to-do): PERCEPTUAL codecs —
+JPEG/MP3/H.264 and kin — stay refuse-paths forever in this repo. Both
+LOSSLESS compression families are decoded natively (deflate via the PNG
+rung, LZW via the GIF rung, G.711 µ-law companding for audio) because a
+lossless decode has a closed-form byte oracle; a lossy decode does not —
+its output is implementation-defined (IDCT precision, dithering, DSP
+rounding differ across libjpeg/ffmpeg builds), so no DuckDB twin can
+hash-grade it and a hand-rolled decoder would be unverifiable against
+this repo's correctness bar. Production deployments plug PIL/ffmpeg into
+the marked NotImplementedError sites; the Spark-side plumbing those
+plugs inherit (schema, mapInPandas batch shape, magic-byte dispatch,
+partitioning) is exactly what the real-codec rungs already exercise.
+
 Scale notes: binary payloads ride through scans/joins untouched (Parquet
 stores them as BYTE_ARRAY; column pruning keeps them out of queries that
 don't reference them). Decoding runs in `mapInPandas` — per-partition Arrow

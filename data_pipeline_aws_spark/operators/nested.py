@@ -320,6 +320,123 @@ def q_fhir_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fhir_renest_deep",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         l_linenumber                                 AS linenumber,
+         CAST(ROUND(l_quantity * 100) AS BIGINT)      AS qty_cents,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext_cents
+  FROM lineitem
+),
+comp AS (
+  SELECT l_orderkey,
+         list(struct_pack(linenumber := linenumber,
+                          qty_cents  := qty_cents,
+                          ext_cents  := ext_cents)
+              ORDER BY linenumber, qty_cents, ext_cents) AS lines,
+         COUNT(*)                                     AS n_lines
+  FROM l GROUP BY l_orderkey
+),
+obs AS (
+  SELECT o_custkey,
+         list(struct_pack(orderkey := o_orderkey, lines := lines)
+              ORDER BY o_orderkey)                    AS orders,
+         CAST(SUM(n_lines) AS BIGINT)                 AS n_lines,
+         COUNT(*)                                     AS n_orders
+  FROM orders JOIN comp ON o_orderkey = l_orderkey
+  GROUP BY o_custkey
+)
+SELECT c_custkey                                      AS custkey,
+       CAST(n_orders AS BIGINT)                       AS n_orders,
+       n_lines,
+       to_json(struct_pack(
+         id      := c_custkey,
+         name    := c_name,
+         profile := struct_pack(segment := c_mktsegment,
+                                nation  := CAST(c_nationkey AS INT)),
+         orders  := orders))                          AS doc
+FROM obs JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q_fhir_renest_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep RENEST — the 3-level inverse of q_fhir_bundle_deep: rebuild
+    Bundle → Observation entry[] → component[] documents from the
+    customer → orders → lineitem star, with BOTH array levels
+    lineage-ordered deterministically (components by the FULL
+    (linenumber, qty_cents, ext_cents) tuple — l_linenumber is NOT
+    unique per order, the q_allocation sf1.0 lesson applied proactively;
+    observations by unique orderkey) and money as integer cents at the
+    deepest level so the JSON bytes are engine-identical. Two nested
+    `sort_array(collect_list(struct(...)))` gathers compose exactly like
+    the relationalize direction's two posexplodes invert them; the
+    DuckDB oracle rebuilds the same nesting with nested
+    `list(struct_pack(...) ORDER BY ...)` aggregates and the hash
+    compare grades the full serialized document.
+
+    Scale shape: two shuffles, both on the natural FK keys (lineitem →
+    order grain, orders → customer grain — bounded TPC-H group sizes),
+    then the parent broadcast join and a map-side serialize; no UDF, no
+    window, no driver path. This is the Glue-FHIR write job's actual
+    output shape (`Hoth/FHIR/`; lambda-stack.yml:11-21) at its real
+    depth."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    comp = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("linenumber"),
+                F.expr("cast(round(l_quantity * 100) as bigint)").alias(
+                    "qty_cents"
+                ),
+                F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+                    "ext_cents"
+                ),
+            ).alias("line"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("line")).alias("lines"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    obs = (
+        o.join(comp, o.o_orderkey == comp.l_orderkey)
+        .select(
+            "o_custkey",
+            "n_lines",
+            F.struct(F.col("o_orderkey").alias("orderkey"), F.col("lines")).alias(
+                "entry"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("entry")).alias("orders"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return obs.join(c, obs.o_custkey == c.c_custkey).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "n_lines",
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").alias("id"),
+                F.col("c_name").alias("name"),
+                F.struct(
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").cast("int").alias("nation"),
+                ).alias("profile"),
+                F.col("orders"),
+            )
+        ).alias("doc"),
+    )
+
+
+@query(
     "q_fhir_choice",
     oracle="""
 SELECT
