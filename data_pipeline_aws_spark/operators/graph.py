@@ -213,14 +213,26 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_degree_dist",
     oracle="""
-WITH edges AS (
-  SELECT DISTINCT c_nationkey AS cn, s_nationkey AS sn
+WITH joined AS (
+  SELECT c_nationkey AS cn, s_nationkey AS sn
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey  = c_custkey
   JOIN supplier ON l_suppkey  = s_suppkey
-  WHERE c_nationkey <> s_nationkey AND l_quantity >= 50
+  WHERE l_quantity >= 50
 ),
+-- cn<>sn is applied via MIN() copies of the group keys: on base columns
+-- DuckDB pushes the inequality into the join graph and plans a
+-- customer x supplier NESTED_LOOP_JOIN on c_nationkey != s_nationkey —
+-- a 1.5e9-row anti-diagonal cross product at sf1.0 that spilled 70 GB
+-- before OOMing the full-registry sweep. Filtering on aggregate RESULTS
+-- (MIN(x) grouped by x == x, value-identical) is an optimization
+-- barrier: the equi-join graph stays FK-shaped and the inequality runs
+-- on the <=625-row distinct pair set.
+pairs AS (
+  SELECT cn, sn, MIN(cn) AS cnm, MIN(sn) AS snm FROM joined GROUP BY cn, sn
+),
+edges AS (SELECT cn, sn FROM pairs WHERE cnm <> snm),
 und AS (
   SELECT cn AS a, sn AS b FROM edges
   UNION

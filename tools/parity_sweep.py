@@ -58,9 +58,50 @@ def canon_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
     return len(rows), tuple(df.columns), hashlib.md5(repr(rows).encode()).hexdigest()
 
 
+def _oracle_df(con, sql: str) -> pd.DataFrame:
+    """Run the oracle under a wall-clock watchdog: a runaway DuckDB plan
+    (round-11: a pushed-down inequality became a 1.5e9-row nested-loop
+    join) is interrupted after SPARK_GRAFT_ORACLE_TIMEOUT seconds and
+    recorded as that key's ERR instead of stalling the whole sweep."""
+    import threading
+
+    timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        done.set()
+
+
 def sweep(spark: SparkSession, sf_dir: str, only: set[str] | None = None) -> dict[str, str]:
     tag = sf_dir.rstrip("/").split("/")[-1]
     con = duckdb.connect()
+    # Cap the oracle engine: an uncapped DuckDB defaults to ~80% of RAM and
+    # the sf1.0 dedup oracles drove the sweep process to ~104 GB RSS on top
+    # of the Spark driver JVM — OOM-killed 68 keys in (round-11 lesson).
+    # Spill goes to a scratch dir, never the repo cwd's .tmp.
+    import tempfile
+
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'"
+    )
+    con.execute(
+        f"SET threads={int(os.environ.get('SPARK_GRAFT_DUCK_THREADS', '16'))}"
+    )
+    spill = os.path.join(tempfile.gettempdir(), "dpas_duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute(
+        "SET max_temp_directory_size="
+        f"'{os.environ.get('SPARK_GRAFT_DUCK_SPILL_MAX', '40GB')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -78,7 +119,7 @@ def sweep(spark: SparkSession, sf_dir: str, only: set[str] | None = None) -> dic
             if sql is None:
                 out[name] = f"rows-only:{len(spdf)}"
             else:
-                a, b = canon_hash(spdf), canon_hash(con.execute(sql).fetchdf())
+                a, b = canon_hash(spdf), canon_hash(_oracle_df(con, sql))
                 out[name] = "pass" if a == b else f"FAIL spark={a[:2]} duck={b[:2]}"
         except Exception as exc:  # noqa: BLE001 - record, keep sweeping
             out[name] = f"ERR {type(exc).__name__}: {exc}"[:300]
