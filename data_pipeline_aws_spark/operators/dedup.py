@@ -792,6 +792,20 @@ SELECT s.doc_id, s.ep AS epoch,
        md5(COALESCE(array_to_string(s.mhs, ','), '')) AS sig_check
 FROM sig s JOIN final f ON s.doc_id = f.doc_id
 """
+# MATERIALIZED hints, applied to THIS oracle's composed string only (the
+# shared _SHINGLE_CTES/_mh_sig_ctes definitions stay hint-free — the rest
+# of the family passed sf1.0 without them and benefits from pushdown):
+# sig/bands feed two candidate stages and two reject stages, and without
+# the hint DuckDB re-inlines the whole shingle→minhash pipeline at every
+# reference — at sf1.0 the re-expanded tree blew a 40 GB spill budget and
+# OOM'd; materialized, the same oracle runs in ~8 s.
+for _cte in (
+    "shd AS (", "shh AS (", "mh AS (", "sig AS (", "bands AS (",
+    "cand1 AS (", "rej1 AS (", "idx1 AS (", "cand2 AS (", "rej2 AS (",
+):
+    _MH_INCR_ORACLE = _MH_INCR_ORACLE.replace(
+        _cte, _cte.replace("AS (", "AS MATERIALIZED (")
+    )
 # COALESCE on sig_check: a shingle-less doc's mhs is [NULL], and DuckDB's
 # array_to_string([NULL]) is NULL while Spark's concat_ws over all-NULL
 # columns is '' (md5('') both engines after the coalesce) — verified
