@@ -1150,6 +1150,8 @@ def pq_encode(spark: SparkSession, sf_dir: str, books=None, frame=None) -> DataF
 
         def enc(batches):
             for pdf in batches:
+                if pdf.empty:  # filtered frames (incremental epochs) can
+                    continue  # hand Arrow an empty partition batch
                 m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 sub = m.reshape(len(m), m_sub, d_sub)
                 codes = np.zeros((len(m), m_sub), dtype=np.int64)
@@ -1205,6 +1207,8 @@ def pq_codebooks(spark: SparkSession, sf_dir: str, frame=None):
     def make_update(bk):
         def update(batches):
             for pdf in batches:
+                if pdf.empty:  # filtered frames (incremental epochs) can
+                    continue  # hand Arrow an empty partition batch
                 m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 sub = m.reshape(len(m), m_sub, d_sub)
                 out_s, out_c, out_d, out_v, out_n = [], [], [], [], []

@@ -1109,22 +1109,30 @@ def warcgz_parse_batches(batches):
 
     import pandas as pd
 
+    chunk_sz = 1 << 18  # feed 256 KiB chunks: a whole-tail slice per member
+    # plus unused_data both copy O(shard) bytes -> O(members x shard) total
+
     for pdf in batches:
         for content in pdf["content"]:
             buf = bytes(content)
+            mv = memoryview(buf)
             members = []
             pos = 0
             while pos < len(buf):
                 d = zlib.decompressobj(wbits=31)
-                members.append(d.decompress(buf[pos:]))
+                start = pos
+                parts = []
+                while not d.eof and pos < len(buf):
+                    parts.append(d.decompress(mv[pos : pos + chunk_sz]))
+                    pos += min(chunk_sz, len(buf) - pos)
                 if not d.eof:
                     raise ValueError(
-                        f"truncated gzip member at offset {pos}"
+                        f"truncated gzip member at offset {start}"
                     )
-                consumed = len(buf) - pos - len(d.unused_data)
-                if consumed <= 0:
-                    raise ValueError(f"empty gzip member at offset {pos}")
-                pos += consumed
+                pos -= len(d.unused_data)  # rewind the final chunk's tail
+                members.append(b"".join(parts))
+                if pos <= start:
+                    raise ValueError(f"empty gzip member at offset {start}")
             records = b"".join(members)
             out = list(
                 warc_parse_batches(
