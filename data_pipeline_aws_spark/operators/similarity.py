@@ -2029,32 +2029,37 @@ MMR_K = 5  # final diversified picks per query
 
 
 def _mmr_oracle(k: int) -> str:
-    """Unrolled greedy-MMR oracle: step t picks the argmax of
-    ROUND(0.7*rel - 0.3*max_sim_to_selected, 6) (score-desc, id-asc
-    tiebreak on ROUNDED values — the q_sim_topk determinism contract) over
-    the not-yet-selected pool. A loop has no SQL twin, but a FIXED k does:
-    one CTE pair per step, each referencing the previous selected set."""
+    """Unrolled greedy-MMR oracle in EXACT INTEGER micro-units: relevance
+    and pairwise cosines are CAST(ROUND(cos*1e6) AS BIGINT) — both engines
+    round the SAME double at scale 0, where their rules agree everywhere
+    (HALF_UP and half-away coincide; the sf1.0 sweep caught ROUND(x, 6)
+    itself diverging by one 6th-decimal ulp on a 0.7x-0.3y half-way
+    value) — and each step's score is the EXACT integer 7*rel_u -
+    3*max_sim_u (1e-7 units): no float ever enters an argmax or the
+    output. Step t picks (mmr_u DESC, cid ASC) over the not-yet-selected
+    pool; a loop has no SQL twin, but a FIXED k does — one CTE pair per
+    step, each referencing the previous selected set."""
     steps = []
     for t in range(2, k + 1):
         prev = f"sel{t - 1}"
         steps.append(f"""
 cand{t} AS (
-  SELECT p.query_id, p.cid, p.rel,
-         ROUND(0.7 * p.rel - 0.3 * MAX(s.s), 6) AS mmr_score
+  SELECT p.query_id, p.cid, p.rel_u,
+         7 * p.rel_u - 3 * MAX(s.s_u) AS mmr_u
   FROM pool p
   LEFT JOIN {prev} x ON x.query_id = p.query_id AND x.cid = p.cid
   JOIN sim s ON s.query_id = p.query_id AND s.c1 = p.cid
   JOIN {prev} y ON y.query_id = s.query_id AND y.cid = s.c2
   WHERE x.cid IS NULL
-  GROUP BY p.query_id, p.cid, p.rel
+  GROUP BY p.query_id, p.cid, p.rel_u
 ),
 sel{t} AS (
   SELECT * FROM {prev}
   UNION ALL
-  SELECT query_id, cid, rel, mmr_score, {t} AS rank
+  SELECT query_id, cid, rel_u, mmr_u, {t} AS rank
   FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY mmr_score DESC, cid) AS rn2
+                                 ORDER BY mmr_u DESC, cid) AS rn2
     FROM cand{t}
   ) WHERE rn2 = 1
 )""")
@@ -2066,28 +2071,31 @@ WITH n AS (
 ),
 pool0 AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cid,
-         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS rel
+         CAST(ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000)
+              AS BIGINT) AS rel_u
   FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
 ),
 pool AS (
   SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel_u DESC, cid) AS rn
     FROM pool0
   ) WHERE rn <= {MMR_POOL}
 ),
 sim AS (
   SELECT a.query_id, a.cid AS c1, b.cid AS c2,
-         ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS s
+         CAST(ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) * 1000000)
+              AS BIGINT) AS s_u
   FROM pool a
   JOIN pool b ON a.query_id = b.query_id AND a.cid <> b.cid
   JOIN n na ON na.vec_id = a.cid
   JOIN n nb ON nb.vec_id = b.cid
 ),
 sel1 AS (
-  SELECT query_id, cid, rel, rel AS mmr_score, 1 AS rank
+  SELECT query_id, cid, rel_u, 7 * rel_u AS mmr_u, 1 AS rank
   FROM pool WHERE rn = 1
 ),{",".join(steps)}
-SELECT query_id, rank, cid AS neighbor_id, rel AS relevance, mmr_score
+SELECT query_id, rank, cid AS neighbor_id,
+       rel_u AS relevance_micro, mmr_u AS mmr_score_e7
 FROM sel{k}
 """
 
@@ -2103,13 +2111,14 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sampled batch from being 5 copies of the same document).
 
     The relevance pool and the pairwise-sim relation are computed JVM-side
-    exactly as before (rounded rel / rounded cosine, so the values the
-    greedy sees are byte-identical to the oracle's CTEs); the k=5 greedy
-    itself runs as ONE cogrouped `applyInPandas` per query over those two
-    bounded relations. Score rounding inside the Python greedy replays
-    Spark's `F.round` exactly — `Decimal(repr(x))` is the same
-    shortest-decimal representation as Java's `Double.toString`, quantized
-    HALF_UP — so this stays a full hash-verified key, not a bound verdict.
+    in EXACT INTEGER micro-units — CAST(ROUND(cos*1e6) AS BIGINT), the
+    scale-0 rounding on which Spark's HALF_UP and DuckDB's half-away
+    agree everywhere (the sf1.0 sweep caught scale-6 ROUND itself
+    diverging by one last-digit ulp on a 0.7x-0.3y half-way double) —
+    and the k=5 greedy runs as ONE cogrouped `applyInPandas` per query
+    whose scores are the exact bigints 7*rel_u - 3*max_sim_u: no float
+    enters any argmax or the output, so this stays a full hash-verified
+    key with nothing left to replay.
     (Round 7 rewrite: the previous k-unrolled DataFrame loop was plan-
     correct but paid ~66 exchanges / 6 s at sf0.1 in round-trip latency;
     the cogroup does the same bounded work in one pass for ~3 exchanges.)
@@ -2141,10 +2150,12 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "ce",
             "cn",
-            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("rel"),
+            F.round(
+                _dot("qe", "ce") / (F.col("qn") * F.col("cn")) * 1000000
+            ).cast("long").alias("rel_u"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_u"), F.asc("cid"))
     pool = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= MMR_POOL)
@@ -2160,43 +2171,44 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cid").alias("c1"),
         F.col("b.cid").alias("c2"),
         F.round(
-            _dot(F.col("a.ce"), F.col("b.ce")) / (F.col("a.cn") * F.col("b.cn")),
-            6,
-        ).alias("s"),
+            _dot(F.col("a.ce"), F.col("b.ce"))
+            / (F.col("a.cn") * F.col("b.cn"))
+            * 1000000
+        ).cast("long").alias("s_u"),
     )
 
     k = MMR_K
 
     def greedy(pool_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
-        # Replays F.round(x, 6): Double.toString shortest repr == repr(x),
-        # then decimal HALF_UP — identical digits, identical tie behavior.
-        from decimal import ROUND_HALF_UP, Decimal
-
+        # Pure INTEGER arithmetic: scores are the exact bigints
+        # 7*rel_u - 3*max_sim_u — no rounding happens in Python at all,
+        # so there is nothing to replay and nothing to diverge.
         import pandas as pd
-
-        quant = Decimal("0.000001")
-
-        def r6(x: float) -> float:
-            return float(Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP))
 
         if pool_pdf.empty:
             return pd.DataFrame(
-                columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"]
+                columns=[
+                    "query_id",
+                    "rank",
+                    "neighbor_id",
+                    "relevance_micro",
+                    "mmr_score_e7",
+                ]
             )
         qid = int(pool_pdf["query_id"].iloc[0])
-        cand = pool_pdf.sort_values(["rel", "cid"], ascending=[False, True])
+        cand = pool_pdf.sort_values(["rel_u", "cid"], ascending=[False, True])
         cids = cand["cid"].to_numpy()
-        rels = cand["rel"].to_numpy()
+        rels = cand["rel_u"].to_numpy()
         # NULL cosines (zero-norm vectors) and absent sim rows must not
         # crash the executor: skip them, mirroring SQL MAX's null-ignoring
         # semantics; a candidate with NO usable sim row sorts last (the
         # NULLS-LAST order the pre-r7 DataFrame unroll gave it).
         s_of = {
-            (int(r.c1), int(r.c2)): float(r.s)
+            (int(r.c1), int(r.c2)): int(r.s_u)
             for r in sim_pdf.itertuples(index=False)
-            if r.s is not None and not pd.isna(r.s)
+            if r.s_u is not None and not pd.isna(r.s_u)
         }
-        picked = [(int(cids[0]), float(rels[0]), float(rels[0]), 1)]
+        picked = [(int(cids[0]), int(rels[0]), 7 * int(rels[0]), 1)]
         chosen = [int(cids[0])]
         for t in range(2, min(k, len(cids)) + 1):
             best = None
@@ -2206,13 +2218,13 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 sims = [s for c in chosen if (s := s_of.get((cid, c))) is not None]
                 if sims:
-                    score = r6(0.7 * float(rel) - 0.3 * max(sims))
+                    score = 7 * int(rel) - 3 * max(sims)
                     key = (0, -score, cid)
                 else:
                     score = None
-                    key = (1, 0.0, cid)
+                    key = (1, 0, cid)
                 if best is None or key < best[0]:
-                    best = (key, cid, float(rel), score)
+                    best = (key, cid, int(rel), score)
             picked.append((best[1], best[2], best[3], t))
             chosen.append(best[1])
         return pd.DataFrame(
@@ -2220,18 +2232,19 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id": [qid] * len(picked),
                 "rank": [p[3] for p in picked],
                 "neighbor_id": [p[0] for p in picked],
-                "relevance": [p[1] for p in picked],
-                "mmr_score": [p[2] for p in picked],
+                "relevance_micro": [p[1] for p in picked],
+                "mmr_score_e7": [p[2] for p in picked],
             }
         )
 
     return (
-        pool.select("query_id", "cid", "rel")
+        pool.select("query_id", "cid", "rel_u")
         .groupBy("query_id")
         .cogroup(sim.groupBy("query_id"))
         .applyInPandas(
             greedy,
-            "query_id long, rank int, neighbor_id long, relevance double, mmr_score double",
+            "query_id long, rank int, neighbor_id long, "
+            "relevance_micro long, mmr_score_e7 long",
         )
     )
 

@@ -2404,30 +2404,32 @@ def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
     E = E / np.sqrt((E * E).sum(axis=1, keepdims=True))
     idx = {v: i for i, v in enumerate(ids)}
 
-    # Spark ROUND on a double = shortest-decimal repr (Double.toString ==
-    # Python repr) quantized HALF_UP — the binary floor(|x|*1e6+0.5) trick
-    # diverges on doubles just below a .5 tie whose repr SHOWS the tie, so
-    # the replay must use the exact Decimal construction the operator uses.
+    # Spark CAST(ROUND(x*1e6) AS BIGINT) = shortest-decimal repr of the
+    # double x*1e6 (Double.toString == Python repr) quantized HALF_UP at
+    # scale 0 — the integer-micro rule the operator moved to after the
+    # sf1.0 sweep caught scale-6 ROUND diverging across engines.
     from decimal import ROUND_HALF_UP, Decimal
 
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    def ru(x: float) -> int:
+        return int(
+            Decimal(repr(x * 1000000)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
 
     expect = {}
     for qid in sorted(v for v in ids if v < N_QUERIES):
-        rel = {int(c): r6(float(E[idx[qid]] @ E[idx[c]])) for c in ids if c != qid}
+        rel = {int(c): ru(float(E[idx[qid]] @ E[idx[c]])) for c in ids if c != qid}
         pool = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_POOL]
         sim = {
-            (a, b): r6(float(E[idx[a]] @ E[idx[b]]))
+            (a, b): ru(float(E[idx[a]] @ E[idx[b]]))
             for a in pool
             for b in pool
             if a != b
         }
         sel = [pool[0]]
-        scores = [rel[pool[0]]]
+        scores = [7 * rel[pool[0]]]
         for _ in range(2, MMR_K + 1):
             cand = [c for c in pool if c not in sel]
-            sc = {c: r6(0.7 * rel[c] - 0.3 * max(sim[(c, s)] for s in sel)) for c in cand}
+            sc = {c: 7 * rel[c] - 3 * max(sim[(c, s)] for s in sel) for c in cand}
             pick = min(cand, key=lambda c: (-sc[c], c))
             sel.append(pick)
             scores.append(sc[pick])
@@ -2438,7 +2440,7 @@ def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
     for r in out:
         sel, scores = expect[r.query_id]
         assert r.neighbor_id == sel[r.rank - 1], (r, sel)
-        assert abs(r.mmr_score - scores[r.rank - 1]) < 1e-9, (r, scores)
+        assert r.mmr_score_e7 == scores[r.rank - 1], (r, scores)
 
 
 def test_merge_dv_matches_pandas_replay(spark, sf_dir):
