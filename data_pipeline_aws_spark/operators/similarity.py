@@ -1348,7 +1348,15 @@ def exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_RERANK = 50  # ADC shortlist size handed to the exact re-rank stage
+# ADC shortlist size handed to the exact re-rank stage. 50 held the 2-of-5
+# recall floor through sf0.1 (50k vectors); the full-registry sf1.0 sweep
+# caught it failing at 500k — 4-bit ADC noise grows the true neighbors'
+# shortlist rank roughly with corpus size, so the shortlist must deepen as
+# N grows (FAISS practice: rerank-depth scales with nlist occupancy). 200
+# restores the floor at sf1.0 with margin while staying a vanishing
+# fraction of the scanned codes; the re-rank gather stays bounded at
+# N_QUERIES x PQ_RERANK rows.
+PQ_RERANK = 200
 
 
 def pq_adc_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
