@@ -1097,7 +1097,16 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: state is O(events inside the 30-min + lateness horizon)
     per side — identical to the inner form; the left rows add only an
     unmatched flag per buffered row. The sentinel trick is test rigging;
-    production streams advance watermarks continuously."""
+    production streams advance watermarks continuously.
+
+    Cost note (the bench's most expensive key, ~13 s at sf0.1): the
+    semantics under test REQUIRE three watermark-committing triggers on
+    two stream sources plus the no-data flush batches — per-trigger
+    state-store commits (4 stores x partitions x sides), not data
+    volume, set the floor (the 4-point curve is ~flat, exponent 0.09).
+    Measured: halving state partitions moves single runs a few seconds
+    either way (noise-dominated), so the tuned STREAM_SHUFFLE_PARTITIONS
+    stays."""
     import shutil
     import tempfile
 
