@@ -2802,9 +2802,12 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 from data_pipeline_aws_spark.functions.curation import (  # noqa: E402
     split_assign,
     split_assign_sql,
+    stratum_bucket,
+    stratum_bucket_sql,
 )
 
 _SPLIT_CASE_SQL = split_assign_sql("doc_id")
+_KFOLD_K = 5  # rotation folds; fold id = width-safe bucket mod K
 
 
 @query(
@@ -2873,6 +2876,113 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_of_pairs"),
         (F.col("split1") != F.col("split2")).alias("is_leak"),
+    )
+
+
+@query(
+    "q_kfold",
+    oracle=f"""
+WITH pairs AS ({_SHINGLE_SQL}),
+folded AS (
+  SELECT doc_id,
+         {stratum_bucket_sql("doc_id", _KFOLD_K)} AS fold,
+         len(string_split(text, ' '))             AS n_tok
+  FROM documents
+),
+cells AS (
+  SELECT LEAST(a.fold, b.fold)    AS f1,
+         GREATEST(a.fold, b.fold) AS f2,
+         COUNT(*)                 AS n
+  FROM pairs p
+  JOIN folded a ON p.d1 = a.doc_id
+  JOIN folded b ON p.d2 = b.doc_id
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT fold,
+         CAST(COUNT(*) AS BIGINT)    AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT)  AS n_tokens
+  FROM folded GROUP BY fold
+)
+SELECT per.fold, per.n_docs, per.n_tokens,
+       CAST(COALESCE(SUM(CASE WHEN c.f1 = per.fold AND c.f2 = per.fold
+                              THEN c.n END), 0) AS BIGINT) AS n_val_dup_pairs,
+       CAST(COALESCE(SUM(CASE WHEN (c.f1 = per.fold) <> (c.f2 = per.fold)
+                              THEN c.n END), 0) AS BIGINT) AS n_leaked_pairs
+FROM per LEFT JOIN cells c ON TRUE
+GROUP BY per.fold, per.n_docs, per.n_tokens
+""",
+)
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold split plan + per-rotation leakage audit — q_split_leakage's
+    rotation generalization: a 5-fold cross-validation run trains K times,
+    each time holding one fold out, so EVERY fold must be auditable as the
+    validation set. Fold assignment is the width-safe multiplicative-hash
+    bucket mod K (the single stratum_bucket definition — deterministic,
+    replayable, rank-stable as the corpus grows), and for each rotation k
+    the report carries the fold's size/token mass plus two leak numbers
+    over the verified near-dup pairs (J >= 0.5, banded candidates + exact
+    verify — never all-pairs): n_val_dup_pairs (both endpoints inside the
+    held-out fold: benign duplication concentrated in val) and
+    n_leaked_pairs (pairs STRADDLING the boundary: the train->val answer
+    leak that forces cluster-keyed assignment).
+
+    Scale shape: fold assignment and token counting are one map pass +
+    one bounded groupBy; the pair relation is the shared dedup-audit
+    machinery; everything after runs on a <= K(K+1)/2-cell matrix
+    broadcast onto the K-row fold table — metadata grain, zero
+    data-scale joins beyond the audit's declared pair computation."""
+    d = table(spark, sf_dir, "documents")
+    folded = d.select(
+        "doc_id",
+        stratum_bucket(F.col("doc_id"), _KFOLD_K).alias("fold"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    per = folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    shh = shingle_fingerprints(spark, sf_dir)
+    pairs = _exact_jaccard_pairs(shh, _lsh_candidates(shh)).select("d1", "d2")
+    fa = folded.select(F.col("doc_id").alias("d1"), F.col("fold").alias("fold1"))
+    fb = folded.select(F.col("doc_id").alias("d2"), F.col("fold").alias("fold2"))
+    cells = (
+        pairs.join(fa, "d1")
+        .join(fb, "d2")
+        .select(
+            F.least("fold1", "fold2").alias("f1"),
+            F.greatest("fold1", "fold2").alias("f2"),
+        )
+        .groupBy("f1", "f2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        # LEFT on a literal-true condition, mirroring the oracle: a corpus
+        # with zero verified near-dup pairs must still emit all K folds
+        per.join(F.broadcast(cells), F.lit(True), "left")
+        .groupBy("fold", "n_docs", "n_tokens")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("f1") == F.col("fold"))
+                        & (F.col("f2") == F.col("fold")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_val_dup_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("f1") == F.col("fold"))
+                        != (F.col("f2") == F.col("fold")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_leaked_pairs"),
+        )
     )
 
 

@@ -555,6 +555,103 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embedding_drift",
+    oracle="""
+WITH u AS (
+  SELECT vec_id % 2 AS ep,
+         unnest(embedding::DOUBLE[])        AS x,
+         generate_subscripts(embedding, 1)  AS dim
+  FROM embeddings
+),
+per AS (
+  SELECT dim - 1 AS dim,
+         CAST(COUNT(CASE WHEN ep = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN ep = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(ROUND(AVG(CASE WHEN ep = 0 THEN x END) * 1000000) AS BIGINT)
+           AS mean_a_micro,
+         CAST(ROUND(AVG(CASE WHEN ep = 1 THEN x END) * 1000000) AS BIGINT)
+           AS mean_b_micro
+  FROM u GROUP BY dim
+),
+g AS (
+  SELECT CAST(ROUND(
+           SUM(mean_a_micro * mean_b_micro) /
+           (SQRT(SUM(mean_a_micro * mean_a_micro)) *
+            SQRT(SUM(mean_b_micro * mean_b_micro))) * 1000000)
+         AS BIGINT) AS centroid_cos_micro
+  FROM per
+)
+SELECT dim, n_a, n_b, mean_a_micro, mean_b_micro,
+       mean_b_micro - mean_a_micro AS drift_micro,
+       centroid_cos_micro
+FROM per, g
+""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT monitor — the check an embedding
+    pipeline runs when the encoder, preprocessing, or corpus mix changes
+    between refresh epochs: per-dimension centroid of each epoch slice
+    (vec_id parity stands in for the epoch boundary), the per-dim shift,
+    and the cosine between the two centroid vectors (a silently retrained
+    or re-normalized encoder shows up as centroid rotation long before
+    retrieval metrics move — the reason FAISS/vector-DB deployments pin
+    encoder versions per index, and the upstream gate for
+    q_sim_ivfpq_incremental's frozen-model append: appending vectors from
+    a DRIFTED encoder into frozen lists is exactly what this screen
+    catches).
+
+    Numeric contract (the q_mmr_diversify sf1.0 lesson applied at birth):
+    per-dim means land as CAST(ROUND(mean*1e6) AS BIGINT) — scale-0
+    rounding of the same double, on which Spark HALF_UP and DuckDB
+    half-away agree everywhere — the drift column is an EXACT bigint
+    difference, and the centroid cosine is computed FROM the integer
+    means (exact bigint dot products, identical IEEE sqrt/divide on both
+    engines) and emitted in scale-0-rounded micro units. No scale-6
+    double ROUND anywhere.
+
+    Scale shape: posexplode -> ONE conditional aggregation pass grouped
+    by dim (map-side partials collapse each task to <= 2x64 cells — wire
+    volume independent of corpus size); the cosine runs on the bounded
+    64-row mean table broadcast back onto it. Zero data-scale joins."""
+    e = table(spark, sf_dir, "embeddings")
+    u = e.select(
+        (F.col("vec_id") % 2).alias("ep"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    per = u.groupBy("dim").agg(
+        F.count(F.when(F.col("ep") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("ep") == 1, 1)).alias("n_b"),
+        F.round(F.avg(F.when(F.col("ep") == 0, F.col("x"))) * 1000000)
+        .cast("long")
+        .alias("mean_a_micro"),
+        F.round(F.avg(F.when(F.col("ep") == 1, F.col("x"))) * 1000000)
+        .cast("long")
+        .alias("mean_b_micro"),
+    )
+    g = per.agg(
+        F.round(
+            F.sum(F.col("mean_a_micro") * F.col("mean_b_micro"))
+            / (
+                F.sqrt(F.sum(F.col("mean_a_micro") * F.col("mean_a_micro")))
+                * F.sqrt(F.sum(F.col("mean_b_micro") * F.col("mean_b_micro")))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("centroid_cos_micro")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "dim",
+        "n_a",
+        "n_b",
+        "mean_a_micro",
+        "mean_b_micro",
+        (F.col("mean_b_micro") - F.col("mean_a_micro")).alias("drift_micro"),
+        "centroid_cos_micro",
+    )
+
+
 def kmeans_fit(spark: SparkSession, sf_dir: str):
     """Distributed Lloyd's k-means (K=8, 3 iterations) over the embedding
     corpus — the training loop q_sim_ivf's "trained model" comes from.
