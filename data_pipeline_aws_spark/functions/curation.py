@@ -1677,12 +1677,12 @@ tot AS (
 )
 SELECT source,
        n_tokens,
-       ROUND(SQRT(n_tokens) / z, 6)  AS share,
-       ROUND({_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z)
-             / n_tokens, 4)          AS epochs,
-       ROUND(GREATEST(0.0,
+       CAST(ROUND(SQRT(n_tokens) / z * 1000000) AS BIGINT)  AS share_micro,
+       CAST(ROUND({_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z)
+             / n_tokens * 1000000) AS BIGINT)               AS epochs_micro,
+       CAST(ROUND(GREATEST(0.0,
              {_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z) / n_tokens
-             - {_EPOCH_CAP}), 4)     AS excess_epochs,
+             - {_EPOCH_CAP}) * 1000000) AS BIGINT)          AS excess_epochs_micro,
        {_EPOCH_BUDGET_MULT} * total * (SQRT(n_tokens) / z) / n_tokens
          > {_EPOCH_CAP}              AS over_cap
 FROM per, tot
@@ -1703,8 +1703,10 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus pass to the bounded per-source token table
     (in-row size(split()) — no explode), then closed-form arithmetic on
     dozens of rows. √ instead of a fractional power for the same
-    bit-stability reason as q_mix_sources; all emitted floats ROUND to
-    the repo contract."""
+    bit-stability reason as q_mix_sources; ratios are emitted as
+    scale-0-rounded integer MICRO units (round-11 ADVICE — scale-6
+    double ROUND of SUM(SQRT)-derived values diverged by one ulp
+    between engines at sf1.0; the q_embedding_drift/q_mmr contract)."""
     d = table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
@@ -1715,13 +1717,17 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share = F.sqrt("n_tokens") / F.col("z")
     epochs = F.lit(_EPOCH_BUDGET_MULT) * F.col("total") * share / F.col("n_tokens")
+
+    def micro(col):
+        return F.round(col * 1e6, 0).cast("bigint")
+
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.round(share, 6).alias("share"),
-        F.round(epochs, 4).alias("epochs"),
-        F.round(F.greatest(F.lit(0.0), epochs - _EPOCH_CAP), 4).alias(
-            "excess_epochs"
+        micro(share).alias("share_micro"),
+        micro(epochs).alias("epochs_micro"),
+        micro(F.greatest(F.lit(0.0), epochs - _EPOCH_CAP)).alias(
+            "excess_epochs_micro"
         ),
         (epochs > _EPOCH_CAP).alias("over_cap"),
     )
@@ -1760,22 +1766,24 @@ r1agg AS (
 )
 SELECT lang,
        n_tokens,
-       ROUND(w / w_sum, 6)                                     AS share,
-       ROUND(a1, 4)                                            AS alloc_tokens,
-       ROUND(cap, 4)                                           AS cap_tokens,
+       CAST(ROUND(w / w_sum * 1000000) AS BIGINT)              AS share_micro,
+       CAST(ROUND(a1 * 1000000) AS BIGINT)                     AS alloc_tokens_micro,
+       CAST(ROUND(cap * 1000000) AS BIGINT)                    AS cap_tokens_micro,
        a1 > cap                                                AS capped,
-       ROUND(LEAST(LEAST(a1, cap)
+       CAST(ROUND(LEAST(LEAST(a1, cap)
              + CASE WHEN a1 < cap
                     THEN (budget - spent) * w / w_open
-                    ELSE 0.0 END, cap), 4)                     AS kept_tokens,
-       ROUND(LEAST(LEAST(a1, cap)
+                    ELSE 0.0 END, cap) * 1000000) AS BIGINT)   AS kept_tokens_micro,
+       CAST(ROUND(LEAST(LEAST(a1, cap)
              + CASE WHEN a1 < cap
                     THEN (budget - spent) * w / w_open
-                    ELSE 0.0 END, cap) / budget, 6)            AS mix_share,
-       ROUND(LEAST(LEAST(a1, cap)
+                    ELSE 0.0 END, cap) / budget * 1000000)
+            AS BIGINT)                                         AS mix_share_micro,
+       CAST(ROUND(LEAST(LEAST(a1, cap)
              + CASE WHEN a1 < cap
                     THEN (budget - spent) * w / w_open
-                    ELSE 0.0 END, cap) / n_tokens, 4)          AS epochs
+                    ELSE 0.0 END, cap) / n_tokens * 1000000)
+            AS BIGINT)                                         AS epochs_micro
 FROM r1, r1agg
 """,
 )
@@ -1800,7 +1808,10 @@ def q_mix_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (in-row size(split) — no explode), then closed-form arithmetic on a
     handful of rows via two tiny broadcast aggregates; zero data-scale
     shuffles beyond the first groupBy. √ weights for the same IEEE
-    bit-stability reason as q_mix_sources."""
+    bit-stability reason as q_mix_sources; every ratio is emitted as a
+    scale-0-rounded integer MICRO unit (round-11 ADVICE: scale-6 double
+    ROUND of SUM(SQRT)-derived doubles is a one-ulp parity flake — the
+    q_embedding_drift/q_mmr_diversify contract applies here too)."""
     d = table(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
@@ -1835,14 +1846,17 @@ def q_mix_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0.0),
         F.col("cap"),
     )
+    def micro(col):
+        return F.round(col * 1e6, 0).cast("bigint")
+
     return r1.crossJoin(F.broadcast(r1agg)).select(
         "lang",
         "n_tokens",
-        F.round(F.col("w") / F.col("w_sum"), 6).alias("share"),
-        F.round("a1", 4).alias("alloc_tokens"),
-        F.round("cap", 4).alias("cap_tokens"),
+        micro(F.col("w") / F.col("w_sum")).alias("share_micro"),
+        micro(F.col("a1")).alias("alloc_tokens_micro"),
+        micro(F.col("cap")).alias("cap_tokens_micro"),
         (F.col("a1") > F.col("cap")).alias("capped"),
-        F.round(final, 4).alias("kept_tokens"),
-        F.round(final / F.col("budget"), 6).alias("mix_share"),
-        F.round(final / F.col("n_tokens"), 4).alias("epochs"),
+        micro(final).alias("kept_tokens_micro"),
+        micro(final / F.col("budget")).alias("mix_share_micro"),
+        micro(final / F.col("n_tokens")).alias("epochs_micro"),
     )

@@ -1291,7 +1291,7 @@ def pq_codebooks(spark: SparkSession, sf_dir: str, frame=None):
     m_sub, d_sub, k_cb = PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK
     if frame is not None:
         e = frame
-        init_rows = e.orderBy("vec_id").limit(16).collect()  # k_cb == 16
+        init_rows = e.orderBy("vec_id").limit(k_cb).collect()
     else:
         e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         init_rows = e.filter(F.col("vec_id") < k_cb).orderBy("vec_id").collect()
@@ -1721,7 +1721,7 @@ def _ivfadc_search(
     """The ADC scan + exact re-rank core shared by the wholesale and the
     incremental IVFADC indexes: route queries to nprobe lists against the
     given centroids, ADC-score ONLY those lists' codes with the given
-    codebooks' lookup tables, exact-L2 re-rank the 50-deep shortlist.
+    codebooks' lookup tables, exact-L2 re-rank the PQ_RERANK-deep shortlist.
     Everything model-shaped rides the closure (bounded); the index
     relation is scanned once."""
     import numpy as np
@@ -1965,7 +1965,7 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str):
         try:
             hist = e.where(F.col("vec_id") % _IVFPQ_INC_MOD != last)
             books = pq_codebooks(spark, sf_dir, frame=hist)
-            cent_rows = hist.orderBy("vec_id").limit(16).collect()  # IVFPQ_LISTS
+            cent_rows = hist.orderBy("vec_id").limit(IVFPQ_LISTS).collect()
             cents = np.stack(
                 [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
             )

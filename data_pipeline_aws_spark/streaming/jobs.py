@@ -822,37 +822,85 @@ def _vacuum_cache_dir(sf_dir: str) -> str:
     return versioned_cache_dir("vacuum_fixture", sf_dir, __file__)
 
 
+def _pid_alive(pid: int) -> bool:
+    """True iff ``pid`` is a live process (signal-0 probe; EPERM counts
+    as alive — some other user's live process must never be 'reaped')."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True
+    return True
+
+
 @contextmanager
 def _vacuum_lock(layout: str):
     """Serialize plant+walk+delete across sessions sharing the cached
     vacuum fixture (round-10 ADVICE): two concurrent q_vacuum_orphans
     calls racing the same layout could hit FileNotFoundError mid-walk or
-    double-count each other's plants. O_EXCL spin lock, caches.py style;
-    a lock older than 120 s is treated as a crashed holder and taken over."""
+    double-count each other's plants. O_EXCL spin lock, caches.py style.
+
+    Takeover rules (round-11 ADVICE — the old 120 s mtime rule stole
+    locks from live-but-slow holders, and its unlink+recreate let two
+    waiters each unlink the other's fresh lock):
+    - the holder records its PID in the lock; a LIVE holder is never
+      stolen no matter how long it runs (liveness replaces mtime refresh);
+    - takeover of a dead holder is single-winner ATOMIC: os.rename the
+      corpse to a private name — exactly one waiter's rename succeeds,
+      losers see ENOENT and re-race the O_EXCL acquire;
+    - release unlinks the lock only if it is still OUR inode, so a
+      (pathological) mis-steal can never cascade into deleting a
+      successor holder's lock."""
     lock = f"{layout.rstrip(os.sep)}.vacuum.lock"
-    deadline = time.monotonic() + 120.0
+    deadline = time.monotonic() + 300.0
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
             break
         except OSError:
             try:
-                if time.time() - os.path.getmtime(lock) > 120.0:
-                    os.unlink(lock)
-                    continue
+                with open(lock, "rb") as f:
+                    holder = int(f.read().strip() or b"0")
+            except (OSError, ValueError):
+                continue  # released or mid-write; re-race immediately
+            if holder > 0 and _pid_alive(holder):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"vacuum lock held too long: {lock}")
+                time.sleep(0.1)
+                continue
+            reap = f"{lock}.reap{os.getpid()}"
+            try:
+                os.rename(lock, reap)  # atomic: one winner per corpse
             except OSError:
-                continue  # holder just released; retry immediately
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"vacuum lock held too long: {lock}")
-            time.sleep(0.1)
+                continue  # another waiter reaped it first
+            try:
+                with open(reap, "rb") as f:
+                    got = int(f.read().strip() or b"0")
+            except (OSError, ValueError):
+                got = holder
+            if got != holder and got > 0 and _pid_alive(got):
+                # ABA: a fresh live lock slid in between the read and the
+                # rename — restore it (link fails if a third waiter already
+                # acquired, in which case that newer lock stands).
+                try:
+                    os.link(reap, lock)
+                except OSError:
+                    pass
+            try:
+                os.unlink(reap)
+            except OSError:
+                pass
     try:
         yield
     finally:
-        os.close(fd)
         try:
-            os.unlink(lock)
+            if os.stat(lock).st_ino == os.fstat(fd).st_ino:
+                os.unlink(lock)  # only ever our own lock
         except OSError:
             pass
+        os.close(fd)
 
 
 def vacuum_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -62,22 +62,38 @@ def _oracle_df(con, sql: str) -> pd.DataFrame:
     """Run the oracle under a wall-clock watchdog: a runaway DuckDB plan
     (round-11: a pushed-down inequality became a 1.5e9-row nested-loop
     join) is interrupted after SPARK_GRAFT_ORACLE_TIMEOUT seconds and
-    recorded as that key's ERR instead of stalling the whole sweep."""
+    recorded as that key's ERR instead of stalling the whole sweep.
+
+    The query runs on a PER-QUERY cursor (round-11 ADVICE): interrupting
+    the shared connection raced query completion — a late interrupt could
+    cancel the NEXT key's oracle and record a spurious ERR against the
+    wrong key. A cursor is its own connection (same catalog/views); the
+    watchdog's interrupt can only ever hit this one query, and the cursor
+    is joined+closed before the function returns."""
     import threading
 
     timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "900"))
+    cur = con.cursor()
     done = threading.Event()
 
     def watchdog():
         if not done.wait(timeout):
-            con.interrupt()
+            try:
+                cur.interrupt()
+            except Exception:  # noqa: BLE001 - cursor may be closing
+                pass
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
-        return con.execute(sql).fetchdf()
+        return cur.execute(sql).fetchdf()
     finally:
         done.set()
+        t.join(timeout=5.0)  # no interrupt may be in flight past here
+        try:
+            cur.close()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def sweep(spark: SparkSession, sf_dir: str, only: set[str] | None = None) -> dict[str, str]:
