@@ -20,9 +20,67 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import json
 import os
 import shutil
 import tempfile
+
+
+def publish_mode() -> str:
+    """The active durable-artifact commit protocol.
+
+    - ``posix`` (default): staging dir adopted via atomic ``os.rename``;
+      epoch appends may hardlink history files (inode identity).
+    - ``objectstore``: the S3-shaped protocol (the reference's declared
+      substrate, ``lambda-stack.yml:18`` ``s3://${{ArtifactBucket}}``, has
+      no atomic directory rename and no hardlinks). Publish = claim the
+      layout with a conditional PUT of a zero-byte ``_CLAIM`` object
+      (S3 ``If-None-Match:*`` — public AWS feature; emulated locally with
+      ``O_CREAT|O_EXCL``), copy each staged file as its own atomic
+      single-object PUT, write a content manifest, then PUT the
+      ``_SUCCESS`` commit marker LAST. Readers gate on the marker exactly
+      as in posix mode, so no read path changes. Epoch appends
+      copy-forward instead of hardlinking; identity is asserted by
+      manifest content-hash instead of inodes.
+    """
+    return os.environ.get("DPAS_PUBLISH_MODE", "posix")
+
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def content_manifest(root: str) -> list[dict]:
+    """Sorted (relpath, bytes, md5) triples for every DATA file under
+    ``root`` — dot/underscore names (commit markers, the manifest itself,
+    checksum sidecars: exactly Spark's own data-file filter) excluded.
+    This is the objectstore mode's identity primitive: two layouts with
+    equal manifests hold byte-identical data regardless of inode
+    history."""
+    entries: list[dict] = []
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames.sort()
+        for name in sorted(files):
+            if name.startswith(("_", ".")):
+                continue
+            path = os.path.join(dirpath, name)
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            entries.append(
+                {
+                    "path": os.path.relpath(path, root),
+                    "bytes": os.path.getsize(path),
+                    "md5": h.hexdigest(),
+                }
+            )
+    return sorted(entries, key=lambda e: e["path"])
+
+
+def manifest_hash(root: str) -> str:
+    """md5 over the canonical JSON of ``content_manifest(root)``."""
+    blob = json.dumps(content_manifest(root), sort_keys=True).encode()
+    return hashlib.md5(blob).hexdigest()
 
 
 @functools.lru_cache(maxsize=None)
@@ -50,7 +108,17 @@ def versioned_cache_dir(kind: str, sf_dir: str, module_file: str) -> str:
     versioned by ``module_file``'s code; evict other-version siblings.
     Same-version names (including in-flight `.build<pid>` staging siblings
     of concurrent sessions) are spared — evicting those would delete
-    another live session's work mid-build."""
+    another live session's work mid-build.
+
+    Non-posix publish modes get their own namespace (``{kind}.{mode}``):
+    a layout committed under one protocol must never satisfy a read under
+    the other (posix rename-adopted dirs carry no manifest; objectstore
+    layouts carry loser-orphan semantics posix readers don't expect).
+    The tag still appears after the kind, so bench --cold's tag-scoped
+    clear reaps both namespaces."""
+    mode = publish_mode()
+    if mode != "posix":
+        kind = f"{kind}.{mode}"
     ver = _module_version(module_file)
     prefix = os.path.join(tempfile.gettempdir(), f"dpas_{kind}_{sf_tag(sf_dir)}")
     parent, base = tempfile.gettempdir(), os.path.basename(prefix)
@@ -85,11 +153,107 @@ def staging_dir(final: str) -> str:
     return path
 
 
+def link_or_copy(src: str, dst: str) -> None:
+    """The epoch-append primitive: adopt an existing history file into a
+    new layout WITHOUT recomputing it. posix → hardlink (O(1) metadata,
+    inode-shared — the strongest possible never-rewritten proof);
+    objectstore → byte copy-forward (object stores have no links; the
+    never-rewritten proof is then ``content_manifest`` equality). The
+    posix path keeps its cross-device copy fallback — the bytes contract
+    holds either way."""
+    if publish_mode() != "objectstore":
+        try:
+            os.link(src, dst)
+            return
+        except OSError:
+            pass
+    shutil.copy2(src, dst)
+
+
+def _put_object(src: str | None, dst: str) -> None:
+    """One atomic single-object PUT (the only atomicity an object store
+    offers). Local emulation: write a dot-prefixed temp sibling (invisible
+    to Spark's data-file filter) and rename it into the key — readers see
+    the whole object or nothing, exactly S3's contract. ``src=None`` PUTs
+    an empty object (marker)."""
+    d, name = os.path.split(dst)
+    tmp = os.path.join(d, f".put{os.getpid()}-{name}")
+    if src is None:
+        with open(tmp, "wb"):
+            pass
+    else:
+        shutil.copy2(src, tmp)
+    os.rename(tmp, dst)
+
+
+def _publish_objectstore(staging: str, final: str, sentinel: str) -> None:
+    """S3-shaped commit (no directory rename, no links):
+
+    1. CLAIM the layout: conditional PUT of a zero-byte ``_CLAIM`` object
+       (S3 ``If-None-Match: *`` — emulated with O_CREAT|O_EXCL). Losers
+       never upload a byte, so a directory listing can never mix two
+       builds' uniquely-named part files — they instead WAIT for the
+       winner's commit marker (content is deterministic: the winner
+       publishes identical data).
+    2. Write ``_MANIFEST.json`` (relpath/bytes/md5 of every data file)
+       into staging so it rides the upload — readers and epoch-identity
+       checks get a listing-independent description of the commit.
+    3. PUT every staged file as its own atomic object, deepest-name
+       order irrelevant; only the TOP-LEVEL sentinel is held back.
+    4. PUT the sentinel LAST — the single-object commit marker readers
+       already gate on (no read-path change vs posix mode).
+
+    A claimer that crashes mid-upload strands the layout until the next
+    code-version move or bench --cold clear — the same accepted caveat as
+    posix mode's recovery-lock crash."""
+    import time
+
+    done = os.path.join(final, sentinel)
+    if os.path.exists(done):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    os.makedirs(final, exist_ok=True)
+    try:
+        fd = os.open(
+            os.path.join(final, "_CLAIM"), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        os.close(fd)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        deadline = time.monotonic() + 300.0
+        while not os.path.exists(done):  # pragma: no cover - timing path
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"objectstore claim holder never committed: {final}")
+            time.sleep(0.1)
+        return
+    try:
+        manifest = content_manifest(staging)
+        with open(os.path.join(staging, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        sentinel_src = None
+        for dirpath, dirnames, files in os.walk(staging):
+            dirnames.sort()
+            rel = os.path.relpath(dirpath, staging)
+            dst_dir = final if rel == "." else os.path.join(final, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for name in sorted(files):
+                src = os.path.join(dirpath, name)
+                if rel == "." and name == sentinel:
+                    sentinel_src = src  # commit marker is PUT last
+                    continue
+                _put_object(src, os.path.join(dst_dir, name))
+        _put_object(sentinel_src, done)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def publish(staging: str, final: str, sentinel: str = "_SUCCESS") -> None:
     """Atomically adopt ``staging`` as ``final`` via rename. If another
     session already published a complete layout (sentinel present), the
     local build is discarded — content is deterministic, so either
-    winner serves identical data.
+    winner serves identical data. Under ``DPAS_PUBLISH_MODE=objectstore``
+    the rename protocol is replaced wholesale by the S3-shaped
+    claim/PUT/manifest/marker commit (see ``_publish_objectstore``).
 
     Recovery: a non-empty ``final`` WITHOUT the sentinel (a pre-staging
     writer's leftovers or a manually corrupted dir — the staging protocol
@@ -99,6 +263,9 @@ def publish(staging: str, final: str, sentinel: str = "_SUCCESS") -> None:
     just published (a session crashing while holding the lock leaves the
     corrupt dir in place until the next code-version move / --cold clear
     — accepted for a state normal operation cannot produce)."""
+    if publish_mode() == "objectstore":
+        _publish_objectstore(staging, final, sentinel)
+        return
     try:
         os.rename(staging, final)
         return

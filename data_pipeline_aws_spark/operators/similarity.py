@@ -1945,7 +1945,11 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str):
     index as an epoch-partitioned layout in which the epoch=1 files are
     HARDLINKS of v1's parquet — history codes are never recomputed, never
     re-read, never even re-copied (byte-level appendix proof: same
-    inodes; pinned by the property suite). Real systems do exactly this
+    inodes; pinned by the property suite). Under
+    DPAS_PUBLISH_MODE=objectstore the adoption is a byte copy-forward
+    instead (object stores have no links) and the never-recomputed proof
+    is content-manifest equality — same contract, store-appropriate
+    witness (caches.link_or_copy). Real systems do exactly this
     (FAISS add_with_ids against a trained index; Milvus/Vespa segment
     appends) because codebook retraining at 100 TB is a corpus-scale
     pass while an append is O(batch).
@@ -1955,7 +1959,7 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str):
 
     import numpy as np
 
-    from data_pipeline_aws_spark.caches import publish, staging_dir
+    from data_pipeline_aws_spark.caches import link_or_copy, publish, staging_dir
 
     last = _IVFPQ_INC_MOD - 1
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1989,11 +1993,11 @@ def ivfpq_inc_index(spark: SparkSession, sf_dir: str):
             ep1 = os.path.join(stage, "index", "epoch=1")
             os.makedirs(ep1)
             for name in os.listdir(os.path.join(v1, "index")):
-                src = os.path.join(v1, "index", name)
-                try:
-                    os.link(src, os.path.join(ep1, name))
-                except OSError:  # cross-device fallback keeps the contract
-                    shutil.copy2(src, os.path.join(ep1, name))
+                # posix: hardlink (inode identity); objectstore: byte
+                # copy-forward, identity pinned by content_manifest instead
+                link_or_copy(
+                    os.path.join(v1, "index", name), os.path.join(ep1, name)
+                )
             batch = e.where(F.col("vec_id") % _IVFPQ_INC_MOD == last)
             _inc_encode_frame(spark, sf_dir, batch, books, cents).write.mode(
                 "overwrite"

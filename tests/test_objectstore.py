@@ -1,0 +1,186 @@
+"""Object-store-safe publish mode (round-11 verdict order #1).
+
+The reference's declared substrate is S3 (``lambda-stack.yml:18``
+``s3://${ArtifactBucket}/...``), which offers NO atomic directory rename
+and NO hardlinks — the two primitives posix mode's commit protocol rides.
+``DPAS_PUBLISH_MODE=objectstore`` switches every durable-artifact publish
+to the S3-shaped protocol (claim via conditional PUT → per-object atomic
+PUTs → content manifest → single-object commit marker) and every epoch
+append from hardlink to copy-forward with content-manifest identity.
+
+These tests drive the protocol itself, then the two epoch-append
+consumers (MinHash index refresh, IVFPQ frozen-model append) end-to-end
+under the objectstore mode — including full oracle parity for the MinHash
+key, proving the mode changes the commit mechanics and nothing about the
+data."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from data_pipeline_aws_spark.caches import (
+    MANIFEST_NAME,
+    content_manifest,
+    link_or_copy,
+    manifest_hash,
+    publish,
+    publish_mode,
+    staging_dir,
+)
+
+
+@pytest.fixture()
+def objectstore(monkeypatch):
+    monkeypatch.setenv("DPAS_PUBLISH_MODE", "objectstore")
+    assert publish_mode() == "objectstore"
+
+
+def _make_staging(tmp_path, final: str) -> str:
+    stage = staging_dir(final)
+    os.makedirs(os.path.join(stage, "sub"))
+    with open(os.path.join(stage, "part-000.parquet"), "wb") as f:
+        f.write(b"alpha" * 100)
+    with open(os.path.join(stage, "sub", "part-001.parquet"), "wb") as f:
+        f.write(b"beta" * 50)
+    with open(os.path.join(stage, "_SUCCESS"), "w"):
+        pass
+    return stage
+
+
+def test_objectstore_publish_commits_manifest_and_marker(objectstore, tmp_path):
+    """Happy path: all data objects land, the manifest describes exactly
+    them, the commit marker exists, and nothing is a hardlink or a
+    renamed directory (staging is consumed)."""
+    final = str(tmp_path / "layout")
+    stage = _make_staging(tmp_path, final)
+    want = content_manifest(stage)
+    publish(stage, final)
+    assert not os.path.exists(stage)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    got = json.load(open(os.path.join(final, MANIFEST_NAME)))
+    assert got == want == content_manifest(final)
+    for e in want:
+        st = os.stat(os.path.join(final, e["path"]))
+        assert st.st_nlink == 1, "objectstore mode must never hardlink"
+        assert st.st_size == e["bytes"]
+
+
+def test_objectstore_publish_idempotent_on_committed_layout(objectstore, tmp_path):
+    """A second publisher against a committed layout discards its build
+    without touching the winner's objects (deterministic content)."""
+    final = str(tmp_path / "layout")
+    publish(_make_staging(tmp_path, final), final)
+    before = manifest_hash(final)
+    marker_mtime = os.stat(os.path.join(final, "_SUCCESS")).st_mtime_ns
+    stage2 = _make_staging(tmp_path, final)
+    publish(stage2, final)
+    assert not os.path.exists(stage2)
+    assert manifest_hash(final) == before
+    assert os.stat(os.path.join(final, "_SUCCESS")).st_mtime_ns == marker_mtime
+
+
+def test_objectstore_claim_loser_uploads_nothing_and_waits(objectstore, tmp_path):
+    """The claim (conditional PUT) is lost → the loser must not upload a
+    single object (a listing may never mix two builds' uniquely-named
+    files) and must return only once the winner's marker appears."""
+    final = str(tmp_path / "layout")
+    os.makedirs(final)
+    with open(os.path.join(final, "_CLAIM"), "w"):
+        pass  # a live winner holds the claim
+    stage = _make_staging(tmp_path, final)
+    state = {}
+
+    def lose():
+        publish(stage, final)
+        state["returned_after_marker"] = os.path.exists(
+            os.path.join(final, "_SUCCESS")
+        )
+
+    t = threading.Thread(target=lose)
+    t.start()
+    t.join(timeout=1.0)
+    assert t.is_alive(), "loser returned before the winner committed"
+    # while waiting: zero loser objects in the layout
+    assert os.listdir(final) == ["_CLAIM"]
+    with open(os.path.join(final, "_SUCCESS"), "w"):
+        pass  # winner commits
+    t.join(timeout=10.0)
+    assert not t.is_alive() and state["returned_after_marker"]
+    assert not os.path.exists(stage)
+
+
+def test_link_or_copy_is_mode_conditional(objectstore, tmp_path, monkeypatch):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"payload")
+    dst_os = tmp_path / "copy.bin"
+    link_or_copy(str(src), str(dst_os))
+    assert os.stat(dst_os).st_nlink == 1 and dst_os.read_bytes() == b"payload"
+    monkeypatch.setenv("DPAS_PUBLISH_MODE", "posix")
+    dst_px = tmp_path / "link.bin"
+    link_or_copy(str(src), str(dst_px))
+    assert os.path.samefile(src, dst_px), "posix mode must hardlink"
+
+
+def test_ivfpq_incremental_objectstore_append_manifest_identity(
+    objectstore, spark, sf_dir
+):
+    """The IVFPQ frozen-model append under objectstore mode: epoch=1 is a
+    COPY of v1's code files (no inodes shared — nothing for an object
+    store to link), but the content manifest is IDENTICAL — history codes
+    were still never recomputed, and the in-query rebuild_identical
+    verdict still holds."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark.operators.similarity import (
+        _ivfpq_inc_dir,
+        ivfpq_inc_index,
+        q_sim_ivfpq_incremental,
+    )
+
+    index, _books, _cents = ivfpq_inc_index(spark, sf_dir)
+    v1 = _ivfpq_inc_dir(sf_dir, "v1")
+    v2 = _ivfpq_inc_dir(sf_dir, "v2")
+    assert ".objectstore" in v1 and ".objectstore" in v2  # own namespace
+    v1_index = os.path.join(v1, "index")
+    ep1 = os.path.join(v2, "index", "epoch=1")
+    assert content_manifest(v1_index) == content_manifest(ep1)
+    for e in content_manifest(ep1):
+        assert not os.path.samefile(
+            os.path.join(v1_index, e["path"]), os.path.join(ep1, e["path"])
+        ), "objectstore layouts must not share inodes"
+    # both layouts carry their commit manifest and marker
+    for layout in (v1, v2):
+        assert os.path.exists(os.path.join(layout, MANIFEST_NAME))
+        assert os.path.exists(os.path.join(layout, "_SUCCESS"))
+    assert index.where(F.col("epoch") == 1).count() > 0
+    out = q_sim_ivfpq_incremental(spark, sf_dir).collect()
+    assert out and all(
+        r.rebuild_identical and r.append_ok and r.pruning_ok for r in out
+    )
+
+
+def test_minhash_incremental_objectstore_oracle_parity(
+    objectstore, spark, sf_dir, duck
+):
+    """The MinHash persisted-index epoch refresh end-to-end in objectstore
+    mode, graded against the SAME DuckDB oracle the driver uses — the
+    commit protocol must be invisible to the data."""
+    from conftest import assert_parity
+
+    from data_pipeline_aws_spark.operators.dedup import (
+        _mh_index_versions,
+        q_dedup_minhash_incremental,
+    )
+    from data_pipeline_aws_spark.registry import ORACLES
+
+    assert_parity(
+        q_dedup_minhash_incremental(spark, sf_dir),
+        duck.execute(ORACLES["q_dedup_minhash_incremental"]).fetchdf(),
+    )
+    for path in _mh_index_versions(spark, sf_dir):
+        assert ".objectstore" in path
+        assert os.path.exists(os.path.join(path, MANIFEST_NAME))

@@ -3616,8 +3616,15 @@ def test_ivfpq_incremental_appends_never_recompute_history(spark, sf_dir):
     re-copied by the append refresh (os.link). The appended epoch=2 rows
     must cover exactly the arriving slice, and the merged relation must
     equal a wholesale re-encode under the frozen model (the in-query
-    rebuild_identical verdict, asserted here end to end)."""
+    rebuild_identical verdict, asserted here end to end).
+
+    This pins the POSIX publish mode's witness; the objectstore mode's
+    copy-forward + content-manifest twin lives in tests/test_objectstore.py."""
     import os
+
+    from data_pipeline_aws_spark.caches import publish_mode
+
+    assert publish_mode() == "posix", "suite default must exercise posix mode"
 
     from pyspark.sql import functions as F
 
