@@ -952,12 +952,134 @@ def q_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays DECIMAL-exact so one SQL text is hash-identical on both engines.
 
     Plan: three catalog joins — nation/region broadcast (25/5 rows at any
-    SF), customer joined by AQE's strategy choice; the view layer adds
-    nothing over the direct parquet scan (same pushdown, same pruning)."""
-    from data_pipeline_aws_spark.tables import load
+    SF), customer joined by AQE's strategy choice; the catalog layer adds
+    nothing over the direct parquet scan (same pushdown, same pruning).
 
-    load(spark, sf_dir)
-    return spark.sql(_CATALOG_SQL)
+    Round-12: re-pointed from session temp views to the PERSISTENT catalog
+    database (catalog_db) — the same bare-name SQL text now resolves
+    through `USE <db>` against metastore-registered external parquet
+    tables carrying ANALYZE statistics. Conflicting temp views (other
+    keys' `tables.load`) are dropped first: a local temp view would
+    silently shadow the catalog table under bare-name resolution."""
+    db = catalog_db(spark, sf_dir)
+    for t in _CATALOG_TABLES:
+        spark.catalog.dropTempView(t)
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        return spark.sql(_CATALOG_SQL)  # analyzed eagerly: names bind to db
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+
+
+# Tables registered in the persistent catalog database: the relational star
+# plus documents. `events` stays path-addressed — its parquet TIMESTAMP(NANOS)
+# column needs tables.table()'s version-dependent decode normalization, which
+# a bare catalog scan bypasses. `embeddings` is registered but NOT analyzed:
+# ANALYZE column statistics reject array<float> columns, and CBO has nothing
+# to do with a table that is only ever scanned whole.
+_CATALOG_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "documents",
+    "embeddings",
+)
+
+
+def catalog_db(spark: SparkSession, sf_dir: str, *, analyze: bool = True) -> str:
+    """Create (idempotently, once per session) the persistent-catalog
+    database for ``sf_dir``: external ``USING parquet LOCATION`` tables for
+    the fixture set plus ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    COLUMNS`` so the cost-based optimizer runs with real row counts, NDVs,
+    and min/max ranges instead of stats-blind file sizes. This closes the
+    reference's declared-but-empty Glue Data Catalog
+    (``Hoth/FHIR/cloudformations/glue-stack.yml``, 0 bytes): name-addressed
+    tables whose statistics live WITH the catalog entry, exactly what Glue
+    crawlers populate.
+
+    Locally the session catalog is in-memory (a driver-built plain session
+    cannot switch ``spark.sql.catalogImplementation``, a static conf); on a
+    real deployment the identical DDL/ANALYZE text runs against a Hive or
+    Glue metastore and the statistics PERSIST across jobs — the create/
+    analyze here is once-per-session, guarded by a session-conf sentinel.
+    ``analyze=False`` builds a stats-blind twin database (plan-pin tests
+    compare CBO behavior with and without statistics).
+
+    Scale note: ANALYZE is one full scan per table — at 100 TB that is a
+    scheduled maintenance job, not a per-query cost; here it is a
+    once-per-session fixture cost. CBO is enabled alongside (runtime-safe:
+    with no statistics present it degrades to the default estimator)."""
+    suffix = "" if analyze else "_nostats"
+    db = f"dpas_cat_{sf_tag(sf_dir)}{suffix}"
+    sentinel = f"spark.dpas.catalog.{db}"
+    try:
+        if spark.conf.get(sentinel, None) == "1":
+            return db
+    except Exception:  # noqa: BLE001 - conf miss on some backends
+        pass
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for t in _CATALOG_TABLES:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{t} USING parquet "
+            f"LOCATION '{sf_dir}/{t}.parquet'"
+        )
+        if analyze and t != "embeddings":
+            spark.sql(
+                f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set(sentinel, "1")
+    return db
+
+
+@query(
+    "q_catalog_stats",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                              AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT)                                       AS revenue_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey < 1000
+GROUP BY o_orderpriority
+""",
+)
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-backed catalog query (round-11 verdict order #2): the
+    selective orders⋈lineitem probe routed through the ANALYZEd catalog
+    database with CBO on. With column statistics the optimizer KNOWS the
+    ``o_orderkey < 1000`` filter keeps ~1000 rows (range selectivity from
+    min/max) and plans the filtered side as a broadcast; stats-blind, the
+    same filter is estimated at the full table's size. The plan-pin test
+    (tests/test_plans.py) proves exactly that flip against the _nostats
+    twin database; this key grades the catalog read path's DATA — catalog
+    indirection and statistics must change the plan, never the rows.
+    Money rides integer cents (repo rule).
+
+    Scale shape: the stats win compounds at 100 TB — a mis-sided join on
+    a selective filter is a full-table shuffle; CBO + catalog statistics
+    is how the plan gets it right BEFORE runtime (AQE can only fix it
+    after the first shuffle is already materialized)."""
+    db = catalog_db(spark, sf_dir)
+    o = spark.table(f"{db}.orders")
+    li = spark.table(f"{db}.lineitem")
+    return (
+        o.where(F.col("o_orderkey") < 1000)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
 
 
 @query(

@@ -1521,3 +1521,84 @@ def test_sim_ivfpq_incremental_warm_search_reads_landed_index(plans):
     p = plans("q_sim_ivfpq_incremental")
     assert "ivfpq_inc_v2" in p, p  # served from the published v2 layout
     assert "cluster" not in p, p  # no Lloyd partial-aggregation stage
+
+
+def test_catalog_stats_cbo_broadcasts_only_with_statistics(spark, sf_dir):
+    """The q_catalog_stats contract (round-11 verdict order #2): with the
+    catalog tables ANALYZEd, CBO's range-selectivity estimate for
+    `o_orderkey < 50` is a few KB → the filtered side broadcasts; against
+    the stats-blind twin database the same filter is estimated at the
+    FULL table's file size → sort-merge join. The threshold is pinned
+    between the two estimates (half the parquet file size), AQE disabled
+    so the pin reads the optimizer's own choice, not a runtime rescue."""
+    import os
+
+    from data_pipeline_aws_spark.sources.ingest import catalog_db
+
+    with_stats = catalog_db(spark, sf_dir)
+    no_stats = catalog_db(spark, sf_dir, analyze=False)
+    # Stats-blind, the filtered side is estimated at the pruned scan's
+    # share of the FILE size (2 of 6 columns ≈ a third); with statistics,
+    # CBO's range selectivity for `< 20` keeps ~20 rows (~1.5 KB). An
+    # eighth of the file sits firmly between the two at every SF.
+    thresh = os.path.getsize(os.path.join(sf_dir, "orders.parquet")) // 8
+    q = """
+        SELECT l.l_orderkey, o.o_totalprice, l.l_extendedprice
+        FROM {db}.orders o JOIN {db}.lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey < 20
+    """
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.cbo.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
+        plan_stats = (
+            spark.sql(q.format(db=with_stats))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        plan_blind = (
+            spark.sql(q.format(db=no_stats))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "BroadcastHashJoin" in plan_stats, plan_stats
+    assert "SortMergeJoin" not in plan_stats, plan_stats
+    assert "SortMergeJoin" in plan_blind, plan_blind
+    assert "BroadcastHashJoin" not in plan_blind, plan_blind
+
+
+def test_catalog_stats_rowcounts_recorded(spark, sf_dir):
+    """ANALYZE actually landed: the catalog entry for orders carries the
+    exact row count and a column NDV for the join key — the statistics
+    CBO consumed in the broadcast pin above."""
+    from data_pipeline_aws_spark.sources.ingest import catalog_db
+    from data_pipeline_aws_spark.tables import table
+
+    db = catalog_db(spark, sf_dir)
+    n = table(spark, sf_dir, "orders").count()
+    stats_line = [
+        r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {db}.orders").collect()
+        if r.col_name == "Statistics"
+    ]
+    assert stats_line and f"{n} rows" in stats_line[0], stats_line
+    col = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            f"DESCRIBE EXTENDED {db}.orders o_orderkey"
+        ).collect()
+    }
+    assert col.get("distinct_count") not in (None, "NULL"), col
