@@ -1696,3 +1696,209 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(arrival, ignore_errors=True)
 
+
+
+# ---------------------------------------------------------------------------
+# Arrival-triggered incremental pipeline (round-11 verdict order #3): the
+# reference's trigger Lambda + Step Functions data path
+# (`lambda-stack.yml:23-55`) composed as one executable verb — a file lands,
+# ONLY the delta is processed through the monoid rollup merge
+# (q_incremental_rollup's algebra), and the refreshed rollup publishes as an
+# idempotent epoch. Replaying an already-processed arrival is a NO-OP: the
+# per-epoch processed-files manifest is the exactly-once ledger, exactly the
+# role the reference's Step Functions execution history plays.
+
+
+def _trigger_partial(df: DataFrame) -> DataFrame:
+    """The monoid partial aggregate for one arrival (or one committed
+    rollup re-aggregated): counts sum, integer cents sum, dates min/max —
+    every measure merges by re-aggregation, so a refresh touches
+    |groups| + |delta| rows, never history."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+def _trigger_reagg(df: DataFrame) -> DataFrame:
+    """Merge partials by re-aggregating the monoid columns."""
+    return df.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.min("first_order").alias("first_order"),
+        F.max("last_order").alias("last_order"),
+    )
+
+
+def trigger_landing(spark: SparkSession, sf_dir: str) -> str:
+    """The landing fixture: orders split into three deterministic arrival
+    directories (o_orderkey % 3), published atomically as one layout."""
+    from data_pipeline_aws_spark.caches import publish, staging_dir, versioned_cache_dir
+
+    out = versioned_cache_dir("trigger_landing", sf_dir, __file__)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        import shutil
+
+        o = table(spark, sf_dir, "orders")
+        stage = staging_dir(out)
+        try:
+            for k in range(3):
+                o.where(F.col("o_orderkey") % 3 == k).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(stage, f"arrival_{k}"))
+            with open(os.path.join(stage, "_SUCCESS"), "w"):
+                pass
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+    return out
+
+
+def _trigger_epochs(state: str) -> list[int]:
+    """Committed rollup epochs under ``state``, ascending."""
+    if not os.path.isdir(state):
+        return []
+    return sorted(
+        int(name.rsplit("_e", 1)[1])
+        for name in os.listdir(state)
+        if name.startswith("rollup_e")
+        and not name.endswith((".lock",))
+        and ".build" not in name
+        and ".reap" not in name
+        and os.path.exists(os.path.join(state, name, "_SUCCESS"))
+    )
+
+
+def _trigger_manifest(state: str, epoch: int) -> list[str]:
+    """Processed-arrival names recorded by a committed epoch."""
+    import json
+
+    if epoch == 0:
+        return []
+    with open(os.path.join(state, f"rollup_e{epoch}", "_PROCESSED.json")) as f:
+        return json.load(f)
+
+
+def trigger_merged(
+    spark: SparkSession, state: str, arrival: str
+) -> tuple[DataFrame | None, int, list[str]]:
+    """Build (but do not publish) the post-arrival rollup: the CURRENT
+    committed rollup's partials re-aggregated with the arriving delta's.
+    Returns (merged frame | None if already processed, current epoch,
+    processed list). The merged plan reads exactly two inputs — the
+    bounded committed rollup and the arriving file — never any previously
+    landed arrival (pinned by tests via inputFiles)."""
+    epochs = _trigger_epochs(state)
+    cur = epochs[-1] if epochs else 0
+    processed = _trigger_manifest(state, cur)
+    name = os.path.basename(arrival.rstrip(os.sep))
+    if name in processed:
+        return None, cur, processed
+    delta = _trigger_partial(spark.read.parquet(arrival))
+    if cur:
+        prev = spark.read.parquet(os.path.join(state, f"rollup_e{cur}"))
+        merged = _trigger_reagg(prev.unionByName(delta))
+    else:
+        merged = _trigger_reagg(delta)
+    return merged, cur, processed
+
+
+def trigger_process(spark: SparkSession, state: str, arrival: str) -> bool:
+    """Process ONE landed arrival: no-op if its name is already in the
+    current epoch's manifest (idempotent replay — the Step Functions
+    exactly-once contract), else publish the merged rollup as epoch
+    cur+1 with the extended manifest. Returns True iff a new epoch
+    landed. Concurrent triggers are safe: epochs are staged and adopted
+    via caches.publish, and identical arrival order makes every epoch's
+    content deterministic, so a same-epoch race publishes identical
+    data whichever session wins."""
+    import json
+    import shutil
+
+    from data_pipeline_aws_spark.caches import publish, staging_dir
+
+    merged, cur, processed = trigger_merged(spark, state, arrival)
+    if merged is None:
+        return False
+    os.makedirs(state, exist_ok=True)
+    final = os.path.join(state, f"rollup_e{cur + 1}")
+    stage = staging_dir(final)
+    try:
+        merged.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "_PROCESSED.json"), "w") as f:
+            json.dump(
+                processed + [os.path.basename(arrival.rstrip(os.sep))], f
+            )
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    publish(stage, final)
+    return True
+
+
+@query(
+    "q_trigger_incremental",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                               AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            AS BIGINT)                                        AS revenue_cents,
+       MIN(o_orderdate)                                       AS first_order,
+       MAX(o_orderdate)                                       AS last_order,
+       CAST(3 AS INT)                                         AS epoch,
+       CAST(3 AS INT)                                         AS n_files
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_trigger_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-triggered incremental batch, end to end: land three arrival
+    files, trigger each in order — every trigger processes ONLY its delta
+    and merges into the committed monoid rollup (never re-reading earlier
+    arrivals) — then REPLAY the middle arrival and require the publish to
+    be a no-op (the manifest ledger catches it; a non-no-op replay raises
+    loudly rather than double-counting). The oracle recomputes the rollup
+    from scratch over ALL orders: equality proves three delta-grain
+    refreshes compose losslessly, and the pinned epoch=3/n_files=3
+    columns prove the replay minted no fourth epoch.
+
+    Scale shape: each trigger's work is O(|delta| + |groups|) — the
+    committed rollup is groups-grain (5 rows here; bounded by priority
+    cardinality at any SF) and the arriving file is the only data-scale
+    scan. At 100 TB this is the difference between a nightly full
+    recompute and a per-arrival refresh; warm re-runs exercise the
+    replay path for every file (all three no-op against the committed
+    state). Money rides integer cents (repo rule)."""
+    from data_pipeline_aws_spark.caches import versioned_cache_dir
+
+    landing = trigger_landing(spark, sf_dir)
+    state = versioned_cache_dir("trigger_state", sf_dir, __file__)
+    arrivals = sorted(
+        os.path.join(landing, d)
+        for d in os.listdir(landing)
+        if d.startswith("arrival_")
+    )
+    for arrival in arrivals:
+        trigger_process(spark, state, arrival)
+    if trigger_process(spark, state, arrivals[1]):
+        raise RuntimeError(
+            "replayed arrival minted a new epoch — exactly-once ledger broken"
+        )
+    epochs = _trigger_epochs(state)
+    cur = epochs[-1]
+    n_files = len(_trigger_manifest(state, cur))
+    rollup = spark.read.parquet(os.path.join(state, f"rollup_e{cur}"))
+    return rollup.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue_cents",
+        "first_order",
+        "last_order",
+        F.lit(cur).cast("int").alias("epoch"),
+        F.lit(n_files).cast("int").alias("n_files"),
+    )

@@ -631,3 +631,91 @@ def test_left_outer_interval_join_expiry_emits_exactly_once(spark, arrival_dir):
     # P1 matched its late-arriving click exactly once — no premature null
     # twin alongside the match; P2 expired into exactly one null row.
     assert rows == [(1, 3), (2, None)], rows
+
+
+def test_trigger_incremental_replay_is_a_noop(spark, sf_dir, tmp_path):
+    """Exactly-once ledger: processing the same arrival twice must not
+    mint a new epoch, not touch the committed state, and the final
+    rollup must equal the full recompute (round-11 verdict order #3)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_aws_spark.streaming.jobs import (
+        _trigger_epochs,
+        _trigger_partial,
+        _trigger_reagg,
+        trigger_landing,
+        trigger_process,
+    )
+    from data_pipeline_aws_spark.tables import table
+
+    landing = trigger_landing(spark, sf_dir)
+    arrivals = sorted(
+        os.path.join(landing, d)
+        for d in os.listdir(landing)
+        if d.startswith("arrival_")
+    )
+    state = str(tmp_path / "state")
+
+    assert trigger_process(spark, state, arrivals[0]) is True
+    assert _trigger_epochs(state) == [1]
+    snapshot = {
+        f: os.stat(os.path.join(state, "rollup_e1", f)).st_mtime_ns
+        for f in os.listdir(os.path.join(state, "rollup_e1"))
+    }
+    # replay: no new epoch, committed files untouched
+    assert trigger_process(spark, state, arrivals[0]) is False
+    assert _trigger_epochs(state) == [1]
+    assert snapshot == {
+        f: os.stat(os.path.join(state, "rollup_e1", f)).st_mtime_ns
+        for f in os.listdir(os.path.join(state, "rollup_e1"))
+    }
+
+    for a in arrivals[1:]:
+        assert trigger_process(spark, state, a) is True
+    assert _trigger_epochs(state) == [1, 2, 3]
+    got = (
+        spark.read.parquet(os.path.join(state, "rollup_e3"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    want = (
+        _trigger_reagg(_trigger_partial(table(spark, sf_dir, "orders")))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert got == want
+
+
+def test_trigger_incremental_reads_only_rollup_and_delta(spark, sf_dir, tmp_path):
+    """Delta-only processing: the merge plan for arrival N reads exactly
+    the bounded committed rollup and arrival N's files — never any
+    previously landed arrival (the O(delta) contract)."""
+    import os
+
+    from data_pipeline_aws_spark.streaming.jobs import (
+        trigger_landing,
+        trigger_merged,
+        trigger_process,
+    )
+
+    landing = trigger_landing(spark, sf_dir)
+    arrivals = sorted(
+        os.path.join(landing, d)
+        for d in os.listdir(landing)
+        if d.startswith("arrival_")
+    )
+    state = str(tmp_path / "state")
+    trigger_process(spark, state, arrivals[0])
+    merged, cur, processed = trigger_merged(spark, state, arrivals[1])
+    assert cur == 1 and processed == [os.path.basename(arrivals[0])]
+    roots = set()
+    for f in merged.inputFiles():
+        p = os.path.dirname(f.removeprefix("file:"))
+        roots.add(os.path.realpath(p))
+    allowed = {
+        os.path.realpath(os.path.join(state, "rollup_e1")),
+        os.path.realpath(arrivals[1]),
+    }
+    assert roots == allowed, roots
