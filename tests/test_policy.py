@@ -57,6 +57,9 @@ def test_no_unbounded_collect_in_operators():
         # its budget-bounded (<= _KTH_BUCKET_BUDGET+1 rows) histogram
         "setops.py": 1,  # compaction-execute's planned file set: K=4 ints,
         # the one driver-side decision a table service makes per cycle
+        "occ.py": 1,  # _touched_buckets: the ≤ OCC_BUCKETS(64)-int conflict
+        # descriptor a commit records — bounded by construction, and the
+        # thing that keeps commit records data-scale-independent
     }
     offenders = {
         path: text.count(".collect()")
