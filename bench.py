@@ -81,6 +81,12 @@ SINK_CACHE_KEYS = [
     # rule in BASELINE.md's cold-accounting row)
     "q_compaction_execute", "q_time_travel", "q_snapshot_expire",
     "q_sim_ivfpq",  # persisted IVFADC code index + codebook/centroid npy (r10)
+    "q_stream_stream_left",  # landed two-stream drain result (r12 advisory:
+    # the memory sink was already driver-side; the drain now publishes it
+    # once — warm passes read the layout, cold pays the full drain)
+    "q_trigger_incremental",  # landed arrival files + committed rollup
+    # epochs; warm runs exercise the replay-no-op path against them (r12)
+    "q_schema_evolution_nested",  # two-generation nested-struct layout (r12)
 ]
 # The part_lineitem fixture is SHARED: q_partitioned_sink owns the write,
 # but q_dpp and q_gdpr_delete read the same cache (ingest.py). In cold

@@ -1152,12 +1152,25 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     two stream sources plus the no-data flush batches — per-trigger
     state-store commits (4 stores x partitions x sides), not data
     volume, set the floor (the 4-point curve is ~flat, exponent 0.09).
-    Measured: halving state partitions moves single runs a few seconds
-    either way (noise-dominated), so the tuned STREAM_SHUFFLE_PARTITIONS
-    stays."""
+    Round-12 bounded experiment (STREAM_TUNE.json,
+    tools/stream_left_tune.py): state-store provider (RocksDB) and
+    per-query state-partition overrides measured head-to-head per the
+    round-11 verdict order #4 adoption rule (>=1.5x or keep).
+
+    The drained result lands as a versioned-cache layout (round-11
+    advisory): the memory sink is already one driver-side copy, so the
+    drain writes it STRAIGHT to the published parquet — no second
+    collect+createDataFrame copy — and warm passes read the committed
+    layout back like every other sink-cache key (cold bench still pays
+    the full two-stream drain)."""
     import shutil
     import tempfile
 
+    from data_pipeline_aws_spark.caches import publish, staging_dir, versioned_cache_dir
+
+    out = versioned_cache_dir("stream_left", sf_dir, __file__)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return spark.read.parquet(out)
     arrival = tempfile.mkdtemp(prefix="dpas_stream_left_")
     try:
         ev = _ensure_event_time(
@@ -1235,9 +1248,16 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = _run_to_completion(joined, "append").where(
             F.col("purchase_id") >= 0
         )
-        # arrival dir is scratch — materialize before removing it
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        # arrival dir is scratch — land the drained (already driver-side)
+        # memory-sink result as the published layout before removing it
+        stage = staging_dir(out)
+        try:
+            res.write.mode("overwrite").parquet(stage)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        publish(stage, out)
+        return spark.read.parquet(out)
     finally:
         shutil.rmtree(arrival, ignore_errors=True)
 

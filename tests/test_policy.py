@@ -43,10 +43,10 @@ def test_no_unbounded_collect_in_operators():
         # (pq_codebooks' 16-row history init + ivfpq_inc_index's 16-row
         # centroid matrix — bounded, collected once per cold build)
         "inspect.py": 1,  # plan-string helper (driver-side by design)
-        "jobs.py": 3,  # 1-row stream sentinel + bounded drains for
-        # late-data and left-outer-join arrival-dir fixtures (materialized
-        # join-grain results so the scratch dirs can be removed; the
-        # stream-sink aggregate went lazy when its layout became a cache)
+        "jobs.py": 2,  # 1-row stream sentinel + the late-data arrival-dir
+        # drain (materialized join-grain result so the scratch dir can be
+        # removed); the left-outer drain now publishes straight to its
+        # versioned-cache layout instead of a second driver copy (r12)
         "ingest.py": 3,  # gdpr partition probe + binary-fixture id listing
         # (N<16) + warcgz writer receipts (WARC_SHARDS one-row frames)
         "text.py": 2,  # bounded vocab table + BPE 1-row argmax merge rule/round

@@ -83,6 +83,14 @@ def main() -> None:
         # number (bench.py --cold's convention), giving the cache family's
         # build cost its own exponent curve in a SEPARATE artifact.
         args = [a for a in args if a != "--cold"]
+    merge = "--merge" in args
+    if merge:
+        # --merge: min-combine this run's per-SF points into the existing
+        # artifact's entries (the min-of-N convention across runs) and
+        # recompute each touched key's exponents over ALL decades present.
+        # Untouched keys keep their committed rows — this is how the sf10
+        # fifth decade extends SCALING.json without re-sweeping all keys.
+        args = [a for a in args if a != "--merge"]
     n_passes = int(n_val) if n_val else 2
     top_k = int(top_val) if top_val else None
     sf_dirs = tuple(dirs_val.split(",")) if dirs_val else SF_DIRS
@@ -142,33 +150,52 @@ def main() -> None:
                 print(f"{tag} pass{p} {name} {elapsed}", file=sys.stderr, flush=True)
         load_by_sf[tag] = round(_loadavg_1min(), 2)
 
-    sfs = [float(os.path.basename(d).removeprefix("sf")) for d in sf_dirs]
-    tags = [os.path.basename(d) for d in sf_dirs]
-    report = {}
+    path = os.path.join(_REPO, "SCALING_COLD.json" if cold else "SCALING.json")
+    prior = {}
+    if merge and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+
+    report = dict(prior.get("keys", {}))
     flagged = []
     for name in keys:
-        ts = [times[name][t] for t in tags]
-        exp3 = _fit_exponent(sfs, ts)
+        points = {
+            t: v
+            for t, v in report.get(name, {}).items()
+            if t.startswith("sf") and isinstance(v, (int, float))
+        }
+        for t, v in times[name].items():  # min-of-N convention across runs
+            points[t] = min(v, points[t]) if t in points else v
+        p_tags = sorted(points, key=lambda t: float(t.removeprefix("sf")))
+        p_sfs = [float(t.removeprefix("sf")) for t in p_tags]
+        ts = [points[t] for t in p_tags]
+        exp3 = _fit_exponent(p_sfs, ts)
         # exponent_hi = slope over the LAST two (largest) SFs, where data
         # cost dominates fixed overhead
         exp_hi = round(
             math.log(max(ts[-1], 1e-3) / max(ts[-2], 1e-3))
-            / math.log(sfs[-1] / sfs[-2]),
+            / math.log(p_sfs[-1] / p_sfs[-2]),
             3,
         )
         report[name] = {
-            **{t: times[name][t] for t in tags},
+            **points,
             "exponent": exp3,
             "exponent_hi": exp_hi,
             "flagged": exp_hi > FLAG_EXPONENT,
             "sink_cache": name in SINK_CACHE_KEYS,
         }
-        if exp_hi > FLAG_EXPONENT:
+
+    for name, entry in report.items():
+        if entry.get("flagged"):
             flagged.append(name)
 
+    all_dirs = sorted(
+        set(prior.get("sf_dirs", []) if merge else []) | set(sf_dirs),
+        key=lambda d: float(os.path.basename(d.rstrip("/")).removeprefix("sf")),
+    )
     out = {
         "keys": report,
-        "sf_dirs": list(sf_dirs),
+        "sf_dirs": all_dirs,
         "passes": n_passes,
         "flag_threshold": FLAG_EXPONENT,
         "flagged": sorted(flagged),
@@ -177,7 +204,6 @@ def main() -> None:
         "calib_sec": _cpu_calibration(),
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
     }
-    path = os.path.join(_REPO, "SCALING_COLD.json" if cold else "SCALING.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"flagged": sorted(flagged), "n_keys": len(report), "out": path}))
