@@ -971,6 +971,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COSINE_BLOCK_TARGET = 8192  # rows per matmul block — cos cell ≤ 8k² x 8 B ≈ 0.5 GB
+
+
+def _cosine_block_count(n_rows: int, *, floor: int) -> int:
+    """Block count for the blocked exact-cosine matmul, sized from the
+    CORPUS (round-12 sf10 lesson: a fixed B made each block-pair's dense
+    cosine matrix O((N/B)^2) — ~25 GB per task at sf10, OOM — where the
+    right invariant is O(target^2) PER TASK at every SF, with the task
+    count growing as B^2 to carry the declared O(N^2) audit cost in
+    bounded pieces). Floored at the fixture-scale default so small-SF
+    plans keep their shape; the sizing count() is one column-pruned scan
+    of an id column."""
+    return max(floor, -(-n_rows // _COSINE_BLOCK_TARGET))
+
+
 @query(
     "q_dedup_embed",
     oracle="""
@@ -1001,8 +1016,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_blocks = _cosine_block_count(e.count(), floor=8)
     blocked = e.withColumn("bid", F.pmod(F.hash("vec_id"), F.lit(n_blocks)))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
@@ -2463,8 +2478,10 @@ def _elsh_eval_report(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
     # exact truth: blocked matmul over the augmented corpus (the
-    # q_dedup_embed layout — B^2 dense BLAS tasks, no interpreted dots)
-    n_blocks = 4
+    # q_dedup_embed layout — B^2 dense BLAS tasks, no interpreted dots);
+    # B sized from the corpus so each cell's cos matrix stays ~constant
+    # (aug is an eager localCheckpoint, so the sizing count is cheap)
+    n_blocks = _cosine_block_count(aug.count(), floor=4)
     blocked = aug.withColumn("bid", F.pmod(F.hash("vec_id"), F.lit(n_blocks)))
     bpairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],

@@ -67,6 +67,15 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every AQE shuffle WIDE and let runtime stats coalesce down
+        # (AQE can merge partitions but never split beyond the initial
+        # number). The round-12 sf10 decade showed the fixed 32-wide floor
+        # crossing the single-host spill cliff on the shuffle-heaviest
+        # keys: q_link_predict 265->124 s, q_dedup_clusters 166->86 s at
+        # initial=256, while a 12-key sf0.1 spot-check was flat-to-faster
+        # (q_item_item_recs 3.2->2.2 s). This is the idiomatic answer —
+        # width from runtime statistics, not a hand-tuned constant.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -121,6 +130,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256"
+    )  # wide-then-coalesce; see get_spark note (round-12 sf10 measurement)
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -169,6 +169,15 @@ def main() -> None:
         p_tags = sorted(points, key=lambda t: float(t.removeprefix("sf")))
         p_sfs = [float(t.removeprefix("sf")) for t in p_tags]
         ts = [points[t] for t in p_tags]
+        if len(p_tags) < 2:  # first point of a new key: no slope yet
+            report[name] = {
+                **points,
+                "exponent": None,
+                "exponent_hi": None,
+                "flagged": False,
+                "sink_cache": name in SINK_CACHE_KEYS,
+            }
+            continue
         exp3 = _fit_exponent(p_sfs, ts)
         # exponent_hi = slope over the LAST two (largest) SFs, where data
         # cost dominates fixed overhead
