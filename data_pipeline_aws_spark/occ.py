@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -136,22 +137,43 @@ def _publish_commit(path: str, version: int, info: dict) -> bool:
     """Atomically create the version's commit marker with its full JSON
     payload: write a private temp file, then ``os.link`` it into the
     versioned name — EEXIST means another writer won this version, and a
-    reader can never observe a half-written commit record."""
+    reader can never observe a half-written commit record.
+
+    The temp name is collision-free per WRITER, not per process: two
+    threads of one process racing the same target version must never
+    share a staging file (a shared name lets thread A link thread B's
+    payload into the commit while B's loser path deletes the data dir
+    the published record references). Thread ident + random suffix make
+    the name unique; a content read-back of the linked marker confirms
+    THIS writer's payload is the one that landed. Only EEXIST means
+    "lost the race" — any other OSError (ENOSPC, EACCES, ...) is a real
+    I/O failure and propagates instead of masquerading as a conflict."""
     cdir = _commits_dir(path)
     os.makedirs(cdir, exist_ok=True)
-    tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{version}")
+    tmp = os.path.join(
+        cdir,
+        f".tmp-{os.getpid()}-{threading.get_ident()}-{os.urandom(4).hex()}",
+    )
+    payload = json.dumps(info, sort_keys=True)
     with open(tmp, "w") as f:
-        json.dump(info, f, sort_keys=True)
+        f.write(payload)
+    marker = os.path.join(cdir, f"{version:0{_PAD}d}.json")
     try:
-        os.link(tmp, os.path.join(cdir, f"{version:0{_PAD}d}.json"))
-        return True
-    except OSError:
+        os.link(tmp, marker)
+    except FileExistsError:
         return False
     finally:
         try:
             os.unlink(tmp)
         except OSError:
             pass
+    with open(marker) as f:
+        landed = f.read()
+    if landed != payload:
+        raise RuntimeError(
+            f"occ commit marker {marker} holds another writer's payload"
+        )
+    return True
 
 
 def occ_merge(

@@ -77,6 +77,13 @@ def get_spark(app_name: str = "data_pipeline_aws_spark", *, shuffle_partitions: 
         # width from runtime statistics, not a hand-tuned constant.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CBO on from session build, not flipped mid-session by the first
+        # catalog query (round-12 ADVICE: a mid-session flip made plans
+        # execution-order dependent). Runtime-safe: with no table
+        # statistics present CBO degrades to the default estimator, so
+        # non-catalog queries plan identically either way.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -134,6 +141,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256"
     )  # wide-then-coalesce; see get_spark note (round-12 sf10 measurement)
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.cbo.enabled", "true")  # see get_spark note
+    conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")  # see get_spark note

@@ -1032,8 +1032,9 @@ def catalog_db(spark: SparkSession, sf_dir: str, *, analyze: bool = True) -> str
             spark.sql(
                 f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR ALL COLUMNS"
             )
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # CBO itself is enabled at session build (session.py — round-12 ADVICE:
+    # setting it here made planning execution-order dependent); this
+    # function only creates/ANALYZEs the catalog entries.
     spark.conf.set(sentinel, "1")
     return db
 

@@ -864,8 +864,18 @@ def _vacuum_lock(layout: str):
                 with open(lock, "rb") as f:
                     holder = int(f.read().strip() or b"0")
             except (OSError, ValueError):
-                continue  # released or mid-write; re-race immediately
-            if holder > 0 and _pid_alive(holder):
+                continue  # released; re-race immediately
+            if holder <= 0:
+                # Mid-write window: the holder created the lock with
+                # O_EXCL but has not landed its PID bytes yet (round-12
+                # ADVICE — parsing the empty file as holder=0 and reaping
+                # would steal a LIVE holder's lock). Never reap a lock
+                # whose holder is unknown; wait for the write.
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"vacuum lock held too long: {lock}")
+                time.sleep(0.01)
+                continue
+            if _pid_alive(holder):
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"vacuum lock held too long: {lock}")
                 time.sleep(0.1)
@@ -880,10 +890,13 @@ def _vacuum_lock(layout: str):
                     got = int(f.read().strip() or b"0")
             except (OSError, ValueError):
                 got = holder
-            if got != holder and got > 0 and _pid_alive(got):
-                # ABA: a fresh live lock slid in between the read and the
-                # rename — restore it (link fails if a third waiter already
-                # acquired, in which case that newer lock stands).
+            if got != holder and (got <= 0 or _pid_alive(got)):
+                # ABA: a fresh lock slid in between the read and the
+                # rename — live holder, OR mid-write (got<=0: its PID
+                # bytes not yet landed, which still means a live creator;
+                # round-12 ADVICE). Restore it (link fails if a third
+                # waiter already acquired, in which case that newer lock
+                # stands) and re-race.
                 try:
                     os.link(reap, lock)
                 except OSError:

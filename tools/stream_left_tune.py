@@ -3,15 +3,24 @@
 order #4): the key's cost floor is per-trigger state-store commits
 (4 join state stores x partitions x 2 sides x 3 watermark-committing
 triggers + no-data flush batches), not data volume. Two levers, measured
-head-to-head at sf0.1, min-of-N per config:
+head-to-head, min-of-N per config:
 
   (a) state-store provider: HDFSBacked (default) vs RocksDB
   (b) spark.sql.shuffle.partitions for the streaming query (state-store
       instance count is fixed at query start = shuffle partitions)
 
-Writes STREAM_TUNE.json at the repo root. Adoption rule (from the
-verdict): keep the current config unless a variant wins >= 1.5x; a
-documented negative result also closes the order.
+q_stream_stream_left returns early from its versioned cache (_SUCCESS
+guard), so every timed run here CLEARS that cache first (round-12
+ADVICE: without the clear, the first run publishes the layout and all
+later configs time a warm parquet read — meaningless comparisons that
+still pass the rows assertion).
+
+Writes/merges STREAM_TUNE.json at the repo root, one experiment entry
+per sf_dir (the round-12 verdict asked for an sf1.0 re-test where the
+interval-join state is big enough that RocksDB could actually flip the
+conclusion). Adoption rule (from the round-11 verdict): keep the current
+config unless a variant wins >= 1.5x; a documented negative result also
+closes the order.
 
 Usage: python tools/stream_left_tune.py [--runs 2] [sf_dir]
 """
@@ -20,11 +29,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from data_pipeline_aws_spark.caches import versioned_cache_dir  # noqa: E402
 from data_pipeline_aws_spark.session import get_spark  # noqa: E402
 from data_pipeline_aws_spark.streaming import jobs  # noqa: E402
 
@@ -38,6 +49,13 @@ CONFIGS = [
     {"name": "rocksdb_p8", "provider": ROCKS, "partitions": 8},
     {"name": "rocksdb_p2", "provider": ROCKS, "partitions": 2},
 ]
+
+
+def _clear_cache(sf_dir: str) -> None:
+    """Remove the published stream_left layout so the next call pays the
+    full two-stream drain instead of a warm parquet read-back."""
+    out = versioned_cache_dir("stream_left", sf_dir, jobs.__file__)
+    shutil.rmtree(out, ignore_errors=True)
 
 
 def main() -> None:
@@ -62,6 +80,7 @@ def main() -> None:
         rows = None
         try:
             for _ in range(runs):
+                _clear_cache(sf_dir)  # every run bills the full drain
                 t0 = time.monotonic()
                 rows = jobs.q_stream_stream_left(spark, sf_dir).count()
                 times.append(round(time.monotonic() - t0, 3))
@@ -76,25 +95,64 @@ def main() -> None:
         )
         results.append({**cfg, "runs": times, "best_sec": min(times), "rows": rows})
         print(f"{cfg['name']}: best {min(times)} s over {times} ({rows} rows)", flush=True)
+    _clear_cache(sf_dir)  # leave no layout drained under a non-default config
 
     base = results[0]["best_sec"]
     for r in results:
         r["speedup_vs_baseline"] = round(base / r["best_sec"], 3)
     winner = max(results, key=lambda r: r["speedup_vs_baseline"])
-    out = {
-        "key": "q_stream_stream_left",
+    experiment = {
         "sf_dir": sf_dir,
         "runs_per_config": runs,
+        "cold_per_run": True,  # versioned cache cleared before every timed run
         "configs": results,
         "winner": winner["name"],
         "winner_speedup": winner["speedup_vs_baseline"],
-        "adopted": bool(winner["speedup_vs_baseline"] >= 1.5 and winner["name"] != results[0]["name"]),
-        "adoption_rule": ">=1.5x over baseline or keep current config (round-11 verdict order #4)",
+        "adopted": bool(
+            winner["speedup_vs_baseline"] >= 1.5
+            and winner["name"] != results[0]["name"]
+        ),
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STREAM_TUNE.json")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAM_TUNE.json",
+    )
+    out = {
+        "key": "q_stream_stream_left",
+        "adoption_rule": ">=1.5x over baseline or keep current config (round-11 verdict order #4)",
+        "experiments": [],
+    }
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            if "experiments" in prior:
+                out["experiments"] = [
+                    e for e in prior["experiments"] if e.get("sf_dir") != sf_dir
+                ]
+            elif "configs" in prior and prior.get("sf_dir") != sf_dir:
+                # legacy single-experiment layout (round 12): preserve it as
+                # the first experiments[] entry, flagged warm-after-first-run
+                out["experiments"] = [
+                    {
+                        "sf_dir": prior["sf_dir"],
+                        "runs_per_config": prior.get("runs_per_config"),
+                        "cold_per_run": False,
+                        "configs": prior["configs"],
+                        "winner": prior.get("winner"),
+                        "winner_speedup": prior.get("winner_speedup"),
+                        "adopted": prior.get("adopted"),
+                    }
+                ]
+        except (OSError, ValueError):
+            pass
+    out["experiments"].append(experiment)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(f"-> {path}: winner {out['winner']} ({out['winner_speedup']}x), adopted={out['adopted']}")
+    print(
+        f"-> {path}: [{sf_dir}] winner {experiment['winner']} "
+        f"({experiment['winner_speedup']}x), adopted={experiment['adopted']}"
+    )
 
 
 if __name__ == "__main__":
