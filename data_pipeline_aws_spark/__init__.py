@@ -44,6 +44,7 @@ def load_all() -> None:
         tpch_suite,
         windows,
     )
+    from data_pipeline_aws_spark import occ  # noqa: F401
     from data_pipeline_aws_spark.functions import curation, scalar, text  # noqa: F401
     from data_pipeline_aws_spark.multimodal import media  # noqa: F401
     from data_pipeline_aws_spark.sources import ingest  # noqa: F401

@@ -55,6 +55,8 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_aws_spark.registry import query
+
 OCC_BUCKETS = 64
 _PAD = 8  # zero-padded version width in commit file names
 
@@ -239,4 +241,162 @@ def occ_merge(
             continue
     raise RuntimeError(
         f"occ_merge: gave up after {max_attempts} conflicted attempts on {path}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Graded query key: the concurrency protocol driven end-to-end, both race
+# shapes, with a relational oracle for the serialized result.
+# --------------------------------------------------------------------------
+
+# The four writers' update rules, keyed by o_orderkey % 10 so the oracle can
+# restate them as CASE arms. A/B intersect on residue 1 (guaranteed bucket
+# conflict → B wins, A recomputes); C touches only even residues-mod-64 and
+# D only odd ones (pmod(k,64) preserves key parity, and k%10==4 keys are
+# even while k%10==5 keys are odd → provably DISJOINT bucket sets → C
+# re-targets without recompute).
+_OCC_RULES = {
+    "a": ("o_orderkey % 10 = 1", "o_orderkey * 7"),
+    "b": ("o_orderkey % 10 IN (1, 3)", "o_orderkey * 11 + 5"),
+    "c": ("o_orderkey % 10 = 4", "o_orderkey * 3"),
+    "d": ("o_orderkey % 10 = 5", "o_orderkey * 13 + 7"),
+}
+
+
+def _occ_updates(base: DataFrame, writer: str) -> DataFrame:
+    pred, add = _OCC_RULES[writer]
+    return base.where(F.expr(pred)).select(
+        "o_orderkey", F.expr(add).cast("long").alias("add_cents")
+    )
+
+
+def occ_race_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Run the deterministic two-race interleave ONCE per (sf, code
+    version) and publish the resulting layout + protocol metadata.
+
+    Race 1 (conflict): writer A stages its delta from snapshot 0; inside
+    A's commit window writer B runs a full merge and claims version 1; A's
+    claim of v1 gets EEXIST, B's buckets intersect A's → A discards,
+    recomputes from v1, commits v2 (attempts=2).
+
+    Race 2 (disjoint): writer C stages from snapshot 2; inside C's window
+    writer D claims v3; C's EEXIST inspection finds D's buckets disjoint →
+    C re-targets its ALREADY-STAGED delta to v4 without recompute
+    (attempts=1).
+
+    The race runs in a staging sibling and is adopted atomically
+    (caches.publish), so a crashed half-run can never satisfy a later
+    read."""
+    from data_pipeline_aws_spark.caches import publish, staging_dir, versioned_cache_dir
+    from data_pipeline_aws_spark.tables import table
+
+    out = versioned_cache_dir("occ_race", sf_dir, __file__)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    stage = staging_dir(out)
+    try:
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        )
+        occ_init(spark, stage, base)
+        meta: dict[str, dict] = {}
+
+        def _merge(writer: str, **kw) -> None:
+            version, attempts = occ_merge(
+                spark, stage, _occ_updates(base, writer), **kw
+            )
+            meta[writer] = {"version": version, "attempts": attempts}
+
+        _merge("a", before_commit=lambda: _merge("b"))
+        _merge("c", before_commit=lambda: _merge("d"))
+        retargets = sum(
+            occ_commit_info(stage, v)["version"]
+            - occ_commit_info(stage, v)["read_snapshot"]
+            - 1
+            for v in range(1, occ_snapshot(stage) + 1)
+        )
+        meta["summary"] = {
+            "n_commits": occ_snapshot(stage),
+            "n_recomputed": sum(
+                m["attempts"] - 1 for w, m in meta.items() if w != "summary"
+            ),
+            "n_retargeted": retargets,
+        }
+        with open(os.path.join(stage, "_META.json"), "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        with open(os.path.join(stage, "_SUCCESS"), "w"):
+            pass
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    publish(stage, out)
+    return out
+
+
+@query(
+    "q_occ_merge",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT o_orderkey,
+         cents
+         + CASE WHEN o_orderkey % 10 = 1 THEN o_orderkey * 7 ELSE 0 END
+         + CASE WHEN o_orderkey % 10 IN (1, 3) THEN o_orderkey * 11 + 5 ELSE 0 END
+         + CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey * 3 ELSE 0 END
+         + CASE WHEN o_orderkey % 10 = 5 THEN o_orderkey * 13 + 7 ELSE 0 END
+           AS cents
+  FROM base
+)
+SELECT CAST(o_orderkey % 10 AS BIGINT)  AS key_mod,
+       CAST(COUNT(*) AS BIGINT)         AS n_keys,
+       CAST(SUM(cents) AS BIGINT)       AS cents_sum,
+       CAST(4 AS BIGINT)                AS n_commits,
+       CAST(1 AS BIGINT)                AS n_recomputed,
+       CAST(1 AS BIGINT)                AS n_retargeted
+FROM final
+GROUP BY key_mod
+""",
+)
+def q_occ_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency control as a graded query (round-12 verdict
+    order #1): four writers' additive MERGEs race one layout through both
+    conflict shapes — an intersecting-bucket race that forces a recompute
+    and a disjoint-bucket race that re-targets a staged delta without
+    recompute — and the key grades BOTH the serialized table state and
+    the protocol's commit metadata.
+
+    The oracle recomputes the end state relationally: additive upserts
+    commute, so whatever order the commit log serialized, every key's
+    final cents is base + the sum of its writers' adds — any lost update
+    (two writers interleaving on a contested bucket) breaks `cents_sum`,
+    and a wrong protocol walk (recompute where a re-target sufficed, a
+    commit minted twice) breaks the metadata columns, which are read from
+    the layout's actual commit log, never hard-coded Spark-side.
+
+    Scale shape: the conflict check reads only the ≤64-int bucket sets in
+    the commit log — never data files — so commit cost is O(commits since
+    read-snapshot), independent of table size; the staged-delta re-target
+    path means partition-disjoint writers (the common case on a
+    date-partitioned 100 TB table) pay zero recompute. Reference parity:
+    the declared-but-empty Glue job (lambda-stack.yml:11-21) would face
+    exactly this on concurrent runs; Delta/Iceberg's public commit
+    protocols are the design source."""
+    layout = occ_race_fixture(spark, sf_dir)
+    with open(os.path.join(layout, "_META.json")) as f:
+        meta = json.load(f)
+    s = meta["summary"]
+    return (
+        occ_live(spark, layout)
+        .groupBy(F.expr("o_orderkey % 10").cast("long").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .withColumn("n_commits", F.lit(int(s["n_commits"])).cast("long"))
+        .withColumn("n_recomputed", F.lit(int(s["n_recomputed"])).cast("long"))
+        .withColumn("n_retargeted", F.lit(int(s["n_retargeted"])).cast("long"))
     )

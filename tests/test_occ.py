@@ -123,6 +123,40 @@ def test_occ_disjoint_writers_both_land_without_recompute(
     assert all(live[k] is not None for k in b_keys)
 
 
+def test_occ_graded_key_drives_both_race_shapes(spark, sf_dir):
+    """q_occ_merge (round-12 verdict order #1): the published race layout
+    must show exactly the two designed shapes in its commit log — writer
+    B wins v1, A recomputes from snapshot 1 into v2 (conflict), D wins v3
+    from snapshot 2, C re-targets its staged delta into v4 with its STALE
+    read_snapshot 2 kept (disjoint) — and the key's metadata columns must
+    come from that log, not constants."""
+    import json
+
+    from data_pipeline_aws_spark.occ import occ_race_fixture, q_occ_merge
+
+    layout = occ_race_fixture(spark, sf_dir)
+    assert occ_snapshot(layout) == 4
+    snaps = {v: occ_commit_info(layout, v)["read_snapshot"] for v in (1, 2, 3, 4)}
+    assert snaps == {1: 0, 2: 1, 3: 2, 4: 2}, snaps
+    with open(os.path.join(layout, "_META.json")) as f:
+        meta = json.load(f)
+    assert meta["summary"] == {
+        "n_commits": 4,
+        "n_recomputed": 1,
+        "n_retargeted": 1,
+    }
+    assert meta["a"]["attempts"] == 2 and meta["c"]["attempts"] == 1
+    # disjointness by construction: C's buckets all even, D's all odd
+    c_buckets = occ_commit_info(layout, 4)["buckets"]
+    d_buckets = occ_commit_info(layout, 3)["buckets"]
+    assert all(b % 2 == 0 for b in c_buckets)
+    assert all(b % 2 == 1 for b in d_buckets)
+    # warm call reads the published layout back — same fixture, same rows
+    df = q_occ_merge(spark, sf_dir)
+    row = df.where(F.col("key_mod") == 1).collect()[0]
+    assert (row.n_commits, row.n_recomputed, row.n_retargeted) == (4, 1, 1)
+
+
 def test_occ_threaded_stress_conserves_the_sum(spark, sf_dir, tmp_path):
     """Four writers race additive merges on overlapping keys; every add
     must survive serialization (a lost update breaks the conserved sum)."""
