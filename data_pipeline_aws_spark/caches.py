@@ -186,15 +186,27 @@ def _put_object(src: str | None, dst: str) -> None:
     os.rename(tmp, dst)
 
 
+def _claim_holder_alive(pid: int) -> bool:
+    """Signal-0 liveness probe; EPERM counts as alive (another user's live
+    process must never be reaped)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True
+    return True
+
+
 def _publish_objectstore(staging: str, final: str, sentinel: str) -> None:
     """S3-shaped commit (no directory rename, no links):
 
-    1. CLAIM the layout: conditional PUT of a zero-byte ``_CLAIM`` object
-       (S3 ``If-None-Match: *`` — emulated with O_CREAT|O_EXCL). Losers
-       never upload a byte, so a directory listing can never mix two
-       builds' uniquely-named part files — they instead WAIT for the
-       winner's commit marker (content is deterministic: the winner
-       publishes identical data).
+    1. CLAIM the layout: conditional PUT of a ``_CLAIM`` object recording
+       the claimer's PID (S3 ``If-None-Match: *`` — emulated with
+       O_CREAT|O_EXCL). Losers never upload a byte, so a directory
+       listing can never mix two builds' uniquely-named part files —
+       they instead WAIT for the winner's commit marker (content is
+       deterministic: the winner publishes identical data).
     2. Write ``_MANIFEST.json`` (relpath/bytes/md5 of every data file)
        into staging so it rides the upload — readers and epoch-identity
        checks get a listing-independent description of the commit.
@@ -203,30 +215,87 @@ def _publish_objectstore(staging: str, final: str, sentinel: str) -> None:
     4. PUT the sentinel LAST — the single-object commit marker readers
        already gate on (no read-path change vs posix mode).
 
-    A claimer that crashes mid-upload strands the layout until the next
-    code-version move or bench --cold clear — the same accepted caveat as
-    posix mode's recovery-lock crash."""
+    Crash recovery (round-12 verdict order #4): a claimer that dies
+    mid-upload no longer strands the layout. A waiter that finds the
+    claim's recorded PID dead TAKES OVER: single-winner atomic
+    rename-reap of the corpse claim (the vacuum-lock pattern — exactly
+    one waiter's rename succeeds), then re-race the claim; the new
+    winner first DELETES every non-claim leftover object (safe: the
+    marker is absent by construction on this path and readers gate on
+    the marker, so nothing is mid-read) and re-uploads from its own
+    staging — part-file names are build-unique, so without the sweep a
+    listing reader would see two builds' files mixed. An EMPTY claim is
+    a mid-write window (created, PID bytes not yet landed) and is always
+    waited out, never reaped. On real S3 the same shape is a lease
+    epoch in the claim key + conditional overwrite (the public
+    Delta-on-S3 commit-service design); liveness here is the local
+    emulation of lease expiry. A LIVE holder that never commits is
+    surfaced loudly by the wait deadline."""
     import time
 
     done = os.path.join(final, sentinel)
+    claim = os.path.join(final, "_CLAIM")
     if os.path.exists(done):
         shutil.rmtree(staging, ignore_errors=True)
         return
     os.makedirs(final, exist_ok=True)
-    try:
-        fd = os.open(
-            os.path.join(final, "_CLAIM"), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
+    deadline = time.monotonic() + 300.0
+    while True:
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if os.path.exists(done):
+                shutil.rmtree(staging, ignore_errors=True)
+                return
+            try:
+                with open(claim, "rb") as f:
+                    holder = int(f.read().strip() or b"0")
+            except (OSError, ValueError):
+                continue  # claim vanished (reaped); re-race immediately
+            if holder <= 0:
+                # mid-write: claim created, PID not yet landed — wait
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"objectstore claim never identified its holder: {final}"
+                    )
+                time.sleep(0.01)
+                continue
+            if _claim_holder_alive(holder):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"objectstore claim holder never committed: {final}"
+                    )
+                time.sleep(0.1)
+                continue
+            # dead claimer, no marker: single-winner takeover
+            reap = f"{claim}.reap{os.getpid()}"
+            try:
+                os.rename(claim, reap)
+            except OSError:
+                continue  # another waiter reaped first; re-race
+            try:
+                os.unlink(reap)
+            except OSError:
+                pass
+            continue
+        os.write(fd, str(os.getpid()).encode())
         os.close(fd)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-        deadline = time.monotonic() + 300.0
-        while not os.path.exists(done):  # pragma: no cover - timing path
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"objectstore claim holder never committed: {final}")
-            time.sleep(0.1)
-        return
+        break  # claim won — we are the (possibly recovery) winner
     try:
+        # recovery sweep: drop a crashed predecessor's partial upload so a
+        # listing reader can never mix two builds' uniquely-named files
+        # (no-op on a fresh layout: only our claim is present)
+        for name in os.listdir(final):
+            if name == "_CLAIM":
+                continue
+            p = os.path.join(final, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
         manifest = content_manifest(staging)
         with open(os.path.join(staging, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, sort_keys=True)

@@ -89,8 +89,8 @@ def test_objectstore_claim_loser_uploads_nothing_and_waits(objectstore, tmp_path
     files) and must return only once the winner's marker appears."""
     final = str(tmp_path / "layout")
     os.makedirs(final)
-    with open(os.path.join(final, "_CLAIM"), "w"):
-        pass  # a live winner holds the claim
+    with open(os.path.join(final, "_CLAIM"), "w") as f:
+        f.write(str(os.getpid()))  # a live winner holds the claim
     stage = _make_staging(tmp_path, final)
     state = {}
 
@@ -111,6 +111,159 @@ def test_objectstore_claim_loser_uploads_nothing_and_waits(objectstore, tmp_path
     t.join(timeout=10.0)
     assert not t.is_alive() and state["returned_after_marker"]
     assert not os.path.exists(stage)
+
+
+def _dead_pid() -> int:
+    """A PID that is guaranteed dead: a real child that has been reaped."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def test_objectstore_crash_after_claim_before_data_self_heals(
+    objectstore, tmp_path
+):
+    """Fault shape 1 (round-12 verdict order #4): the claimer died between
+    winning the claim and the first data PUT. A later publisher must
+    detect the dead holder, take over, and commit — not wait forever."""
+    final = str(tmp_path / "layout")
+    os.makedirs(final)
+    with open(os.path.join(final, "_CLAIM"), "w") as f:
+        f.write(str(_dead_pid()))
+    stage = _make_staging(tmp_path, final)
+    want = content_manifest(stage)
+    publish(stage, final)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert json.load(open(os.path.join(final, MANIFEST_NAME))) == want
+    assert content_manifest(final) == want
+
+
+def test_objectstore_crash_mid_upload_sweeps_partial_build(
+    objectstore, tmp_path
+):
+    """Fault shape 2: the claimer died after SOME data PUTs (between data
+    and manifest/marker). The recovery winner must sweep the dead build's
+    uniquely-named stragglers before re-uploading — otherwise a listing
+    reader would mix two builds' part files."""
+    final = str(tmp_path / "layout")
+    os.makedirs(os.path.join(final, "sub"))
+    with open(os.path.join(final, "_CLAIM"), "w") as f:
+        f.write(str(_dead_pid()))
+    with open(os.path.join(final, "part-zz-deadbuild.parquet"), "wb") as f:
+        f.write(b"stale" * 99)
+    with open(os.path.join(final, "sub", "part-yy-deadbuild.parquet"), "wb") as f:
+        f.write(b"stale")
+    with open(os.path.join(final, ".put12345-part-x.parquet"), "wb") as f:
+        f.write(b"torn")  # a torn single-object PUT temp
+    stage = _make_staging(tmp_path, final)
+    want = content_manifest(stage)
+    publish(stage, final)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert content_manifest(final) == want, "dead build's files must be swept"
+    names = {
+        os.path.relpath(os.path.join(d, n), final)
+        for d, _, fs in os.walk(final)
+        for n in fs
+    }
+    assert not any("deadbuild" in n or n.startswith(".put") for n in names), names
+
+
+def test_objectstore_crash_between_manifest_and_marker_self_heals(
+    objectstore, tmp_path
+):
+    """Fault shape 3: everything including the manifest landed but the
+    marker PUT never happened. Readers gate on the marker (so they saw
+    nothing); recovery must re-publish and commit."""
+    final = str(tmp_path / "layout")
+    # build the full layout minus the marker by crashing the sentinel PUT
+    stage = _make_staging(tmp_path, final)
+    want = content_manifest(stage)
+    import data_pipeline_aws_spark.caches as caches
+
+    real_put = caches._put_object
+    boom = RuntimeError("crash before marker PUT")
+
+    def crashing_put(src, dst):
+        if os.path.basename(dst) == "_SUCCESS":
+            raise boom
+        real_put(src, dst)
+
+    caches._put_object = crashing_put
+    try:
+        with pytest.raises(RuntimeError):
+            publish(stage, final)
+    finally:
+        caches._put_object = real_put
+    assert not os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert os.path.exists(os.path.join(final, MANIFEST_NAME))
+    # the crashed claimer is THIS process — overwrite with a dead PID so
+    # recovery sees a corpse (a real crash kills the process)
+    with open(os.path.join(final, "_CLAIM"), "w") as f:
+        f.write(str(_dead_pid()))
+    stage2 = _make_staging(tmp_path, final)
+    publish(stage2, final)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert content_manifest(final) == want
+    assert json.load(open(os.path.join(final, MANIFEST_NAME))) == want
+
+
+def test_objectstore_double_writer_exactly_one_uploads(objectstore, tmp_path):
+    """Fault shape 4: two writers race the same layout from scratch —
+    exactly one claims and uploads; the loser returns only after the
+    winner's marker and uploads nothing; the committed layout matches
+    one staging's manifest exactly (never a mix)."""
+    final = str(tmp_path / "layout")
+    stages = [_make_staging(tmp_path, final) for _ in range(2)]
+    want = content_manifest(stages[0])
+    assert want == content_manifest(stages[1])  # deterministic content
+    errors = []
+
+    def run(stage):
+        try:
+            publish(stage, final)
+        except Exception as exc:  # noqa: BLE001 - surface in main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in stages]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert content_manifest(final) == want
+    assert not any(os.path.exists(s) for s in stages)
+
+
+def test_objectstore_marker_is_strictly_the_last_put(objectstore, tmp_path):
+    """Reader-during-partial-publish safety reduces to one invariant: the
+    sentinel is PUT after every data object (a reader gating on the
+    marker therefore never observes a partial layout). Pin the PUT order
+    and that the marker is absent until the final PUT."""
+    final = str(tmp_path / "layout")
+    stage = _make_staging(tmp_path, final)
+    import data_pipeline_aws_spark.caches as caches
+
+    real_put = caches._put_object
+    order = []
+
+    def recording_put(src, dst):
+        assert not os.path.exists(
+            os.path.join(final, "_SUCCESS")
+        ), "an object was PUT after the commit marker"
+        real_put(src, dst)
+        order.append(os.path.basename(dst))
+
+    caches._put_object = recording_put
+    try:
+        publish(stage, final)
+    finally:
+        caches._put_object = real_put
+    assert order[-1] == "_SUCCESS" and order.count("_SUCCESS") == 1
+    assert len(order) == 4  # 2 data files + manifest + marker
 
 
 def test_link_or_copy_is_mode_conditional(objectstore, tmp_path, monkeypatch):
