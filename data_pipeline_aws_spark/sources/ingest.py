@@ -1039,6 +1039,27 @@ def catalog_db(spark: SparkSession, sf_dir: str, *, analyze: bool = True) -> str
     return db
 
 
+def catalog_refresh_stats(spark: SparkSession, db: str, name: str) -> None:
+    """Statistics freshness contract (round-12 verdict order #7): after an
+    append epoch lands files under an external table's LOCATION, Spark
+    gives you DATA freshness and STATS freshness on two different knobs —
+
+    - ``REFRESH TABLE`` invalidates the cached file listing, so queries
+      SEE the appended rows immediately;
+    - catalog statistics are NOT invalidated by either the append or the
+      REFRESH — CBO keeps planning with the stale rowCount/sizeInBytes
+      until the next ANALYZE (Spark's documented behavior for external
+      tables; the plan-pin test proves both halves).
+
+    This verb is the append-epoch maintenance step: re-list, re-ANALYZE.
+    At 100 TB ANALYZE is a scheduled full scan — the q_trigger_incremental
+    rails would run it per landed epoch (or use
+    ``spark.sql.statistics.size.autoUpdate.enabled``, which maintains only
+    sizeInBytes, not rowCount/column stats)."""
+    spark.sql(f"REFRESH TABLE {db}.{name}")
+    spark.sql(f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
 @query(
     "q_catalog_stats",
     oracle="""

@@ -20,6 +20,15 @@ from data_pipeline_aws_spark.tables import TABLES
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running soak tests (wall-clock bound, e.g. the 75 s "
+        "processingTime streaming soak); run by default, deselect with "
+        '-m "not slow" for a quick loop',
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", shuffle_partitions=8)

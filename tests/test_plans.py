@@ -1602,3 +1602,62 @@ def test_catalog_stats_rowcounts_recorded(spark, sf_dir):
         ).collect()
     }
     assert col.get("distinct_count") not in (None, "NULL"), col
+
+
+def test_catalog_stats_staleness_contract_across_append_epoch(
+    spark, sf_dir, tmp_path
+):
+    """Statistics freshness (round-12 verdict order #7), both halves:
+
+    1. After an append epoch lands new files under an external table's
+       LOCATION, REFRESH TABLE makes the DATA visible but the catalog
+       statistics stay STALE — CBO's optimized-plan rowCount still says
+       the pre-append count (Spark does not invalidate stats on append).
+    2. catalog_refresh_stats (REFRESH + re-ANALYZE) brings the planner's
+       rowCount to the post-append truth.
+
+    Pinned from the optimizer's own numbers (optimizedPlan().stats()),
+    CBO on (session default), AQE irrelevant (no join — a bare scan's
+    estimate is what a join sizing would consume)."""
+    import os
+
+    from data_pipeline_aws_spark.sources.ingest import catalog_refresh_stats
+    from data_pipeline_aws_spark.tables import table
+
+    loc = str(tmp_path / "orders_epochs")
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base.write.parquet(loc)
+    n0 = base.count()
+    db = f"dpas_stale_{os.getpid()}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        spark.sql(
+            f"CREATE TABLE {db}.orders_e USING parquet LOCATION '{loc}'"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {db}.orders_e COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+
+        def planned_rows() -> int:
+            q = spark.sql(f"SELECT * FROM {db}.orders_e")
+            return int(
+                q._jdf.queryExecution().optimizedPlan().stats().rowCount().get()
+            )
+
+        assert planned_rows() == n0
+        # append epoch: 2x the rows land under the same LOCATION
+        base.write.mode("append").parquet(loc)
+        spark.sql(f"REFRESH TABLE {db}.orders_e")
+        got = spark.sql(f"SELECT COUNT(*) n FROM {db}.orders_e").collect()[0].n
+        assert got == 2 * n0, "REFRESH must expose the appended DATA"
+        assert planned_rows() == n0, (
+            "contract half 1: append + REFRESH must NOT update statistics "
+            "(if this ever fails, Spark started auto-invalidating stats and "
+            "catalog_refresh_stats can drop its ANALYZE)"
+        )
+        catalog_refresh_stats(spark, db, "orders_e")
+        assert planned_rows() == 2 * n0, (
+            "contract half 2: re-ANALYZE must bring CBO to the new rowcount"
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

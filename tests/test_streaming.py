@@ -719,3 +719,77 @@ def test_trigger_incremental_reads_only_rollup_and_delta(spark, sf_dir, tmp_path
         os.path.realpath(arrivals[1]),
     }
     assert roots == allowed, roots
+
+
+@pytest.mark.slow
+def test_processing_time_soak_state_stays_bounded(spark):
+    """Streaming soak (round-12 verdict order #8): every other streaming
+    test drains a BOUNDED file source with availableNow/one-batch
+    triggers — a state leak that only accumulates across many
+    processingTime triggers is invisible to all of them. Run a windowed
+    watermark aggregation on the unbounded rate source for ~75 s of real
+    triggers and assert from the engine's own stateOperators metrics
+    that state size PLATEAUS (watermark eviction keeps pace) instead of
+    growing with runtime.
+
+    Bound arithmetic: 100 distinct keys, 10 s tumbling windows, 10 s
+    watermark → live state is the in-flight window + up to two
+    not-yet-evicted closed windows per key ≈ ≤400 rows; 1000 gives
+    generous trigger-jitter slack while still catching any real leak
+    (an unevicted soak would retain ~7 windows x 100 keys by t=75 s and
+    keep climbing)."""
+    import time
+
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            (F.col("value") % 100).alias("key"),
+            F.col("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        events.writeStream.outputMode("update")
+        .format("noop")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    samples = []  # (wallclock_sec, numRowsTotal, memoryUsedBytes)
+    t0 = time.monotonic()
+    try:
+        while time.monotonic() - t0 < 75:
+            time.sleep(2)
+            p = q.lastProgress
+            if not p or not p.get("stateOperators"):
+                continue
+            op = p["stateOperators"][0]
+            samples.append(
+                (
+                    round(time.monotonic() - t0, 1),
+                    op["numRowsTotal"],
+                    op["customMetrics"].get("stateOnCurrentVersionSizeBytes")
+                    or op.get("memoryUsedBytes", 0),
+                )
+            )
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    assert len(samples) >= 15, f"soak produced too few progress samples: {samples}"
+    rows = [s[1] for s in samples]
+    third = len(samples) // 3
+    peak_early, peak_late = max(rows[:third]), max(rows[-third:])
+    assert peak_late <= 1000, (
+        f"state rows still growing at soak end (leak): {samples}"
+    )
+    assert peak_late <= max(peak_early, 400) * 1.5, (
+        f"state grew across the soak instead of plateauing: "
+        f"early peak {peak_early}, late peak {peak_late}; {samples}"
+    )
+    peak_bytes = max(s[2] for s in samples)
+    assert 0 < peak_bytes < 64 * 1024 * 1024, (
+        f"state bytes unbounded or unreported: peak {peak_bytes}"
+    )
