@@ -439,7 +439,23 @@ def _link_predict_top(
 ) -> DataFrame:
     """Shared tail of the link-prediction keys: wedge join over ``e_wedge``
     (hub-capped; None = the full edge list), TRUE degrees from ``e``,
-    integer Jaccard, top-20 heap."""
+    integer Jaccard, top-20 heap.
+
+    Degrees ride the EDGE list through the wedge join instead of being
+    joined onto the pair stream afterwards (round-12 verdict order #3).
+    The pair stream is the query's biggest relation by far — wedges
+    measured ~19x the edge count at every SF, and ~100% DISTINCT (ui,vi)
+    pairs, so it used to flow through THREE sorts: the wedge SMJ, then
+    two degree SMJs after the aggregation (deg is ~|V| rows — too big to
+    broadcast beyond sf0.1, so the planner sorted the 278M-row pair
+    stream twice more at sf10; that, not data shape, was the 1.166
+    wall-clock slope: the wedge workload itself grows at slope 1.0,
+    committed in SCALING.json's workload audit). Now: one edge⋈deg join
+    (|E|-sized, 10x smaller than the pair stream), deg carried as two
+    extra longs into the group key — du/dv are functions of ui/vi, so
+    groups and counts are unchanged — and the aggregated stream goes
+    STRAIGHT to the top-20 heap. Post-change sf1.0→sf10 slope: 1.036
+    (SCALING.json)."""
     if e_wedge is None:
         e_wedge = e
     deg = e.groupBy(F.col("src").alias("node")).agg(
@@ -448,32 +464,31 @@ def _link_predict_top(
     label = lambda c: F.when(  # noqa: E731
         c % 2 == 0, F.concat(F.lit("c"), (c / 2).cast("long"))
     ).otherwise(F.concat(F.lit("s"), ((c - 1) / 2).cast("long")))
-    a, b = e_wedge.alias("a"), e_wedge.alias("b")
+    ew = e_wedge.join(deg, e_wedge.src == deg.node).select("src", "dst", "deg")
+    a, b = ew.alias("a"), ew.alias("b")
     common = (
         a.join(
             b,
             (F.col("a.dst") == F.col("b.dst"))
             & (F.col("a.src") < F.col("b.src")),
         )
-        .groupBy(F.col("a.src").alias("ui"), F.col("b.src").alias("vi"))
+        .groupBy(
+            F.col("a.src").alias("ui"),
+            F.col("b.src").alias("vi"),
+            F.col("a.deg").alias("du"),
+            F.col("b.deg").alias("dv"),
+        )
         .agg(F.count(F.lit(1)).alias(common_name))
     )
-    du, dv = deg.alias("du"), deg.alias("dv")
     jac = F.col(common_name) * 1.0 / (
-        F.col("du.deg") + F.col("dv.deg") - F.col(common_name)
+        F.col("du") + F.col("dv") - F.col(common_name)
     )
-    return (
-        common.join(du, F.col("ui") == F.col("du.node"))
-        .join(dv, F.col("vi") == F.col("dv.node"))
-        .select(
-            F.least(label(F.col("ui")), label(F.col("vi"))).alias("u"),
-            F.greatest(label(F.col("ui")), label(F.col("vi"))).alias("v"),
-            common_name,
-            jac.alias(score_name),
-        )
-        .orderBy(F.desc(score_name), F.asc("u"), F.asc("v"))
-        .limit(20)
-    )
+    return common.select(
+        F.least(label(F.col("ui")), label(F.col("vi"))).alias("u"),
+        F.greatest(label(F.col("ui")), label(F.col("vi"))).alias("v"),
+        common_name,
+        jac.alias(score_name),
+    ).orderBy(F.desc(score_name), F.asc("u"), F.asc("v")).limit(20)
 
 
 LINK_HUB_CAP = 32  # max wedge-side neighbors kept per mid node
