@@ -87,6 +87,9 @@ SINK_CACHE_KEYS = [
     "q_trigger_incremental",  # landed arrival files + committed rollup
     # epochs; warm runs exercise the replay-no-op path against them (r12)
     "q_schema_evolution_nested",  # two-generation nested-struct layout (r12)
+    "q_occ_merge",  # published OCC race layout + commit log (r13): warm
+    # passes read occ_live over the committed versions, cold re-runs the
+    # deterministic four-writer race
 ]
 # The part_lineitem fixture is SHARED: q_partitioned_sink owns the write,
 # but q_dpp and q_gdpr_delete read the same cache (ingest.py). In cold

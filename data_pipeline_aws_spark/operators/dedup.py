@@ -1242,6 +1242,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_LSH_THRESHOLD = 0.85
 EMBED_LSH_PLANES = 64
 EMBED_LSH_BAND_BITS = 4
+# Band-shape boundary (round-13 sf-decade measurement, SCALE.md): with the
+# EXACT-RECALL contract this key grades (oracle = the full exact threshold
+# join, so banding may never miss a true pair), 16x4 banding is forced —
+# at cos 0.85 a 4-bit band agrees w.p. 0.823^4=0.46, so 16 bands give
+# ~99.995% per-pair recall, while any wider band (8x8: 85%, 4x16: 17%)
+# breaks the contract. The price is that on an ISOTROPIC corpus a random
+# pair band-collides somewhere w.p. 1-(1-2^-4)^16 ~ 0.64, so the band
+# join evaluates Θ(N²) pairs by the screen's own definition — measured:
+# 1.86 s (sf0.1) -> 77 s (sf1.0, slope 1.62); sf10 would be ~10^10 pair
+# evaluations, same boundary as the q_embed_lsh_eval audit. This is a
+# LOWER BOUND of the contract, not a tuning miss: exact recall at
+# θ=0.85 on isotropic data is quadratic for any hyperplane banding (the
+# alternative exact algorithms — APSS prefix filtering — prune on value
+# skew the null corpus doesn't have). At 100 TB use the recall<1 rungs:
+# q_semdedup (cluster-local pairs), q_sim_lsh (banded, recall measured),
+# or the sampled audit; q_dedup_embed_lsh stays the exact screen for
+# bounded corpora (per-epoch deltas, candidate re-checks).
 
 
 def embed_near_dup_pairs(e: DataFrame, threshold: float = EMBED_LSH_THRESHOLD) -> DataFrame:
