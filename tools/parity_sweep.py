@@ -195,6 +195,12 @@ def main() -> None:
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
+        # extreme-SF audits collect full result relations for hashing; the
+        # 1g default result cap is a harness artifact, not a query property
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
