@@ -873,8 +873,12 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     no hash function to keep in sync. Entirely JVM higher-order array
     lambdas — transform/slice/array_min over in-row arrays: map-only, no
     explode, no shuffle; at 100 TB each document fingerprints inside its own
-    scan partition and only the (doc_id, count, checksum) rows move."""
-    d = table(spark, sf_dir, "documents")
+    scan partition and only the (doc_id, count, checksum) rows move.
+    The scan is spread (tables.spread: layout-gated repartition, a no-op on
+    any >=cores-row-group layout) so the per-row gram/window work
+    parallelizes on the single-file bench fixture — measured 3.85 s of the
+    query's 3.96 s stage-wall in ONE task before the spread."""
+    d = table(spark, sf_dir, "documents", spread_scan=True)
     grams = F.expr(
         "CASE WHEN length(text) >= 8 THEN "
         "  transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) "
@@ -1783,7 +1787,7 @@ def _bpe_encoded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     under q_bpe_apply and q_tokenizer_fertility, twin of _bpe_encode_ctes."""
     d, dd = _BPE_D, _BPE_D * 2
     rules = bpe_merge_rules(spark, sf_dir)
-    doc = table(spark, sf_dir, "documents")
+    doc = table(spark, sf_dir, "documents", spread_scan=True)
     chars = F.filter(F.split("w", ""), lambda c: c != F.lit(""))
     w = (
         doc.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
@@ -2316,7 +2320,9 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest-distribution term), hence the full grid rather than the
     inner join. Summed-libm determinism rides under ROUND(.,4) as
     everywhere."""
-    d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    d = table(spark, sf_dir, "documents", spread_scan=True).where(
+        F.length("text") >= 3
+    )
     grams = d.select(
         "source",
         F.explode(

@@ -72,8 +72,14 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     token twice; at 100 TB that's the corpus through the wire twice before
     dedup even starts). Output cardinality ≈ token count, same as before —
     the downstream inverted-index join is unchanged.
+
+    The scan is spread (tables.spread: layout-gated repartition) so the
+    shingle explode + fingerprint hashing parallelize on the single-file
+    bench fixture instead of running inside a one-task scan stage; on any
+    layout with >= cores row groups the gate is a no-op and shingling
+    stays entirely map-side with zero shuffles.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread_scan=True)
     return d.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
 
 
@@ -1809,7 +1815,9 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-truth row is property-tested at two SFs. The audit verb and its plan
     shape are what matter: banded candidate join (never all-pairs on the
     sketch side), in-row 32-compare screen, single bounded report row."""
-    return _dedup_eval_report(table(spark, sf_dir, "documents"))
+    return _dedup_eval_report(
+        table(spark, sf_dir, "documents", spread_scan=True)
+    )
 
 
 def _mh_band_candidates(sig: DataFrame) -> DataFrame:
@@ -1938,7 +1946,7 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope vs the full-truth row is property-tested at sf0.001 and
     sf0.01 (tests/test_properties.py) — the estimator's variance, not just
     its formula, is pinned to committed evidence."""
-    docs = table(spark, sf_dir, "documents").where(
+    docs = table(spark, sf_dir, "documents", spread_scan=True).where(
         stratum_bucket(F.col("doc_id")) < EVAL_SAMPLE_PCT
     )
     report = _dedup_eval_report(docs)
@@ -2086,7 +2094,7 @@ def q_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg counts. The shingle relation comes from the shared
     shingle_fingerprints helper — the same truth-side definition the
     whole dedup family audits against."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread_scan=True)
     return _lsh_tune_report(docs, shingle_fingerprints(spark, sf_dir))
 
 
@@ -2109,7 +2117,7 @@ def q_lsh_tune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     production is the same one-constant change), while the banded
     candidate set it grades shrinks by the same factor."""
     stratum = stratum_bucket(F.col("doc_id")) < EVAL_SAMPLE_PCT
-    docs = table(spark, sf_dir, "documents").where(stratum)
+    docs = table(spark, sf_dir, "documents", spread_scan=True).where(stratum)
     shh = shingle_fingerprints(spark, sf_dir).where(stratum)
     rep = _lsh_tune_report(docs, shh)
     return rep.select(

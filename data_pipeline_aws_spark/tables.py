@@ -8,6 +8,9 @@ names, parquet scans that Catalyst can push filters and projections into.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,7 +33,48 @@ TABLES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+@lru_cache(maxsize=None)
+def _scan_width(path: str) -> int:
+    """How many tasks a parquet scan of ``path`` can possibly get: row
+    groups are Spark's split atoms (a file with one row group is one task
+    no matter what maxPartitionBytes says). Footer-only read, memoized per
+    path — a few ms once per (sf_dir, table)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        parts = [path]
+    return sum(pq.ParquetFile(p).metadata.num_row_groups for p in parts)
+
+
+def spread(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin repartition to the session's core count IFF the source
+    table's parquet layout cannot feed the cores itself.
+
+    The optimization-guide §2.5 move for unsplittable inputs ("one huge
+    unsplittable file ... repartition immediately after the read"): the
+    bench fixtures are single-file single-row-group parquet, so every scan
+    stage — and with it all map-side work (tokenize, shingle, hash,
+    vectorized decode) — otherwise runs as ONE task on local[32] (measured:
+    q_text_winnow spends 3.85 s of its 3.96 s stage-wall in one task). The
+    gate is the actual input layout, not a local-mode constant: a
+    production table with >= cores row groups (any realistic 100 TB layout)
+    returns the scan untouched, so no extra exchange ever ships data that
+    was already parallel. Catalyst pushes filters/projections below the
+    repartition, so pushdown at the scan is unchanged."""
+    if _scan_width(f"{sf_dir}/{name}.parquet") >= spark.sparkContext.defaultParallelism:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread_scan: bool = False
+) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints —
     so every downstream query plan starts from a pushdown-capable file scan.
 
@@ -53,6 +97,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if spread_scan:
+        df = spread(spark, df, sf_dir, name)
     return df
 
 

@@ -842,16 +842,27 @@ def test_bigram_lm_partial_agg_below_exchange_no_corpus_join(plans):
 
 
 def test_text_winnow_is_map_only_zero_exchanges(plans):
-    """q_text_winnow must fingerprint entirely inside the scan partition —
-    in-row higher-order array lambdas over one pruned documents scan,
-    ZERO exchanges anywhere in the plan (no explode, no groupBy, no
-    window): at 100 TB only the (doc_id, n_fp, fp_check) rows ever move,
-    never grams or window arrays."""
+    """q_text_winnow must fingerprint entirely inside its partition —
+    in-row higher-order array lambdas over one pruned documents scan: no
+    explode, no groupBy, no window, ZERO hash/range exchanges. The one
+    exchange permitted is tables.spread's layout-gated ROUND-ROBIN
+    repartition of the raw scan (round-13: the single-row-group bench
+    fixture otherwise runs all gram work in ONE task — 3.85 s of the
+    query's 3.96 s stage-wall measured; on any >=cores-row-group layout
+    the gate is a no-op and the plan is exchange-free). At 100 TB only
+    the (doc_id, n_fp, fp_check) rows ever move, never grams or window
+    arrays — pinned by banning every keyed exchange."""
     p = plans("q_text_winnow")
-    assert "Exchange" not in p, p
-    assert p.count("FileScan parquet") == 1, p
-    assert "documents.parquet" in p, p
-    assert "struct<doc_id:bigint,text:string>" in p, p  # pruned scan
+    final = p.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final, final
+    assert "Exchange rangepartitioning" not in final, final
+    # the spread exchange (if the gate fired) carries the raw scan rows
+    # round-robin and nothing else
+    assert final.count("Exchange") <= 1, final
+    assert "RoundRobinPartitioning" in final or "Exchange" not in final, final
+    assert final.count("FileScan parquet") == 1, final
+    assert "documents.parquet" in final, final
+    assert "struct<doc_id:bigint,text:string>" in final, final  # pruned scan
     assert "Generate explode" not in p, p
 
 
@@ -1232,14 +1243,20 @@ def test_merge_dv_antijoin_broadcast_dv_no_base_rewrite(plans):
 def test_bpe_apply_encode_is_map_only_one_shuffle(plans):
     """q_bpe_apply's encode pass: learned merge rules ride the plan as
     literal chained replaces (no join against a rules table, no Python
-    stage), the corpus is scanned once, and the only exchange is the
-    final doc-grain rollup with map-side partial combine."""
+    stage), the corpus is scanned once, and the only KEYED exchange is the
+    final doc-grain rollup with map-side partial combine (tables.spread's
+    layout-gated round-robin repartition of the raw scan is additionally
+    permitted — a no-op on any >=cores-row-group layout)."""
     p = plans("q_bpe_apply")
     final = p.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1, final
     assert "Join" not in final and "Window" not in final, final
     assert "BatchEvalPython" not in final and "MapInPandas" not in final, final
-    n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
+    n_shuffles = (
+        final.count("Exchange")
+        - final.count("BroadcastExchange")
+        - final.count("RoundRobinPartitioning")
+    )
     assert n_shuffles == 1, final
     assert "partial_count" in final, final
 
