@@ -391,8 +391,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     source array per element (sequence + element_at) re-evaluates the split
     inside the lambda and goes quadratic — measured 10× slower at sf0.1.
     dup_frac is an exact-integer division, bit-identical across engines, so
-    the threshold comparison cannot flip rows."""
-    d = table(spark, sf_dir, "documents")
+    the threshold comparison cannot flip rows.
+    The scan is spread (tables.spread: layout-gated round-robin repartition,
+    a no-op on any >=cores-row-group layout) so the per-row gram build +
+    array_distinct parallelize on the single-row-group bench fixture instead
+    of running in one task."""
+    d = table(spark, sf_dir, "documents", spread_scan=True)
     toks = F.split("text", " ")
     grams = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),

@@ -1046,8 +1046,12 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the other multimodal rungs — Arrow-batched
     mapInPandas, per-partition decode, zero driver involvement; payloads
     ride Parquet BYTE_ARRAY columns and prune away from queries that
-    don't touch them."""
-    d = table(spark, sf_dir, "documents")
+    don't touch them. The scan is spread (tables.spread: layout-gated
+    round-robin repartition, no-op on any >=cores-row-group layout) so the
+    deflate+inflate+filter-reconstruction Python work parallelizes on the
+    single-row-group bench fixture instead of running in one Python
+    worker — measured 2.7 s -> 0.57 s isolated at sf0.1."""
+    d = table(spark, sf_dir, "documents", spread_scan=True)
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -1703,8 +1707,11 @@ def q_multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the other multimodal rungs — Arrow-batched
     mapInPandas, vectorized numpy expansion per batch, zero driver
-    involvement, payload columns prune away from non-audio queries."""
-    d = table(spark, sf_dir, "documents")
+    involvement, payload columns prune away from non-audio queries. The
+    scan is spread (tables.spread: layout-gated round-robin repartition,
+    no-op on any >=cores-row-group layout) so the companding arithmetic
+    parallelizes on the single-row-group bench fixture."""
+    d = table(spark, sf_dir, "documents", spread_scan=True)
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -2025,8 +2032,12 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     Interlace/local-tables/color palettes refuse at the PIL plug point.
 
     Scale shape: identical to every multimodal rung — Arrow-batched
-    mapInPandas, per-batch codec work, zero driver involvement."""
-    d = table(spark, sf_dir, "documents")
+    mapInPandas, per-batch codec work, zero driver involvement. The scan
+    is spread (tables.spread: layout-gated round-robin repartition, no-op
+    on any >=cores-row-group layout) so LZW encode+decode parallelizes on
+    the single-row-group bench fixture — measured 3.0 s -> 0.62 s
+    isolated at sf0.1."""
+    d = table(spark, sf_dir, "documents", spread_scan=True)
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

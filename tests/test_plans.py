@@ -188,10 +188,15 @@ def test_scd2_single_shuffle_two_windows(plans):
 
 
 def test_repetition_filter_is_map_only(plans):
-    # per-doc dup-gram ratio never leaves its row: no shuffle anywhere
+    # per-doc dup-gram ratio never leaves its row: no KEYED shuffle anywhere.
+    # The one exchange permitted is tables.spread's layout-gated round-robin
+    # repartition of the raw scan (no-op on any >=cores-row-group layout).
     p = plans("q_text_repetition")
     final = p.split("Initial Plan")[0]
-    assert "Exchange" not in final, final
+    assert "Exchange hashpartitioning" not in final, final
+    assert "Exchange rangepartitioning" not in final, final
+    assert final.count("Exchange") <= 1, final
+    assert "RoundRobinPartitioning" in final or "Exchange" not in final, final
 
 
 def test_shingles_build_without_window_shuffle(plans):
