@@ -1066,6 +1066,10 @@ def test_link_predict_heap_topk_wedge_join_no_cross(plans):
     # executor storage, never re-running the lineitem join per consumer
     assert "Scan ExistingRDD" in final, final
     assert final.count("FileScan parquet") == 0, final
+    # round-13: the wedge self-join is shuffled-hash, never sort-merge —
+    # the pair stream must not pay two sorts of the edge relation
+    assert "ShuffledHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
 
 
 def test_link_predict_capped_windowgrouplimit_heaps(plans):
@@ -1079,6 +1083,8 @@ def test_link_predict_capped_windowgrouplimit_heaps(plans):
     assert "CartesianProduct" not in final, final
     assert "Scan ExistingRDD" in final, final
     assert final.count("FileScan parquet") == 0, final
+    # round-13: wedge self-join is shuffled-hash here too
+    assert "ShuffledHashJoin" in final, final
 
 
 def test_dedup_eval_sampled_same_shape_as_full_audit(plans):
