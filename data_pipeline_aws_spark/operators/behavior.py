@@ -1167,7 +1167,9 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = paired.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    ).hint("shuffle_hash")  # round-13 guide §3: basket self-join builds a
+    # per-partition hash map of capped basket lines instead of paying SMJ's
+    # two sorts of the pair-join input (bounded build: <=cap lines/order)
     cooc = (
         a.join(b, "ok")
         .where(F.col("part_a") != F.col("part_b"))
