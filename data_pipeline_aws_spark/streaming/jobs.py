@@ -1681,16 +1681,51 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival = tempfile.mkdtemp(prefix="dpas_stream_late_")
     try:
         ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-        early = ev.where(F.col("ts") < "2024-01-16")
-        rest = ev.where(F.col("ts") >= "2024-01-16")
-        replay = ev.where(F.col("ts") < "2024-01-02")
         # Three arrival files, mtime-ordered: the file source with
         # maxFilesPerTrigger=1 processes them as separate micro-batches in
         # write order, so the watermark committed after b1 (max event time
         # − 10 min) governs b2's late filter.
-        early.coalesce(1).write.parquet(os.path.join(arrival, "b0"))
-        rest.coalesce(1).write.parquet(os.path.join(arrival, "b1"))
-        replay.coalesce(1).write.parquet(os.path.join(arrival, "b2"))
+        #
+        # Single-pass build (round 13): the original three
+        # filter+coalesce(1) writes each collapsed a full events scan onto
+        # ONE task and ran as three sequential jobs (~1.0 of the key's
+        # 2.6 s at sf0.1). One scan now explodes each row to the batch ids
+        # it belongs to (day-1 rows land in BOTH b0 and the replay b2),
+        # one deterministic hash shuffle on the tag gives exactly one file
+        # per batch dir (3 distinct values, hash exchange; AQE may merge
+        # but never splits REPARTITION_BY_COL output), and one partitioned
+        # write replaces three commits. Batch MEMBERSHIP is unchanged;
+        # only row order within a file differs, which the drain cannot
+        # observe (per-batch watermark = max event time; the window
+        # aggregate is order-insensitive) — oracle-verified on the diff.
+        batches = (
+            F.when(F.col("ts") < "2024-01-02", F.array(F.lit(0), F.lit(2)))
+            .when(F.col("ts") < "2024-01-16", F.array(F.lit(0)))
+            .otherwise(F.array(F.lit(1)))
+        )
+        (
+            ev.withColumn("b", F.explode(batches))
+            .repartition("b")
+            .write.partitionBy("b")
+            .parquet(arrival, mode="overwrite")
+        )
+        # Restore the flat b0/b1/b2 layout the drain reads (partition dirs
+        # carry no data column, so the files are schema-identical to the
+        # original per-batch writes); drop the root _SUCCESS marker so the
+        # arrival glob sees only batch dirs.
+        for i in range(3):
+            src = os.path.join(arrival, f"b={i}")
+            dst = os.path.join(arrival, f"b{i}")
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:  # empty batch: no partition dir was written; an empty dir
+                os.makedirs(dst)  # keeps the pinning walk total (a 0-row
+                # original write produced an empty-file trigger that
+                # advanced nothing — absent file, same drained result)
+        try:
+            os.remove(os.path.join(arrival, "_SUCCESS"))
+        except FileNotFoundError:
+            pass
         # Pin strictly increasing mtimes explicitly: the file source orders
         # batches by mtime, and three back-to-back writes can tie on a
         # coarse-mtime filesystem, merging the replay into an earlier batch
