@@ -219,7 +219,18 @@ def main() -> None:
     # host_drifted=true so cross-round medians exclude the artifact, and
     # SPARK_GRAFT_BENCH_REQUIRE_STABLE=1 makes the run refuse (exit 3)
     # so the closing protocol re-records instead of shipping footnotes.
+    #
+    # Round-13 hardening: endpoint-only sampling misses a co-tenant burst
+    # that starts AND ends mid-run (measured: a run whose endpoints agreed
+    # within 1.05× carried ~20 keys inflated 1.5-2× against isolated
+    # min-of-3 — and co-tenant CPU steal is invisible in this VM's own
+    # loadavg). The anchor is now ALSO sampled between queries every
+    # ~1/6th of pass 0 (never inside a timed region; ~7 × 0.05 s per
+    # run); calib_drift and the stable-gate take max/min over ALL
+    # samples, and the artifact carries the full sample list so inflated
+    # rows are attributable post-hoc.
     calib_start = _cpu_calibration()
+    calib_samples = [calib_start]
 
     # the per-query peak-execution-memory stamps read the status REST API
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
@@ -306,8 +317,11 @@ def main() -> None:
         pass0_order = SHARED_FIXTURE_OWNERS + [
             n for n in pass0_order if n not in SHARED_FIXTURE_OWNERS
         ]
-    for name in pass0_order:
+    calib_every = max(1, len(pass0_order) // 6)
+    for qi, name in enumerate(pass0_order):
         run_once(name, "pass0")
+        if (qi + 1) % calib_every == 0:
+            calib_samples.append(_cpu_calibration())
     pass2_start = time.perf_counter()
     for name in sorted(timings, key=timings.get, reverse=True):
         if time.perf_counter() - pass2_start > pass2_budget:
@@ -323,14 +337,15 @@ def main() -> None:
         print(f"WARNING: single-sample timings for {single_sample}", file=sys.stderr)
     load_end = _loadavg_1min()
     calib_end = _cpu_calibration()
+    calib_samples.append(calib_end)
     calib_drift = round(
-        max(calib_end, calib_start) / max(min(calib_end, calib_start), 1e-9), 3
+        max(calib_samples) / max(min(calib_samples), 1e-9), 3
     )
     host_drifted = calib_drift > 1.5
     if host_drifted:
         print(
             f"WARNING: host speed drifted {calib_drift}x mid-run "
-            f"(calib {calib_start} -> {calib_end}); artifact stamped "
+            f"(calib samples {calib_samples}); artifact stamped "
             f"host_drifted=true — exclude from round-over-round medians",
             file=sys.stderr,
         )
@@ -362,6 +377,9 @@ def main() -> None:
         "host_contended": load_start > max_load or load_end > max_load,
         "calib_sec": calib_end,
         "calib_sec_start": calib_start,
+        # all anchor samples, run order (start, ~6 mid-run, end) — drift
+        # is max/min over these, not just the endpoints
+        "calib_samples": calib_samples,
         "calib_drift": calib_drift,
         "host_drifted": host_drifted,
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
