@@ -172,6 +172,56 @@ def quiet_gate(max_load: float | None = None) -> tuple[float, float]:
     return load_start, max_load
 
 
+class CalibTracker:
+    """Attribute each query run to the pair of host-speed anchor samples
+    that bracket it (round-14 self-heal, VERDICT r13 order #2).
+
+    The round-13 hardening detects a mid-run co-tenant burst (mid-run
+    anchor samples) but can only *stamp* the artifact contaminated; this
+    round the bench also *repairs* it: a run whose bracketing samples are
+    both within ``factor`` of the run's fastest sample is "clean" —
+    min-of-N over at least one clean run is a trustworthy number even if
+    other runs of the same key were burst-inflated (contention inflates,
+    never deflates, so a dirty run can only lose the min()). Keys with no
+    clean run get re-measured inside the pass-2 budget, suspects first.
+    Pure bookkeeping — no timing of its own; unit-tested without Spark."""
+
+    FACTOR = 1.5
+
+    def __init__(self, first_sample: float) -> None:
+        self.samples = [first_sample]
+        self._last = first_sample
+        self._pending: list[str] = []
+        self.brackets: dict[str, list[float]] = {}
+
+    def note_run(self, name: str) -> None:
+        self._pending.append(name)
+
+    def sample(self, value: float) -> None:
+        """Record an anchor sample; every run since the previous sample is
+        bracketed by (previous, this) and charged the worse of the two."""
+        for n in self._pending:
+            self.brackets.setdefault(n, []).append(max(self._last, value))
+        self._pending.clear()
+        self._last = value
+        self.samples.append(value)
+
+    def run_min(self) -> float:
+        return min(self.samples)
+
+    def best_bracket(self, name: str) -> float:
+        return min(self.brackets.get(name, [float("inf")]))
+
+    def adjacent_ratio(self, name: str) -> float:
+        """Best bracket over the run minimum: <= FACTOR means at least one
+        of this key's runs was recorded between two quiet anchor samples."""
+        return round(self.best_bracket(name) / max(self.run_min(), 1e-9), 3)
+
+    def suspects(self, names) -> list[str]:
+        lim = self.FACTOR * self.run_min()
+        return sorted(n for n in names if self.best_bracket(n) > lim)
+
+
 def _flag_value(args: list[str], flag: str) -> str | None:
     """Value following ``flag`` in args, exiting with usage (not a
     post-run IndexError) when the flag dangles without one."""
@@ -230,7 +280,8 @@ def main() -> None:
     # samples, and the artifact carries the full sample list so inflated
     # rows are attributable post-hoc.
     calib_start = _cpu_calibration()
-    calib_samples = [calib_start]
+    tracker = CalibTracker(calib_start)
+    calib_samples = tracker.samples  # shared list; tracker appends
 
     # the per-query peak-execution-memory stamps read the status REST API
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
@@ -308,6 +359,7 @@ def main() -> None:
             timings[name] = elapsed
         samples[name] = samples.get(name, 0) + 1
         peak_mem[name] = max(peak_mem.get(name, 0), _peak_exec_mem(before))
+        tracker.note_run(name)
         load_peak = max(load_peak, _loadavg_1min())
         print(f"{tag} {name} {elapsed}", file=sys.stderr, flush=True)
         return elapsed
@@ -317,19 +369,88 @@ def main() -> None:
         pass0_order = SHARED_FIXTURE_OWNERS + [
             n for n in pass0_order if n not in SHARED_FIXTURE_OWNERS
         ]
-    calib_every = max(1, len(pass0_order) // 6)
+    # Finer anchor cadence than r13's 1/6th (now ~1/12th): the sample pair
+    # bracketing a run decides whether its number is trusted, so shorter
+    # segments mean fewer keys to re-measure per dirty segment. Still ~0.05 s
+    # per sample, never inside a timed region.
+    calib_every = max(1, len(pass0_order) // 12)
     for qi, name in enumerate(pass0_order):
         run_once(name, "pass0")
         if (qi + 1) % calib_every == 0:
-            calib_samples.append(_cpu_calibration())
+            tracker.sample(_cpu_calibration())
+    tracker.sample(_cpu_calibration())  # close pass 0's last bracket
+    # Keys a heal pass may NOT re-run: under --cold the sink-cache keys'
+    # pass-0 number is the write-inclusive cost and a warm re-run would
+    # silently replace it with read-back via min().
+    unhealable = set(SINK_CACHE_KEYS) if cold else set()
+
+    # Pass 2 (min-of-2 re-sample): suspects from dirty pass-0 segments run
+    # FIRST (descending cost within each group) so the burst-inflated rows
+    # get their clean re-measure even if the budget exhausts mid-pass
+    # (round-14 self-heal; min() discards nothing real). Anchor samples
+    # continue through pass 2 so these runs are bracket-attributed too.
     pass2_start = time.perf_counter()
-    for name in sorted(timings, key=timings.get, reverse=True):
+    suspect0 = [n for n in tracker.suspects(timings) if n not in unhealable]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    pass2_order = [n for n in by_cost if n in suspect0] + [
+        n for n in by_cost if n not in suspect0
+    ]
+    if suspect0:
+        print(
+            f"self-heal: {len(suspect0)} pass-0 keys ran in a dirty calib "
+            f"segment; re-measuring them first in pass 1",
+            file=sys.stderr,
+            flush=True,
+        )
+    for qi, name in enumerate(pass2_order):
         if time.perf_counter() - pass2_start > pass2_budget:
             print(f"pass1 budget exhausted before {name}", file=sys.stderr, flush=True)
             break
         if cold and name in SINK_CACHE_KEYS:
             continue  # keep the cold (write-inclusive) pass-0 number
-        run_once(name, "pass1")
+        el = run_once(name, "pass1")
+        # Expensive keys get a PER-KEY bracket (pass 2 runs cost-descending,
+        # so this covers the whole >1 s head): the round-14 baseline run
+        # showed a sub-segment burst inflating a 0.8 s key to 2.9 s while
+        # both ~28-key segment samples read quiet — per-key sampling costs
+        # ~0.05 s outside the timed region and makes the trust stamp tight
+        # exactly where the seconds (and PERF comparisons) are.
+        if el > 1.0 or (qi + 1) % calib_every == 0:
+            tracker.sample(_cpu_calibration())
+    tracker.sample(_cpu_calibration())
+
+    # Heal loop: while any key still has no cleanly-bracketed run and pass-2
+    # budget remains, wait out an ongoing burst (the anchor itself is the
+    # only detector that sees co-tenant CPU steal — loadavg does not), then
+    # re-run the stragglers with a tight per-key bracket. min() keeps the
+    # best observation; a re-run during a still-hot window only wastes its
+    # own seconds, never corrupts the map.
+    for heal_round in range(3):
+        budget_left = pass2_budget - (time.perf_counter() - pass2_start)
+        suspects = [n for n in tracker.suspects(timings) if n not in unhealable]
+        if not suspects or budget_left <= 0:
+            break
+        print(
+            f"self-heal round {heal_round}: {len(suspects)} keys lack a "
+            f"clean calib bracket ({suspects[:8]}{'...' if len(suspects) > 8 else ''}); "
+            f"{budget_left:.0f}s budget left",
+            file=sys.stderr,
+            flush=True,
+        )
+        probe = _cpu_calibration()
+        tracker.sample(probe)
+        while (
+            probe > CalibTracker.FACTOR * tracker.run_min()
+            and time.perf_counter() - pass2_start < pass2_budget
+        ):
+            time.sleep(10)  # burst still on: re-running now can't help
+            probe = _cpu_calibration()
+            tracker.sample(probe)
+        for name in sorted(suspects, key=timings.get, reverse=True):
+            if time.perf_counter() - pass2_start > pass2_budget:
+                break
+            run_once(name, f"heal{heal_round}")
+            tracker.sample(_cpu_calibration())
 
     total = round(sum(timings.values()), 3)
     single_sample = sorted(n for n, k in samples.items() if k < 2)
@@ -337,16 +458,32 @@ def main() -> None:
         print(f"WARNING: single-sample timings for {single_sample}", file=sys.stderr)
     load_end = _loadavg_1min()
     calib_end = _cpu_calibration()
-    calib_samples.append(calib_end)
+    tracker.sample(calib_end)
     calib_drift = round(
         max(calib_samples) / max(min(calib_samples), 1e-9), 3
     )
-    host_drifted = calib_drift > 1.5
+    # Round-14 semantics: a mid-run burst no longer condemns the artifact
+    # wholesale. Every key whose best run sits between two quiet anchor
+    # samples (calib_adjacent <= 1.5) is trustworthy regardless of what the
+    # host did elsewhere in the run; host_drifted now means "a burst
+    # happened AND some keys could not be re-measured in a clean window" —
+    # those keys are listed so medians can drop rows, not artifacts.
+    calib_suspects = tracker.suspects(timings)
+    host_drifted = calib_drift > 1.5 and bool(calib_suspects)
+    if calib_drift > 1.5 and not calib_suspects:
+        print(
+            f"note: host speed swung {calib_drift}x mid-run but every key "
+            f"has a cleanly-bracketed measurement after self-heal; artifact "
+            f"is trustworthy (per-key calib_adjacent stamped)",
+            file=sys.stderr,
+        )
     if host_drifted:
         print(
             f"WARNING: host speed drifted {calib_drift}x mid-run "
-            f"(calib samples {calib_samples}); artifact stamped "
-            f"host_drifted=true — exclude from round-over-round medians",
+            f"(calib samples {calib_samples}) and {len(calib_suspects)} "
+            f"keys have no clean bracket ({calib_suspects[:10]}); artifact "
+            f"stamped host_drifted=true — trust only rows with "
+            f"calib_adjacent <= 1.5",
             file=sys.stderr,
         )
         if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_STABLE") == "1":
@@ -377,11 +514,19 @@ def main() -> None:
         "host_contended": load_start > max_load or load_end > max_load,
         "calib_sec": calib_end,
         "calib_sec_start": calib_start,
-        # all anchor samples, run order (start, ~6 mid-run, end) — drift
-        # is max/min over these, not just the endpoints
+        # all anchor samples, run order (start, mid-run every ~1/12th of
+        # each pass + one per heal run, end) — drift is max/min over these
         "calib_samples": calib_samples,
         "calib_drift": calib_drift,
         "host_drifted": host_drifted,
+        # per-key trust stamp (round-14 self-heal): best bracketing anchor
+        # pair over the run minimum — <= 1.5 means at least one of the
+        # key's runs was recorded between two quiet samples and its min()
+        # is burst-free; keys above 1.5 are listed in
+        # calib_suspect_queries and should be dropped from cross-round
+        # medians individually instead of discarding the whole artifact
+        "calib_adjacent": {n: tracker.adjacent_ratio(n) for n in sorted(timings)},
+        "calib_suspect_queries": calib_suspects,
         "sink_mode": "cold_write_inclusive" if cold else "warm_readback",
         "sink_cache_keys": [n for n in SINK_CACHE_KEYS if n in timings],
     }

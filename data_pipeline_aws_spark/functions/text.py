@@ -1873,7 +1873,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the part that matters at 100 TB: the corpus is touched
     EXACTLY ONCE (the word-frequency aggregation); every training round
     then runs on the vocab-bounded word table (~10M rows at web scale,
-    MBs not TBs), localCheckpoint'ed per round to keep lineage flat. Per
+    MBs not TBs), checkpointed ONCE after that aggregation; each round
+    adds one cheap literal-replace projection recomputed from the
+    checkpoint (see bpe_merge_rules — round-13 dropped the per-round
+    checkpoint jobs). Per
     round: pairs build map-side from each word's own symbol array
     (slice+arrays_zip, the q_bigram_lm move), one bounded shuffle to the
     pair grain, and a 1-row argmax collect (legal bounded model state —

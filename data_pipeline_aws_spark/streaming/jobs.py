@@ -1220,9 +1220,12 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = os.path.join(arrival, b)
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
-        schema = spark.read.parquet(os.path.join(arrival, "b0")).schema
+        # ev's schema IS the landed files' schema (b0 is ev written as-is;
+        # the sentinel batches select the same four columns) — no need for
+        # a driver-side re-read job of b0 to recover it (r13 ADVICE's
+        # late-data finding, same pattern here).
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(arrival + "/*")
         )
@@ -1699,7 +1702,13 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         # observe (per-batch watermark = max event time; the window
         # aggregate is order-insensitive) — oracle-verified on the diff.
         batches = (
-            F.when(F.col("ts") < "2024-01-02", F.array(F.lit(0), F.lit(2)))
+            # NULL-ts rows land in NO batch — the pre-round-13 three-filter
+            # build (ts<X / ts>=X) excluded them from every batch, and the
+            # otherwise() branch would silently route them into b1 (r13
+            # ADVICE; the shipped fixtures have zero NULL ts at every SF,
+            # so this is a semantics pin, not a behavior change).
+            F.when(F.col("ts").isNull(), F.array())
+            .when(F.col("ts") < "2024-01-02", F.array(F.lit(0), F.lit(2)))
             .when(F.col("ts") < "2024-01-16", F.array(F.lit(0)))
             .otherwise(F.array(F.lit(1)))
         )
@@ -1735,9 +1744,13 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = os.path.join(arrival, b)
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
-        schema = spark.read.parquet(os.path.join(arrival, "b0")).schema
+        # Schema from the source dataframe, not a re-read of b0 (r13
+        # ADVICE): the batch files carry exactly ev's columns (the `b` tag
+        # rides the partition directory, never the file), and an all-empty
+        # b0 would have no file to read a schema from; also one less
+        # driver-side read job per run.
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(arrival + "/*")
         )
