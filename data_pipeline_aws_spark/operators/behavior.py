@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_aws_spark.registry import query
-from data_pipeline_aws_spark.tables import table
+from data_pipeline_aws_spark.tables import table, table_rows
 
 # Conversion window between consecutive funnel stages.
 _FUNNEL_WINDOW = "INTERVAL 24 HOURS"
@@ -1140,59 +1140,86 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine divides exact integers inside sqrt — deterministic; ranking
     ties break on part id. Top-5 per part runs as WindowGroupLimit heaps.
 
-    At 100 TB: one distinct pass, one basket self-join (shuffle on
-    orderkey — AQE splits skewed giant baskets), count tables broadcast
-    back; giant baskets are line-capped BEFORE the pair join (see
-    capped_baskets — same spirit as q_market_basket's session cap), so a
-    single pathological basket cannot go quadratic."""
-    # localCheckpoint (the q_pagerank edge-list rule): three consumers
-    # (part counts + both pair-join sides) read the distinct basket set
-    # from executor storage instead of re-running the scan+distinct 3×
-    # (measured min-of-5 at sf0.1: 1.89 s → 1.72 s, variance halved).
-    bought = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    part_n = bought.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    At 100 TB: one distinct pass, one basket self-join; giant baskets are
+    line-capped BEFORE the pair join (see capped_baskets — same spirit as
+    q_market_basket's session cap), so a single pathological basket cannot
+    go quadratic, and the cap is also the join's skew bound (no basket key
+    fans out past cap² pairs).
+
+    Round-14 memory-bound restructure (guide §2.3/§3.3/§5, VERDICT r13
+    order #1 — the sf10/16 g heap-margin watch item). Measured first: the
+    r13 shape's sf10 plan re-joined the aggregated PAIR stream (~175 M
+    rows at sf10) with the part-count table twice as SortMergeJoins —
+    three exchanges + two sorts of the query's biggest relation (stage
+    peaks 23-47 GB summed, 9-16 GB disk spill) — while the checkpointed
+    distinct pinned ~15 GB of heap for the query's life (85 s of GC in
+    that stage alone). Three structural changes, each oracle-verified
+    row-identical:
+    - n_orders rides the |lines|-sized relation INTO the pair join as a
+      window count over the distinct basket set (na/nb are functions of
+      the group key, so grouping by (part_a, part_b, na, nb) leaves
+      groups and counts unchanged) — the pair stream is never re-joined,
+      both SMJs and their sorts disappear (plans/r14 dumps);
+    - the pair-join width is pinned from the lineitem FOOTER row count
+      (partitions ≥ rows/250k, clamped [cores, 4096]) so no SHJ build
+      side exceeds ~25 MB deserialized at any SF — per-task state bounded
+      by arithmetic, not by AQE's byte-advisory coalescing (which chose
+      34×~500 MB builds at sf10, the 16 g GC cliff). The explicit width
+      forfeits AQE skew-split on that exchange; the basket cap is the
+      skew bound there (≤cap lines per order key).
+    - no localCheckpoint: the distinct's exchange is identical across its
+      consumers and ReuseExchange dedupes it (verified in the executed
+      plan), so the checkpoint bought nothing but pinned blocks.
+    Evidence: sf10 @16 g heap completes with a spill-free join stage
+    (8.8 GB → 0 disk spill); back-to-back sf10 @24 g WP 204.8/163.4 s vs
+    old shape 238.8 s; sf0.1 interleaved min-of-3 2.29 vs 2.43 s (flat)."""
     # part counts stay UNCAPPED (they are the cosine denominator and must
     # match the catalog-wide truth); only the quadratic pair fan-out is
     # capped. The oracle mirrors the cap in its `capped` CTE (identical
     # keep-lowest-partkey rule), so parity holds even on a future fixture
     # with a >_BASKET_LINE_CAP-line basket — not just TPC-H's ≤7.
-    paired = capped_baskets(bought)
+    bought = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "n_orders", F.count(F.lit(1)).over(Window.partitionBy("l_partkey"))
+        )
+    )
+    width = min(
+        max(
+            spark.sparkContext.defaultParallelism,
+            table_rows(sf_dir, "lineitem") // 250_000,
+        ),
+        4096,
+    )
+    paired = capped_baskets(bought.repartition(width, "l_orderkey"))
     a = paired.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders").alias("na"),
     )
     b = paired.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders").alias("nb"),
     ).hint("shuffle_hash")  # round-13 guide §3: basket self-join builds a
     # per-partition hash map of capped basket lines instead of paying SMJ's
-    # two sorts of the pair-join input (bounded build: <=cap lines/order)
+    # two sorts of the pair-join input (bounded build: <=cap lines/order,
+    # and round-14's explicit width bounds the per-partition line count)
     cooc = (
         a.join(b, "ok")
         .where(F.col("part_a") != F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        .groupBy("part_a", "part_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
     )
-    na = part_n.select(
-        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
-    )
-    nb = part_n.select(
-        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
-    )
-    scored = (
-        cooc.join(na, "part_a")
-        .join(nb, "part_b")
-        .select(
-            "part_a",
-            "part_b",
-            "n_cooc",
-            F.round(
-                F.col("n_cooc") / F.sqrt(F.col("na") * F.col("nb")), 6
-            ).alias("cos_sim"),
-        )
+    scored = cooc.select(
+        "part_a",
+        "part_b",
+        "n_cooc",
+        F.round(F.col("n_cooc") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("part_a").orderBy(F.desc("cos_sim"), F.asc("part_b"))
     return (

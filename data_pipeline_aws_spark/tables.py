@@ -52,6 +52,28 @@ def _scan_width(path: str) -> int:
     return sum(pq.ParquetFile(p).metadata.num_row_groups for p in parts)
 
 
+@lru_cache(maxsize=None)
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a table from its parquet footer(s) — free (no
+    Spark job, metadata only), memoized per (sf_dir, table). The
+    scale-adaptive partition-width inputs (e.g. q_item_item_recs' pair-join
+    width) derive from this so per-task state stays bounded at any SF
+    instead of trusting AQE's byte-advisory coalescing to keep hash-build
+    sides small (guide §5: more partitions = smaller per-task state)."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        parts = [path]
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+
+
 def spread(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     """Round-robin repartition to the session's core count IFF the source
     table's parquet layout cannot feed the cores itself.

@@ -682,11 +682,26 @@ def test_item_item_recs_caps_baskets_and_heap_limits_topk(plans):
     orderkey grain BEFORE the pair join (a giant basket dies there, not in
     the join), the top-5 ranking to partial+final WindowGroupLimit on
     part_a, and the basket self-join must not shuffle on orderkey more than
-    once per side."""
+    once per side (ReusedExchange back-references don't count — they ARE
+    the reuse). Round-14 additions: the aggregated pair stream must never
+    be re-joined (n_orders rides the pair join — zero SortMergeJoin, and
+    the one join is the hinted shuffled-hash basket self-join whose
+    per-partition build the footer-derived width bounds)."""
     p = plans("q_item_item_recs").split("== Initial Plan ==")[0]
-    assert "row_number(), 32, Partial" in p, p  # the cap, map-side heap
+    # The cap heap sits directly on the width-pinned exchange (already
+    # partitioned by orderkey), so there is no pre-shuffle Partial stage —
+    # just the Final heap before the pair join.
+    assert "row_number(), 32, Final" in p, p
     assert "row_number(), 5, Partial" in p and "row_number(), 5, Final" in p, p
-    assert p.count("Exchange hashpartitioning(l_orderkey") <= 2, p
+    real_exchanges = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning(l_orderkey" in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(real_exchanges) <= 2, p
+    assert "SortMergeJoin" not in p, p  # pair stream never re-joined/sorted
+    assert "ShuffledHashJoin" in p, p
 
 
 def test_markov_single_user_exchange_bounded_matrix_rest(plans):
